@@ -1,0 +1,85 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC materialization kernel — the semantics a consumer of the reference's
+  * topics must compute to get a queryable table (what Hudi DeltaStreamer,
+  * `/root/reference/README.md:22`, does downstream of the toolkit).
+  *
+  * SURVEY.md §2.A A1–A4:
+  *  - A1 latest image per key:  max (ts, tiebreak) wins
+  *  - A2 tombstones:            drop keys whose latest op is `d`
+  *  - A3 upsert into base:      anti-join + union
+  *  - A4 at-least-once dedup:   exact duplicate delivery collapsed
+  *
+  * Scale notes: every kernel op shuffles exactly once, on the key — the
+  * same hash partitioning Debezium's topic-per-table + keyed-produce layout
+  * gives the reference (`bin/mskc-connector.sh:438`). `latest` is a
+  * window + `row_number`, which Spark executes as shuffle-on-key then
+  * per-partition sort — no global sort, no driver state, arbitrarily many
+  * keys. For the streaming path see [[graft.streaming.CdcPipeline]].
+  */
+object Materialize {
+
+  /** A4 — collapse duplicate deliveries (at-least-once replay, SURVEY T3).
+    * Duplicates are identical (key, ts, op) triples.
+    */
+  def dedupDeliveries(changes: DataFrame,
+                      cols: Seq[String] = Seq("key", "ts_us", "op"))
+      : DataFrame =
+    changes.dropDuplicates(cols)
+
+  /** A1 — keep only the latest change event per key.
+    *
+    * Order is (ts, tiebreak...) descending; the tiebreak column makes the
+    * result total-ordered (the reference gets this for free from
+    * single-task per-partition order, `bin/mskc-connector.sh:378`).
+    */
+  def latest(changes: DataFrame,
+             keyCols: Seq[String],
+             orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(_.desc): _*)
+    changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** A2 — drop keys whose latest event is a delete. Must run AFTER A1. */
+  def dropTombstones(latestPerKey: DataFrame, opCol: String = "op")
+      : DataFrame =
+    latestPerKey.filter(col(opCol) =!= "d")
+
+  /** A1+A2 fused: current state of the table from a change log. */
+  def currentState(changes: DataFrame,
+                   keyCols: Seq[String],
+                   orderCols: Seq[Column],
+                   opCol: String = "op"): DataFrame =
+    dropTombstones(latest(changes, keyCols, orderCols), opCol)
+
+  /** A3 — apply a materialized batch of changes to a base table.
+    *
+    * `changes` must already be reduced to one row per key (A1, op kept).
+    * Semantics of MERGE: delete keys whose change op is `d`, replace keys
+    * present in changes, keep untouched base rows. Implemented as
+    * left-anti join (base minus changed keys) + union of surviving change
+    * images — two narrow ops over one key-shuffle; with AQE the anti join
+    * broadcasts when the change batch is small, which is the common CDC
+    * case (micro-batch ≪ base).
+    */
+  def upsert(base: DataFrame,
+             latestChanges: DataFrame,
+             keyCols: Seq[String],
+             opCol: String = "op"): DataFrame = {
+    // usingColumns join: immune to the self-lineage trap where
+    // base(k) === changes(k) resolves both sides to the same attribute.
+    val untouched =
+      base.join(latestChanges.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val upserted = dropTombstones(latestChanges, opCol)
+      .select(base.columns.map(col): _*)
+    untouched.unionByName(upserted)
+  }
+}

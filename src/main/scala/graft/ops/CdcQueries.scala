@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{ChangeFeed, Materialize}
+import graft.sources.Tables
+
+/** The CDC query inventory (SURVEY.md §2.B rows "Scans/sources",
+  * "Aggregation/state", "Streaming" batch-equivalents).
+  *
+  * All queries derive the change feed from `events.parquet` inside the
+  * query (FIXTURES.md B.1) so the DuckDB oracle replays identical input.
+  */
+object CdcQueries extends QueryPack {
+
+  /** Shared oracle CTE: the derived change feed, flattened. */
+  private val feedCte =
+    """WITH feed AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS key, event_id,
+      |         epoch_us(ts) AS ts_us, value, props,
+      |         CASE WHEN event_type = 'signup' THEN 'c'
+      |              WHEN event_type = 'error'  THEN 'd'
+      |              ELSE 'u' END AS op
+      |  FROM events)""".stripMargin
+
+  /** Spark-side flattened feed matching [[feedCte]]. */
+  def flatFeed(spark: SparkSession, dir: String): DataFrame =
+    ChangeFeed.envelope(Tables.events(spark, dir)).select(
+      col("key"), col("event_id"), col("ts_us"),
+      col("after.value").as("value"), col("after.props").as("props"),
+      col("op"))
+
+  private val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z in µs
+
+  /** Latest-wins materialized state, the oracle for upsert/snapshot paths. */
+  private val materializedStateSql =
+    s"""$feedCte,
+      | ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY key
+      |            ORDER BY ts_us DESC, event_id DESC) AS rn
+      |  FROM feed)
+      |SELECT key, value, props
+      |FROM ranked WHERE rn = 1 AND op <> 'd'
+      |ORDER BY key""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+
+    // S1/P4-P7 — build the Debezium-style envelope and project it flat.
+    Q("cdc_envelope",
+      (s, d) => ChangeFeed.envelope(Tables.events(s, d)).select(
+        col("key"),
+        col("before.value").as("before_value"),
+        col("after.value").as("after_value"),
+        col("op"), col("ts_us"), col("topic"), col("event_id"))
+        .orderBy(col("event_id")),
+      Some(s"""WITH feed AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        |         CASE WHEN event_type = 'signup' THEN 'c'
+        |              WHEN event_type = 'error'  THEN 'd'
+        |              ELSE 'u' END AS op,
+        |         lag(value) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |SELECT CAST(user_id AS VARCHAR) AS key,
+        |       CASE WHEN op = 'c' THEN NULL ELSE prev_value END AS before_value,
+        |       CASE WHEN op = 'd' THEN NULL ELSE value END AS after_value,
+        |       op, ts_us,
+        |       'osci.db.mysql-server-1.cdc_test_db.person' AS topic,
+        |       event_id
+        |FROM feed ORDER BY event_id""".stripMargin)),
+
+    // A1+A2 — latest non-deleted row per key (flagship; SURVEY §7.1 M0).
+    Q("cdc_latest_state",
+      (s, d) => Materialize.currentState(
+        flatFeed(s, d), Seq("key"), Seq(col("ts_us"), col("event_id")))
+        .select(col("key"), col("event_id").as("last_event_id"),
+          col("op"), col("ts_us"), col("value"))
+        .orderBy(col("key")),
+      Some(s"""$feedCte,
+        | ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM feed)
+        |SELECT key, event_id AS last_event_id, op, ts_us, value
+        |FROM ranked WHERE rn = 1 AND op <> 'd'
+        |ORDER BY key""".stripMargin)),
+
+    // A3 — upsert a change batch into a materialized base (anti-join+union
+    // ≡ replaying the whole log; the oracle is the full-log replay).
+    Q("cdc_upsert_materialize",
+      (s, d) => {
+        val feed = flatFeed(s, d)
+        val order = Seq(col("ts_us"), col("event_id"))
+        val base = Materialize.currentState(
+          feed.filter(col("ts_us") < cutoffUs), Seq("key"), order)
+          .select("key", "value", "props")
+        val batch = Materialize.latest(
+          feed.filter(col("ts_us") >= cutoffUs), Seq("key"), order)
+          .select("key", "op", "value", "props")
+        Materialize.upsert(base, batch, Seq("key"))
+          .orderBy(col("key"))
+      },
+      Some(materializedStateSql)),
+
+    // S2∪S1 — initial snapshot (op=r rows at the cutoff) unioned with the
+    // incremental feed, then materialized; ≡ full-log replay.
+    Q("cdc_snapshot_plus_incremental",
+      (s, d) => {
+        val feed = flatFeed(s, d)
+        val order = Seq(col("ts_us"), col("event_id"))
+        val snapshot = Materialize.currentState(
+          feed.filter(col("ts_us") < cutoffUs), Seq("key"), order)
+          .select(col("key"), lit(-1L).as("event_id"),
+            lit(cutoffUs).as("ts_us"), col("value"), col("props"),
+            lit("r").as("op"))
+        val incremental = feed.filter(col("ts_us") >= cutoffUs)
+        Materialize.currentState(
+          snapshot.unionByName(incremental), Seq("key"), order)
+          .select("key", "value", "props")
+          .orderBy(col("key"))
+      },
+      Some(materializedStateSql)),
+
+    // A4/T3 — at-least-once redelivery collapsed by exact dedup: doubling
+    // the feed then deduping yields the original event counts.
+    Q("cdc_stream_dedup",
+      (s, d) => {
+        val feed = flatFeed(s, d)
+        Materialize.dedupDeliveries(
+          feed.unionAll(feed), Seq("key", "ts_us", "op", "event_id"))
+          .groupBy(col("key"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy(col("key"))
+      },
+      Some("""SELECT CAST(user_id AS VARCHAR) AS key,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY key""".stripMargin))
+  )
+}

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, registers every testdata table by
+bare name in DuckDB, runs each oracle, and compares against the Spark
+result parquet (columns sorted by name, exact value equality; floats
+compared exactly — the queries are built so both engines produce
+identical doubles).
+"""
+import json, sys, glob
+import duckdb
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = p.split("/")[-1].removesuffix(".parquet")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+n_pass = n_fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.execute(sql).fetchdf()
+        got = con.execute(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(exp.columns) != list(got.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            n_fail += 1
+            continue
+        if len(exp) != len(got):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_fail += 1
+            continue
+        # exact cell-wise compare (NaN == NaN)
+        diff_cols = []
+        for c in exp.columns:
+            a, b = exp[c], got[c]
+            eq = (a == b) | (a.isna() & b.isna())
+            if not eq.all():
+                diff_cols.append((c, int((~eq).sum())))
+        if diff_cols:
+            print(f"FAIL {name}: value diffs {diff_cols}")
+            for c, _ in diff_cols[:2]:
+                mask = ~((exp[c] == got[c]) | (exp[c].isna() & got[c].isna()))
+                print("  oracle:", exp[mask].head(3).to_dict("records"))
+                print("  spark :", got[mask].head(3).to_dict("records"))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(exp)} rows)")
+            n_pass += 1
+    except Exception as e:
+        print(f"ERROR {name}: {e}")
+        n_fail += 1
+print(f"\n{n_pass} pass, {n_fail} fail")
+sys.exit(1 if n_fail else 0)
