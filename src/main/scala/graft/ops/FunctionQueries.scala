@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc.ChangeFeed
+import graft.sources.Tables
+
+/** Record-level transforms, filters and scalar functions
+  * (SURVEY.md §2.A P4-P12, F1-F4, S6; §2.B "Projection/filter" +
+  * "String/date/math/json fns").
+  *
+  * Everything here is a narrow projection/filter — zero shuffles except
+  * where a group-by is the point. All expressions are built-in
+  * `org.apache.spark.sql.functions` (whole-stage-codegen'd); no UDFs.
+  */
+object FunctionQueries extends QueryPack {
+
+  def queries: Seq[Q] = Seq(
+
+    // P4 — consumers read the current row image: select(after.*).
+    Q("envelope_project",
+      (s, d) => ChangeFeed.envelope(Tables.events(s, d))
+        .filter(col("op") =!= "d")
+        .select(col("event_id"),
+          col("after.user_id").as("after_user_id"),
+          col("after.value").as("after_value"),
+          col("after.props").as("after_props"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, user_id AS after_user_id,
+        |       value AS after_value, props AS after_props
+        |FROM events WHERE event_type <> 'error'
+        |ORDER BY event_id""".stripMargin)),
+
+    // F1 — database/table include-list, pushed into the scan
+    // (reference: database.include.list, bin/mskc-connector.sh:406).
+    Q("include_list_filter",
+      (s, d) => Tables.events(s, d)
+        .filter(col("user_id").isin(1L, 2L, 3L, 5L, 8L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, count(*) AS n_events
+        |FROM events WHERE user_id IN (1, 2, 3, 5, 8)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // F2 — topic regex selection (clean-topics / consume-topic patterns,
+    // bin/kafka-client.sh:57,:64).
+    Q("topic_regex_filter",
+      (s, d) => ChangeFeed.envelope(Tables.events(s, d))
+        .filter(col("topic").rlike("^osci\\..*\\.person$"))
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n_records"))
+        .orderBy(col("topic")),
+      Some("""SELECT 'osci.db.mysql-server-1.cdc_test_db.person' AS topic,
+        |       count(*) AS n_records
+        |FROM events""".stripMargin)),
+
+    // S6+F3 — error-log grep over synthesized log lines
+    // (find-mskc-connector-log-errors, bin/mskc-connector.sh:493-498).
+    Q("log_scan",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          concat_ws(" ", col("event_type"), lit("code="),
+            col("props")).as("line"))
+        .filter(lower(col("line")).rlike("error|failed|exception"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+        |       event_type || ' ' || 'code=' || ' ' || props AS line
+        |FROM events
+        |WHERE regexp_matches(lower(event_type || ' ' || 'code=' || ' ' || props),
+        |                     'error|failed|exception')
+        |ORDER BY event_id""".stripMargin)),
+
+    // P10/P12 + string kit: lower/upper/split/concat/regexp/length.
+    Q("fn_string",
+      (s, d) => Tables.events(s, d)
+        .select(
+          col("event_id"),
+          lower(col("event_type")).as("lo"),
+          upper(col("event_type")).as("hi"),
+          concat_ws(".", col("event_type"),
+            col("user_id").cast("string")).as("joined"),
+          regexp_extract(col("props"), "[0-9]+", 0).as("digits"),
+          length(col("props")).as("n_chars"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+        |  lower(event_type) AS lo, upper(event_type) AS hi,
+        |  event_type || '.' || CAST(user_id AS VARCHAR) AS joined,
+        |  regexp_extract(props, '[0-9]+', 0) AS digits,
+        |  CAST(length(props) AS INTEGER) AS n_chars
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    // P11 — date formatting + elapsed-time arithmetic
+    // (bin/msk-cluster.sh:100,:129; bin/mskc-connector.sh:353,:478).
+    Q("fn_date",
+      (s, d) => Tables.events(s, d)
+        .select(
+          col("event_id"),
+          year(col("ts")).as("y"),
+          month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("dom"),
+          hour(col("ts")).as("h"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
+          ((unix_micros(col("ts")) -
+            lit(1704067200000000L)) / lit(1000000L)).cast("long")
+            .as("secs_since_2024"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+        |  CAST(year(ts) AS INTEGER) AS y,
+        |  CAST(month(ts) AS INTEGER) AS m,
+        |  CAST(day(ts) AS INTEGER) AS dom,
+        |  CAST(hour(ts) AS INTEGER) AS h,
+        |  strftime(ts, '%Y-%m-%d') AS day_str,
+        |  (epoch_us(ts) - 1704067200000000) // 1000000 AS secs_since_2024
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    // P6 — jq-style JSON field extraction over events.props.
+    Q("fn_json",
+      (s, d) => Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_int"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    // F4 — jq select(.name == x) equality predicate on an extracted field.
+    Q("json_select_by_key",
+      (s, d) => Tables.events(s, d)
+        .filter(get_json_object(col("props"), "$.k").cast("int") > 80)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_high"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n_high
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 80
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // P9 — base64 of the worker-properties payload (bin/mskc-worker.sh:58).
+    Q("fn_base64",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          base64(col("props").cast("binary")).as("b64"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, base64(encode(props)) AS b64
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    // P12 — basename/path manipulation (basename $ARN,
+    // bin/mskc-connector.sh:493-494).
+    Q("fn_path",
+      (s, d) => Tables.events(s, d)
+        .select(
+          col("event_id"),
+          concat(lit("s3://bucket/logs/"), col("event_type"), lit("/"),
+            col("event_id").cast("string"), lit(".gz")).as("path"))
+        .withColumn("basename",
+          element_at(split(col("path"), "/"), -1))
+        .orderBy(col("event_id")),
+      Some("""WITH p AS (
+        |  SELECT event_id,
+        |    's3://bucket/logs/' || event_type || '/' ||
+        |      CAST(event_id AS VARCHAR) || '.gz' AS path
+        |  FROM events)
+        |SELECT event_id, path, regexp_extract(path, '[^/]+$', 0) AS basename
+        |FROM p ORDER BY event_id""".stripMargin)),
+
+    // Streaming-shape tumbling window expressed batch-verifiably:
+    // 1-day windows over event time (stream version in graft.streaming).
+    Q("stream_tumbling_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .select(unix_micros(col("w.start")).as("day_us"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("day_us"), col("event_type")),
+      Some("""SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin))
+  )
+}

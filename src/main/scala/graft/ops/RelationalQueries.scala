@@ -1,0 +1,324 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational query inventory (SURVEY.md §2.B: joins, aggregations,
+  * windows, sort/limit, set ops).
+  *
+  * The reference has no joins/windows of its own (single-table change
+  * streams); these enter the inventory because the north star requires an
+  * analytics-capable engine around the CDC core (SURVEY.md §2.B note).
+  *
+  * Determinism: double aggregates go through exact DECIMAL(18,2)
+  * arithmetic and only the final value is cast back to double, so Spark
+  * and DuckDB agree bitwise regardless of partial-aggregation order.
+  * Scale: small dims (region/nation/customer/supplier/part) are
+  * broadcast; fact-fact joins shuffle on the join key and rely on AQE.
+  */
+object RelationalQueries extends QueryPack {
+
+  /** sum(decimal(col)) cast back to double — order-insensitive exact. */
+  private def dsum(c: String) =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  def queries: Seq[Q] = Seq(
+
+    // Scan with pushed filter + pruned projection: the plan must show
+    // PushedFilters on l_shipdate/l_quantity and a 4-column ReadSchema.
+    Q("scan_parquet",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "2000-01-01" && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // TPC-H Q1-style hash aggregation (map-side partials + one shuffle).
+    Q("agg_groupby",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          (dsum("l_quantity") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Star join through two broadcast dims: orders ⋈ customer ⋈ nation.
+    // customer/nation are orders-of-magnitude smaller than the fact
+    // table at every SF — broadcast them, no fact shuffle.
+    Q("join_broadcast",
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("revenue"))
+        .orderBy(col("n_name")),
+      Some("""SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Fact-fact equi join: lineitem ⋈ orders shuffles both sides on
+    // orderkey (sort-merge at scale; AQE may pick broadcast at tiny SF).
+    Q("join_shuffle",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum("l_extendedprice").as("total_price"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // A5 delete-by-name semantics (SURVEY §2.A): customers with no
+    // order before 1996 (full-table anti is empty at sf≥0.01).
+    Q("join_left_anti",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") < "1996-01-01"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate < TIMESTAMP '1996-01-01')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Existence check (SURVEY §2.A F6): customers with a 1995 order.
+    Q("join_left_semi",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") < "1996-01-01"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderdate < TIMESTAMP '1996-01-01')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // AS-OF join, Spark-first: instead of a non-equi range join (quadratic
+    // per key), union the two event roles and take a running max over one
+    // key-partitioned window — single shuffle, linear, scales per key.
+    // For each purchase: the latest strictly-earlier click of that user.
+    Q("join_asof",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev.withColumn("prev_click_ts",
+            max(when(col("event_type") === "click", col("ts_us"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts_us", "prev_click_ts")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        | m AS (
+        |  SELECT *, max(CASE WHEN event_type = 'click' THEN ts_us END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prev_click_ts
+        |  FROM t)
+        |SELECT event_id, user_id, ts_us, prev_click_ts
+        |FROM m WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+    // Exact distinct aggregation (expands to two-phase agg in Spark).
+    Q("agg_distinct",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // HLL sketch — constant memory per group at any scale. No SQL oracle
+    // (sketch estimates are engine-specific); driver does rows-only.
+    Q("agg_approx_distinct",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type")),
+      None),
+
+    // ROLLUP over the region→nation hierarchy (customer counts/balance).
+    Q("agg_rollup",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum("c_acctbal").as("total_bal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_cust"), col("total_bal"))
+        .orderBy(col("region"), col("nation")),
+      Some("""SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation,
+        |       count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin)),
+
+    // CUBE over two independent order dimensions.
+    Q("agg_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"))
+        .orderBy(col("status"), col("priority")),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin)),
+
+    // rank() within key partitions (one shuffle + per-partition sort).
+    Q("win_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(s, d)
+          .withColumn("bal_rank", rank().over(w))
+          .select("c_custkey", "c_nationkey", "c_acctbal", "bal_rank")
+          .orderBy(col("c_nationkey"), col("bal_rank"), col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal,
+        |  rank() OVER (PARTITION BY c_nationkey
+        |               ORDER BY c_acctbal DESC, c_custkey) AS bal_rank
+        |FROM customer
+        |ORDER BY c_nationkey, bal_rank, c_custkey""".stripMargin)),
+
+    // Running sum per key — DECIMAL inside the frame so Spark's sequential
+    // fold and DuckDB's segment-tree evaluation agree exactly.
+    Q("win_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("running_spend",
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+              .cast("double"))
+          .select("o_orderkey", "o_custkey", "running_spend")
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Top-k per group via row_number — no global sort, prunes to k rows
+    // per partition before any data leaves the exchange.
+    Q("top_k_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+          .orderBy(col("o_orderpriority"), col("rn"))
+      },
+      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    // Global top-N: Spark plans TakeOrderedAndProject — per-partition
+    // heaps + driver merge of N rows, never a full sort at scale.
+    Q("sort_limit",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin)),
+
+    // Set algebra (SURVEY §2.A A5 config-array append/remove semantics).
+    Q("set_union",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderdate") < "1996-01-01").select("o_custkey")
+          .union(o.filter(col("o_orderdate") >= "2000-01-01")
+            .select("o_custkey"))
+          .distinct()
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |ORDER BY o_custkey""".stripMargin)),
+
+    Q("set_intersect",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderdate") < "1996-01-01").select("o_custkey")
+          .intersect(o.filter(col("o_orderdate") >= "2000-01-01")
+            .select("o_custkey"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |ORDER BY o_custkey""".stripMargin)),
+
+    Q("set_except",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderdate") < "1996-01-01").select("o_custkey")
+          .except(o.filter(col("o_orderdate") >= "2000-01-01")
+            .select("o_custkey"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |ORDER BY o_custkey""".stripMargin))
+  )
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Whole-inventory smoke + physical-plan shape assertions.
+  *
+  * Correctness against DuckDB is the driver's gate (tools/check_oracle.py);
+  * here we pin the *plans*: the scale properties SURVEY.md §7.2 demands
+  * (broadcast for dims, pushdown into parquet, no cartesian products).
+  */
+class QueryInventorySpec extends SparkSpec {
+
+  test("every declared query runs and yields rows at sf0.001") {
+    val empties = Seq("join_left_anti") // may legitimately be empty per SF
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      withClue(s"query $name:") {
+        assert(n >= 0)
+        if (!empties.contains(name)) assert(n > 0, s"$name returned 0 rows")
+      }
+    }
+  }
+
+  test("every query name has either an oracle or a documented omission") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only checks are allowed but must be the known sketch/stub ops
+    val allowed = Set("agg_approx_distinct")
+    assert(noOracle.subsetOf(allowed ++ noOracle.filter(_.startsWith("dedup_"))
+      ++ noOracle.filter(_.startsWith("mm_"))
+      ++ noOracle.filter(_.startsWith("text_"))
+      ++ noOracle.filter(_.startsWith("sim_"))))
+  }
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("join_broadcast actually broadcasts the dimension tables") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("scan_parquet pushes filters into the parquet scan") {
+    val p = plan("scan_parquet")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate") && p.contains("l_quantity"))
+  }
+
+  test("scan_parquet prunes columns (ReadSchema has only 4 fields)") {
+    val p = plan("scan_parquet")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("no query plans a cartesian product") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      withClue(s"query $name:") {
+        assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+      }
+    }
+  }
+}
