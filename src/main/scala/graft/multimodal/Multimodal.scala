@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media (image/audio/video) carried as
+  * opaque `binary` columns with typed metadata, processed by
+  * partition-batched decoders.
+  *
+  * The Spark-side shape is real and tested — schema, partitioning,
+  * iterator-batched `mapPartitions` (the JVM analog of a vectorized
+  * Python `mapInPandas` decoder), deterministic output. The codec
+  * itself is STUBBED (`decodeStub`): this container has no image/audio
+  * libraries, so the stub derives metadata deterministically from the
+  * byte payload. Swapping in a real codec changes only the function
+  * body, not the pipeline.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata (what a real header probe would return). */
+  final case class MediaMeta(
+      doc_id: Long, width: Int, height: Int, format: String, n_bytes: Long)
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("bytes", BinaryType, nullable = true)))
+
+  /** Manufacture a binary media column from the documents table (stands
+    * in for reading real blobs; at scale these bytes come from parquet
+    * binary columns or object-store pointers).
+    */
+  def asBinary(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("bytes"))
+
+  /** STUB codec — deterministic metadata from the payload alone.
+    * A real implementation parses the media header here; everything
+    * around it (batching, schema, distribution) is production-shaped.
+    */
+  def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = if (bytes == null) 0L else bytes.length.toLong
+    val fmt = (n % 3) match {
+      case 0 => "jpeg"
+      case 1 => "png"
+      case _ => "webp"
+    }
+    MediaMeta(id, (n % 640).toInt, ((n * 7) % 480).toInt, fmt, n)
+  }
+
+  /** Partition-batched decode: each task pulls `batchSize` records,
+    * decodes them as one batch (how a vectorized codec or an inference
+    * runtime wants its input), and emits metadata rows. No shuffle —
+    * decode parallelism equals scan parallelism.
+    */
+  def decodeMeta(media: DataFrame, batchSize: Int = 64): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // batch boundary = where a real codec would run one vectorized
+          // decode call over `batch.map(_._2)`
+          batch.map { case (id, bytes) => decodeStub(id, bytes) }
+        }
+      }
+  }
+
+  /** Frame sampling for "video" payloads: every `step`-th frame index of
+    * a clip whose frame count derives from the payload. Pure column
+    * expressions — the explode is the row-multiplier a real frame
+    * extractor produces.
+    */
+  def sampleFrames(media: DataFrame, step: Int = 7): DataFrame =
+    media
+      .withColumn("n_frames",
+        (length(col("bytes")).cast("long") % 100L + 10L))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1L,
+          lit(step.toLong))).as("frame_idx"))
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+import graft.sources.Tables
+
+/** Similarity-search inventory over `embeddings` (north-star M6).
+  * Embedding vectors are cast float→double ONCE up front on both engines
+  * so every subsequent arithmetic step is identical IEEE double.
+  */
+object SimilarityQueries extends QueryPack {
+
+  /** embeddings with double vectors; near-dup variant plants a perturbed
+    * copy (first component +0.05) of every 20th vector. */
+  def doubleVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"),
+      col("label"))
+
+  def plantedVecs(s: SparkSession, d: String): DataFrame = {
+    val v = doubleVecs(s, d)
+    v.unionAll(
+      v.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.05)),
+            slice(col("embedding"), 2, 63)).as("embedding"),
+          col("label")))
+  }
+
+  def queries: Seq[Q] = Seq(
+
+    // Exact ANN baseline: 8 broadcast queries × corpus scan, top-5.
+    Q("sim_cosine_topk",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        | c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+        |       FROM embeddings),
+        | sc AS (
+        |  SELECT query_id, cand_id,
+        |    list_dot_product(qv, cv) /
+        |      (sqrt(list_dot_product(qv, qv)) *
+        |       sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM q, c WHERE query_id <> cand_id),
+        | r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY round(cos, 6) DESC, cand_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, rank, cand_id, round(cos, 4) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // LSH-bucketed ANN (the 100 TB path) — plane hashes are
+    // engine-specific, rows-only; recall asserted in ScalaTest.
+    Q("sim_ann_lsh",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // Embedding-cosine near-dup pairs within a coarse partition (IVF
+    // shape), over planted perturbed copies.
+    Q("dedup_embedding_cosine",
+      (s, d) => Similarity.cosineNearDupPairs(plantedVecs(s, d), 0.99)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        | vecs AS (
+        |  SELECT vec_id, v, label FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, [v[1] + 0.05] || v[2:], label
+        |  FROM base WHERE vec_id % 20 = 0),
+        | pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM vecs a JOIN vecs b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, round(cos, 4) AS cosine
+        |FROM pairs WHERE cos >= 0.99
+        |ORDER BY a_id, b_id""".stripMargin))
+  )
+}

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.{Dedup, TextAnalysis}
+
+/** Text-analysis + deduplication inventory over `documents`
+  * (north-star extensions; SURVEY.md §7.1 M6).
+  *
+  * Near-dup queries PLANT duplicates inside the query (mirrored exactly
+  * in the oracle SQL) because the synthetic corpus has none — detection
+  * then has real signal at every SF.
+  */
+object TextQueries extends QueryPack {
+
+  /** documents ∪ exact copies (doc_id+1M of every 7th doc)
+    * ∪ near copies (doc_id+2M, one appended token, every 10th doc). */
+  def plantedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs
+      .unionAll(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" qq17")).as("text")))
+  }
+
+  private val plantedCte =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' qq17' FROM documents
+      |  WHERE doc_id % 10 = 0)""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+
+    // Token counting: whitespace tokens + BPE-ish subword pieces.
+    Q("text_tokens",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_ws_tokens"),
+          size(TextAnalysis.subwordPieces(col("text"))).cast("long")
+            .as("n_subword"),
+          length(col("text")).cast("long").as("n_chars_text"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS n_subword,
+        |  length(text) AS n_chars_text
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: stopword ratio + length gate.
+    Q("text_quality",
+      (s, d) => {
+        val stats = TextAnalysis.tokenStats(Tables.documents(s, d))
+        Tables.documents(s, d).join(stats, Seq("doc_id"))
+          .select(col("doc_id"), col("n_tok"), col("n_stop"),
+            (col("n_stop").cast("double") / col("n_tok").cast("double"))
+              .as("stop_ratio"),
+            col("n_chars").between(50L, 5000L).as("len_ok"))
+          .withColumn("quality_ok",
+            col("len_ok") && col("stop_ratio") <= 0.6)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        | a AS (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |         count(CASE WHEN tok IN
+        |           ('the','a','an','of','and','to','in','is','it','for')
+        |           THEN 1 END) AS n_stop
+        |  FROM t GROUP BY doc_id)
+        |SELECT d.doc_id, n_tok, n_stop,
+        |  CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+        |  d.n_chars BETWEEN 50 AND 5000 AS len_ok,
+        |  (d.n_chars BETWEEN 50 AND 5000)
+        |    AND CAST(n_stop AS DOUBLE) / n_tok <= 0.6 AS quality_ok
+        |FROM a JOIN documents d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Content fingerprints: full digest + min-shingle (1-perm MinHash).
+    Q("text_fingerprint",
+      (s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id, md5(text) AS fp_full,
+        |  list_min([md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |            FOR i IN generate_series(1, len(t) - 2)])
+        |    AS fp_minshingle
+        |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    // Language ID — heuristic profiles; engine-specific scoring, so
+    // rows-only for the driver; accuracy asserted in ScalaTest on real
+    // per-language sentences.
+    Q("text_langid",
+      (s, d) => TextAnalysis.languageId(Tables.documents(s, d))
+        .select("doc_id", "pred_lang", "pred_score")
+        .orderBy(col("doc_id")),
+      None),
+
+    // Exact dedup over planted exact copies.
+    Q("dedup_exact",
+      (s, d) => Dedup.exact(plantedDocs(s, d))
+        .select("rep_id", "n_copies")
+        .orderBy(col("rep_id")),
+      Some(s"""$plantedCte
+        |SELECT min(doc_id) AS rep_id, count(*) AS n_copies
+        |FROM docs GROUP BY md5(text)
+        |ORDER BY rep_id""".stripMargin)),
+
+    // n-gram (3-shingle) Jaccard near-dup pairs via inverted index.
+    Q("dedup_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(plantedDocs(s, d),
+          k = 3, threshold = 0.8, maxPostings = 100000)
+        .orderBy(col("a_id"), col("b_id")),
+      Some(s"""$plantedCte,
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+        | sh AS (SELECT DISTINCT doc_id,
+        |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                  FOR i IN generate_series(1, len(t) - 2)]) AS shingle
+        |        FROM toks),
+        | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        | common AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_common,
+        |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = a_id
+        |JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin)),
+
+    // MinHash + LSH banding — hash-function-specific, rows-only for the
+    // driver; recall on planted dups asserted in ScalaTest.
+    Q("dedup_minhash",
+      (s, d) => Dedup.minHashLshPairs(plantedDocs(s, d),
+          numHashes = 16, bands = 4, k = 3, threshold = 0.7)
+        .orderBy(col("a_id"), col("b_id")),
+      None),
+
+    // SimHash banding + Hamming verify — rows-only (xxhash64-specific).
+    Q("dedup_simhash",
+      (s, d) => Dedup.simHashPairs(plantedDocs(s, d), maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id")),
+      None)
+  )
+}

@@ -1,0 +1,129 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the scale doctrine:
+  *  - brute-force cosine top-k for a SMALL query set: broadcast the
+  *    queries, one scan of the corpus, per-query top-k — linear in
+  *    corpus size, embarrassingly parallel, the exact baseline.
+  *  - LSH-bucketed ANN (random hyperplanes) for query sets that scale
+  *    with the corpus: candidates share a bucket in ≥1 of L tables, so
+  *    compared pairs ∝ collision mass, never |corpus|².
+  *
+  * All kernels are SQL higher-order functions (`zip_with`/`aggregate`) —
+  * codegen'd, no UDF boxing on the hot path.
+  */
+object Similarity {
+
+  /** Left-fold dot product in index order (bitwise-deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * `queries` must be small (it is broadcast against the corpus); the
+    * corpus side streams through one stage. Ranking ties broken by id so
+    * output is total-ordered.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+    val scored = q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      // rank on a rounded score (+id tiebreak) so equal-to-6-decimals
+      // scores order identically in any engine computing the same values
+      .withColumn("cos_r", round(col("cos"), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component (table t, plane p,
+    * dim j) in [-1, 1): derived from a 64-bit mix so every executor
+    * computes identical planes with no driver-side randomness to ship.
+    */
+  private def planeComponent(t: Int, p: Int, j: Int): Double = {
+    var h = (t.toLong * 1315423911L) ^ (p.toLong * 2654435761L) ^
+      (j.toLong * 0x9E3779B97F4A7C15L)
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+    ((h % 100000L) / 100000.0)
+  }
+
+  /** Bucket id for one LSH table: `numPlanes` sign bits of plane dots. */
+  private def bucketFor(vec: Column, table: Int, numPlanes: Int,
+                        dim: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val plane = array((0 until dim).map(j =>
+        lit(planeComponent(table, p, j))): _*)
+      when(dot(vec, plane) >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k: candidates = corpus vectors sharing an LSH bucket with
+    * the query in any of `tables` tables; exact cosine on candidates
+    * only. Recall tunes with (tables × planes); compared pairs stay
+    * proportional to bucket collisions.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              tables: Int = 8, planes: Int = 6, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          posexplode(array((0 until tables).map(t =>
+            bucketFor(col(vecCol), t, planes, dim)): _*)))
+        .select(col(id), col(vec), col("pos").as("table"),
+          col("col").as("bucket"))
+    val qb = broadcast(withBuckets(queries, "query_id", "q_vec"))
+    val cb = withBuckets(corpus, "cand_id", "c_vec")
+    val cands = qb.join(cb,
+        qb("table") === cb("table") && qb("bucket") === cb("bucket") &&
+        col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("q_vec"), col("cand_id"), col("c_vec"))
+      .distinct()
+    val scored = cands
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos_r", round(col("cos"), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold among pairs
+    * sharing a coarse partition (label here; a cluster id from k-means
+    * in production — the IVF idea). Keeps the pair count far below n².
+    */
+  def cosineNearDupPairs(vecs: DataFrame, threshold: Double,
+                         partitionCol: String = "label",
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val a = vecs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
+      col(partitionCol).as("part"))
+    val b = vecs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+      col(partitionCol).as("part"))
+    a.join(b, Seq("part"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("a_vec"), col("b_vec")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication at corpus scale: exact, MinHash+LSH, SimHash,
+  * and n-gram Jaccard. The scale discipline throughout: NEVER compare all
+  * pairs — generate candidates through an inverted index (shared shingle,
+  * shared LSH bucket, shared SimHash band) so work is proportional to
+  * actual near-duplicate mass, not |corpus|².
+  */
+object Dedup {
+
+  import TextAnalysis.{shingles, tokens}
+
+  /** Exact dedup: group by content digest, keep the smallest id as the
+    * cluster representative. One shuffle on the digest (uniform — content
+    * hashes don't skew).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (doc, shingle) pairs — the inverted-index edge list. */
+  def shingleSet(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(shingles(tokens(col(textCol)), k)).as("shingle"))
+      .distinct()
+
+  /** n-gram Jaccard near-dup pairs via shingle inverted index:
+    * join docs that share ≥1 shingle, count the intersection, compute
+    * |A∩B| / (|A|+|B|-|A∩B|). Shuffles on shingle then on pair — both
+    * keys high-cardinality and uniform. A hot shingle (boilerplate)
+    * would skew the first join at 100 TB: cap posting-list length.
+    */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+                        maxPostings: Int = 1000): DataFrame = {
+    val sh = shingleSet(docs, k).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // drop degenerate ultra-common shingles (posting-list cap = skew guard)
+    val postings = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxPostings)
+    val filtered = sh.join(postings.select("shingle"), Seq("shingle"))
+    val common = filtered.as("a")
+      .join(filtered.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_sh", "n_a"), Seq("a_id"))
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_sh", "n_b"), Seq("b_id"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "n_common", "jaccard")
+  }
+
+  /** Deterministic 64-bit hash of a shingle under permutation `seed`. */
+  private def seededHash(c: Column, seed: Int): Column =
+    xxhash64(c, lit(seed))
+
+  /** MinHash signatures: `numHashes` min-aggregations over the shingle
+    * set — one groupBy(doc), partial-aggregated map-side, constant state
+    * per doc regardless of document length.
+    */
+  def minHashSignatures(docs: DataFrame, numHashes: Int = 16, k: Int = 3)
+      : DataFrame = {
+    val sh = shingleSet(docs, k)
+    val mins = (0 until numHashes)
+      .map(i => min(seededHash(col("shingle"), i)).as(s"h$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding: split the signature into `bands` bands of
+    * r = numHashes/bands rows; docs sharing any band bucket are
+    * candidates; estimated Jaccard = fraction of matching signature
+    * positions. Candidate volume is driven by the banding probability
+    * 1-(1-J^r)^b, not by corpus size — the 100 TB-safe path.
+    */
+  def minHashLshPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                      k: Int = 3, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minHashSignatures(docs, numHashes, k).cache()
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(concat_ws(",",
+            (0 until r).map(j =>
+              element_at(col("sig"), b * r + j + 1).cast("string")): _*), b))))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"),
+        col("col").as("bucket"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cands.withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, v) => acc + v) / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select("a_id", "b_id", "est_jaccard")
+  }
+
+  /** SimHash: 64-bit locality-sensitive digest — bit b of the digest is
+    * the sign of Σ±1 over token hashes' bit b. Near-dup ⇔ small Hamming
+    * distance. Banded on 4×16-bit chunks for candidate generation, then
+    * exact Hamming check via bit_count(xor).
+    */
+  def simHash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val tokHash = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    // explode 64 bit positions: (doc, pos, ±1), sum per (doc,pos), then
+    // fold the sign bits back into one long.
+    val contrib = tokHash.select(col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 63), b -> " +
+          "IF((shiftright(h, b) & 1L) = 1L, 1, -1))")))
+      .select(col("doc_id"), col("pos"), col("col").as("c"))
+    contrib.groupBy("doc_id", "pos").agg(sum(col("c")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, pos)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 16-bit bands,
+    * verified by Hamming distance ≤ maxHamming.
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(docs).cache()
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> " +
+            "shiftright(simhash, b * 16) & 65535L)")))
+      .select(col("doc_id"), col("simhash"), col("pos").as("band"),
+        col("col").as("bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+}

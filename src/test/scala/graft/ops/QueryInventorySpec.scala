@@ -23,12 +23,12 @@ class QueryInventorySpec extends SparkSpec {
 
   test("every query name has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only checks are allowed but must be the known sketch/stub ops
-    val allowed = Set("agg_approx_distinct")
-    assert(noOracle.subsetOf(allowed ++ noOracle.filter(_.startsWith("dedup_"))
-      ++ noOracle.filter(_.startsWith("mm_"))
-      ++ noOracle.filter(_.startsWith("text_"))
-      ++ noOracle.filter(_.startsWith("sim_"))))
+    // rows-only checks allowed ONLY for engine-specific hash/sketch ops
+    val allowed = Set("agg_approx_distinct", "text_langid",
+      "dedup_minhash", "dedup_simhash", "sim_ann_lsh")
+    assert(noOracle === (allowed intersect noOracle))
+    assert((allowed -- SparkEntry.queries.keySet).isEmpty,
+      "allowed list mentions queries that don't exist")
   }
 
   private def plan(name: String): String =

@@ -1,0 +1,55 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.SimilarityQueries
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = SimilarityQueries.doubleVecs(spark, sf)
+  private def planted = SimilarityQueries.plantedVecs(spark, sf)
+
+  test("brute-force top-1 of a planted near-copy is its original") {
+    val queries = planted.filter(col("vec_id") >= 100000L)
+    val top = Similarity.bruteForceTopK(planted, queries, 1).cache()
+    top.collect().foreach { r =>
+      val (q, cand, cos) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(cand === q - 100000L, s"query $q: top-1 was $cand")
+      assert(cos > 0.99, s"query $q: cosine $cos")
+    }
+    assert(top.count() === planted.filter(col("vec_id") >= 100000L).count())
+  }
+
+  test("LSH ANN retrieves the planted near-identical vector at rank 1") {
+    val queries = planted.filter(col("vec_id") >= 100000L)
+    val top = Similarity.lshTopK(planted, queries, 1)
+    val hits = top.filter(col("cand_id") === col("query_id") - 100000L)
+    val total = queries.count()
+    // near-identical vectors agree on every hyperplane sign with
+    // overwhelming probability, so recall should be essentially total
+    assert(hits.count() >= (total * 0.9).toLong,
+      s"LSH recall ${hits.count()}/$total")
+  }
+
+  test("LSH candidates are a subset of brute-force scores (same values)") {
+    val queries = vecs.filter(col("vec_id") < 4)
+    val brute = Similarity.bruteForceTopK(vecs, queries, 1000)
+      .select("query_id", "cand_id", "cosine")
+    val ann = Similarity.lshTopK(vecs, queries, 1000)
+      .select("query_id", "cand_id", "cosine")
+    assert(ann.except(brute).isEmpty,
+      "ANN returned a (query,cand,cos) triple brute force disagrees with")
+  }
+
+  test("near-dup pairs are exactly the planted perturbed copies") {
+    val pairs = Similarity.cosineNearDupPairs(planted, 0.99).cache()
+    val expected = vecs.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("a_id"),
+        (col("vec_id") + 100000L).as("b_id"))
+    assert(expected.except(pairs.select("a_id", "b_id")).isEmpty,
+      "a planted pair is missing")
+    assert(pairs.count() === expected.count(),
+      "unexpected extra near-dup pairs at cos ≥ 0.99")
+  }
+}

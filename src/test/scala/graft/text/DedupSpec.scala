@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.TextQueries
+
+/** Planted-duplicate recall for the dedup family (FIXTURES-style golden
+  * expectations: plants are deterministic, so recall is checkable).
+  */
+class DedupSpec extends SparkSpec {
+
+  private def planted: DataFrame = TextQueries.plantedDocs(spark, sf)
+
+  private def plantedExactIds = planted.filter(col("doc_id") >= 1000000L &&
+    col("doc_id") < 2000000L).select((col("doc_id") - 1000000L).as("orig"))
+  private def plantedNearIds = planted.filter(col("doc_id") >= 2000000L)
+    .select((col("doc_id") - 2000000L).as("orig"))
+
+  test("exact dedup groups planted exact copies with their originals") {
+    val res = Dedup.exact(planted)
+    val nExact = plantedExactIds.count()
+    assert(res.filter(col("n_copies") >= 2).count() === nExact)
+    // representatives are the original ids (min of the pair)
+    val reps = res.filter(col("n_copies") >= 2).select("rep_id")
+    assert(reps.except(plantedExactIds.select(col("orig").as("rep_id")))
+      .isEmpty)
+  }
+
+  test("ngram jaccard finds every planted near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(planted, k = 3, threshold = 0.8,
+      maxPostings = 100000).cache()
+    val near = plantedNearIds.collect().map(_.getLong(0)).toSet
+    val found = pairs
+      .filter(col("b_id") >= 2000000L && col("a_id") < 1000000L)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    near.foreach { id =>
+      assert(found.contains((id, id + 2000000L)),
+        s"missing planted near pair for doc $id")
+    }
+    // jaccard of an appended-one-token copy must be high but < 1
+    val jacs = pairs.filter(col("b_id") >= 2000000L &&
+        col("a_id") === col("b_id") - 2000000L)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(jacs.forall(j => j >= 0.8 && j < 1.0))
+  }
+
+  test("minhash LSH finds all exact pairs and ≥90% of near pairs") {
+    val pairs = Dedup.minHashLshPairs(planted, numHashes = 16, bands = 4,
+      k = 3, threshold = 0.7).cache()
+    val found = pairs.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = plantedExactIds.collect().map(_.getLong(0)).toSet
+    exact.foreach { id =>
+      assert(found.contains((id, id + 1000000L)),
+        s"identical signatures must always collide (doc $id)")
+    }
+    val near = plantedNearIds.collect().map(_.getLong(0)).toSet
+    val nearFound = near.count(id => found.contains((id, id + 2000000L)))
+    assert(nearFound >= (near.size * 0.9).toInt,
+      s"minhash recall too low: $nearFound/${near.size}")
+  }
+
+  test("simhash finds planted exact pairs at hamming 0") {
+    val pairs = Dedup.simHashPairs(planted, maxHamming = 3).cache()
+    val zero = pairs.filter(col("hamming") === 0)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = plantedExactIds.collect().map(_.getLong(0)).toSet
+    exact.foreach { id =>
+      assert(zero.contains((id, id + 1000000L)),
+        s"exact copy must have hamming 0 (doc $id)")
+    }
+  }
+}
