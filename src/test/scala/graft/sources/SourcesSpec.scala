@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class SourcesSpec extends SparkSpec {
+
+  private def writeGz(path: String, lines: Seq[String]): Unit = {
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(path)), "UTF-8"))
+    try lines.foreach { l => w.write(l); w.newLine() } finally w.close()
+  }
+
+  test("log scan reads gzipped logs recursively and greps errors") {
+    val base = Files.createTempDirectory("logs")
+    Files.createDirectories(base.resolve("worker1"))
+    Files.createDirectories(base.resolve("worker2"))
+    writeGz(base.resolve("worker1/a.log.gz").toString, Seq(
+      "2024-01-01 INFO connector started",
+      "2024-01-01 ERROR Connection refused to mysql:3306",
+      "2024-01-01 INFO snapshot step 1"))
+    writeGz(base.resolve("worker2/b.log.gz").toString, Seq(
+      "2024-01-02 WARN Task FAILED with retriable exception",
+      "2024-01-02 INFO resumed"))
+    assert(LogSource.scan(spark, base.toString).count() === 5)
+    val errors = LogSource.findErrors(spark, base.toString)
+    assert(errors.count() === 2)
+    val files = errors.select("file").distinct().count()
+    assert(files === 2, "errors must carry per-file provenance")
+  }
+
+  test("catalog lists, regex-selects and drops tables like clean-topics") {
+    val wh = Files.createTempDirectory("warehouse").toString
+    val cat = new EngineCatalog(spark, wh)
+    val df = Tables.region(spark, sf)
+    cat.write("osci.db1.person", df)
+    cat.write("osci.db1.orders", df)
+    cat.write("osci.db2.person", df)
+    cat.write("other.db.t", df)
+    assert(cat.tables().count() === 4)
+    assert(cat.tablesMatching("^osci\\..*").toSet ===
+      Set("osci.db1.person", "osci.db1.orders", "osci.db2.person"))
+    // K4: per-connector cleanup — only db1 topics go
+    val dropped = cat.dropTables("^osci\\.db1\\..*")
+    assert(dropped.toSet === Set("osci.db1.person", "osci.db1.orders"))
+    assert(cat.tables().count() === 2)
+    assert(cat.read("osci.db2.person").count() === df.count())
+  }
+
+  test("kafka source spec mirrors the reference's consumption surface") {
+    val s = KafkaCdc.source("b-1:9092,b-2:9092", "osci.db.mysql-server-1",
+      Seq("inventory", "cdc_test_db"))
+    assert(s.format === "kafka")
+    assert(s.options("startingOffsets") === "earliest")
+    assert(s.options("failOnDataLoss") === "true")
+    val pat = s.options("subscribePattern")
+    assert("osci.db.mysql-server-1.cdc_test_db.person".matches(pat))
+    assert("osci.db.mysql-server-1.inventory.orders".matches(pat))
+    assert(!"osci.db.mysql-server-1.other_db.person".matches(pat))
+    assert(!"osciXdb.mysql-server-1.cdc_test_db.person".matches(pat))
+
+    val replay = KafkaCdc.source("b-1:9092", "p", Seq("d"),
+      startingTimestamp = Some(1704067200000L))
+    assert(replay.options("startingTimestamp") === "1704067200000")
+    assert(!replay.options.contains("startingOffsets"))
+  }
+}
