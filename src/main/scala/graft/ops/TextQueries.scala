@@ -116,10 +116,13 @@ object TextQueries extends QueryPack {
         |FROM docs GROUP BY md5(text)
         |ORDER BY rep_id""".stripMargin)),
 
-    // n-gram (3-shingle) Jaccard near-dup pairs via inverted index.
+    // n-gram (3-shingle) Jaccard near-dup pairs. Cost-based physical
+    // choice: naive inverted-index join at small volume, PPJoin-style
+    // prefix filtering in the 100 TB regime — identical results either
+    // way (ScaleSpec proves equivalence).
     Q("dedup_ngram_jaccard",
-      (s, d) => Dedup.ngramJaccardPairs(plantedDocs(s, d),
-          k = 3, threshold = 0.8, maxPostings = 100000)
+      (s, d) => Dedup.ngramJaccardAuto(plantedDocs(s, d),
+          k = 3, threshold = 0.8)
         .orderBy(col("a_id"), col("b_id")),
       Some(s"""$plantedCte,
         | toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),

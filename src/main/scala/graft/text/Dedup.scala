@@ -79,6 +79,74 @@ object Dedup {
       .select("a_id", "b_id", "n_common", "jaccard")
   }
 
+  /** n-gram Jaccard with PREFIX FILTERING (PPJoin-style) — the 100 TB
+    * path. Under a global canonical shingle order (df asc, hash asc),
+    * two sets with J ≥ τ MUST share a shingle within each one's first
+    * |X| - ⌈τ|X|⌉ + 1 shingles; so only prefixes enter the pair-making
+    * join (~(1-τ)² of the naive join volume) and full sets are consulted
+    * only to verify surviving candidates. Lossless: returns exactly
+    * [[ngramJaccardPairs]]' answer (prefix length padded +1 to absorb
+    * float rounding in ⌈τ·n⌉).
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, k: Int = 3,
+                              threshold: Double = 0.8): DataFrame = {
+    val sh = hashedShingleSet(docs, k).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // canonical order: rarest shingles first ⇒ smallest posting lists
+    // do the candidate generation.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(dfreq, Seq("shingle"))
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("pos") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 2)
+      .select("doc_id", "shingle")
+    val cands = prefix.as("a").join(prefix.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // verify candidates against FULL sets: exact intersection counts.
+    val common = cands
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_sh", "n_a"), Seq("a_id"))
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_sh", "n_b"), Seq("b_id"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "n_common", "jaccard")
+  }
+
+  /** Cost-based choice between the naive inverted-index join and the
+    * prefix-filtered join: the naive join's row volume is exactly
+    * Σ df(shingle)² — one cheap aggregation to estimate. Below
+    * `naiveVolumeLimit` rows the naive plan's two fewer stages win;
+    * above it (the 100 TB regime) prefix filtering's ~(1-τ)² candidate
+    * reduction dominates. Both plans return identical results
+    * (ScaleSpec equivalence), so this is a pure physical-plan decision —
+    * the same shape as Catalyst choosing broadcast vs sort-merge.
+    */
+  def ngramJaccardAuto(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+                       naiveVolumeLimit: Long = 50_000_000L): DataFrame = {
+    val joinVolume = hashedShingleSet(docs, k)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df")))
+      .head().getLong(0)
+    if (joinVolume <= naiveVolumeLimit)
+      ngramJaccardPairs(docs, k, threshold, maxPostings = Int.MaxValue)
+    else
+      ngramJaccardPairsPrefix(docs, k, threshold)
+  }
+
   /** Deterministic 64-bit hash of a shingle under permutation `seed`. */
   private def seededHash(c: Column, seed: Int): Column =
     xxhash64(c, lit(seed))
