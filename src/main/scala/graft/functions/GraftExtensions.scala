@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct}
+
+/** Public extension injector: enable with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` to get the
+  * engine's native SQL functions in any session — the fully-supported
+  * registration route (SparkSessionExtensions.injectFunction).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+  }
+}

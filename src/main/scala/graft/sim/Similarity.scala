@@ -19,14 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product in index order (bitwise-deterministic). */
+  /** Left-fold dot product in index order (bitwise-deterministic).
+    * Backed by the native codegen'd [[graft.functions.DotProduct]];
+    * [[dotHof]] is the SQL higher-order-function formulation it
+    * replaced — numerically identical, kept as executable documentation
+    * and the fallback a pure-SQL consumer would use.
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Native.dot(a, b)
+
+  /** HOF formulation of [[dot]] (interpreted lambdas; ~10× slower). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine (native codegen). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Native.cosine(a, b)
 
   /** Exact top-k neighbors for each query vector.
     *

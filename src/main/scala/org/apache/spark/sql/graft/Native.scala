@@ -1,0 +1,44 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column/API bridge for the engine's native Catalyst expressions.
+  *
+  * Lives under `org.apache.spark.sql` to reach the `private[sql]`
+  * Column↔Expression converters (`classic.ExpressionUtils`) and the
+  * session FunctionRegistry — the standard technique for libraries that
+  * extend Spark with native expressions without forking it. Production
+  * sessions can instead enable [[graft.functions.GraftExtensions]] via
+  * `spark.sql.extensions` (the fully-public route); `install` exists so
+  * the expressions also work on sessions the caller didn't build (the
+  * driver-run Verify/Bench sessions here).
+  */
+object Native {
+
+  private def c(e: Expression): Column = ExpressionUtils.column(e)
+  private def e(col: Column): Expression = ExpressionUtils.expression(col)
+
+  /** Codegen'd fold: Σ aᵢ·bᵢ in index order. */
+  def dot(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+
+  /** Codegen'd fused cosine: one pass for dot and both norms. */
+  def cosine(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+
+  /** Register `graft_dot` / `graft_cosine` as SQL functions on an
+    * existing session (idempotent).
+    */
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1)))
+  }
+}

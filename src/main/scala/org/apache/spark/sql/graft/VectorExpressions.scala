@@ -1,0 +1,112 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for the vector kernels (SURVEY.md §4:
+  * "optional `Expression`s for similarity kernels if `aggregate`/
+  * `zip_with` SQL proves slow at the 100 TB design point" — it did:
+  * higher-order functions evaluate their lambdas interpreted, one boxed
+  * call per element; these expressions run a primitive `double` loop
+  * inside whole-stage codegen).
+  *
+  * Numeric contract: identical IEEE semantics to the SQL formulation the
+  * DuckDB oracles use — a sequential left fold in index order for the
+  * dot product, and `sqrt(xx) * sqrt(yy)` (NOT `sqrt(xx*yy)`) in the
+  * cosine denominator — so swapping implementations never changes a
+  * single output bit.
+  *
+  * Inputs must be `array<double>` with equal lengths and no null
+  * elements (the engine always casts embeddings up front; enforced by
+  * `ExpectsInputTypes`).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, s) =
+        (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("s"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused cosine similarity: dot, |x|², |y|² in ONE pass over the pair,
+  * then `dot / (sqrt(xx) * sqrt(yy))` — three HOF traversals collapsed
+  * into one primitive loop.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var xy = 0.0; var xx = 0.0; var yy = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      xy += xi * yi; xx += xi * xi; yy += yi * yi
+      i += 1
+    }
+    xy / (math.sqrt(xx) * math.sqrt(yy))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val xy = ctx.freshName("xy"); val xx = ctx.freshName("xx")
+      val yy = ctx.freshName("yy")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $xy = 0.0; double $xx = 0.0; double $yy = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $xy += $xi * $yi; $xx += $xi * $xi; $yy += $yi * $yi;
+         |}
+         |${ev.value} = $xy /
+         |  (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
