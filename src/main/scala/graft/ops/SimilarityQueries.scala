@@ -66,6 +66,17 @@ object SimilarityQueries extends QueryPack {
       },
       None),
 
+    // IVF ANN: id-strided coarse quantizer, nprobe-cell search —
+    // centroid choice is engine-specific, rows-only; recall + score
+    // agreement asserted in ScalaTest (IvfSpec).
+    Q("sim_ann_ivf",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // Embedding-cosine near-dup pairs within a coarse partition (IVF
     // shape), over planted perturbed copies.
     Q("dedup_embedding_cosine",

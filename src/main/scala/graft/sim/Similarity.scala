@@ -130,6 +130,56 @@ object Similarity {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path: a coarse
+    * quantizer of `nlist` deterministic seed centroids partitions the
+    * corpus into cells; a query scans only its `nprobe` nearest cells.
+    * Compared pairs ≈ |corpus|·nprobe/nlist. Seeds are corpus vectors
+    * picked by id-stride (k-means iterations would refine them; the
+    * partition-probe-rank shape is identical and stays deterministic).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    // deterministic coarse quantizer: id-strided seed vectors — no
+    // global sort/window (which wouldn't scale); one count() for the
+    // stride, then a pushed-down filter picks the seeds.
+    val n = corpus.count()
+    val stride = math.max(1L, n / nlist)
+    val centroids = broadcast(
+      corpus.filter(col(idCol) % stride === 0 &&
+          col(idCol) < stride * nlist)
+        .select(expr(s"cast($idCol div $stride as int)").as("centroid_id"),
+          col(vecCol).as("c_vec")))
+
+    def assign(df: DataFrame, id: String, vec: String, probes: Int)
+        : DataFrame = {
+      val scored = df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .crossJoin(centroids)
+        .withColumn("c_sim", cosine(col(vec), col("c_vec")))
+      val ww = Window.partitionBy(col(id))
+        .orderBy(col("c_sim").desc, col("centroid_id"))
+      scored.withColumn("__cr", row_number().over(ww))
+        .filter(col("__cr") <= probes)
+        .select(col(id), col(vec), col("centroid_id"))
+    }
+
+    val cells = assign(corpus, "cand_id", "c_vec2", probes = 1)
+    val probed = broadcast(assign(queries, "query_id", "q_vec", nprobe))
+    val scored = probed.join(cells, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("q_vec"), col("c_vec2")).as("cos"))
+      .distinct()
+      .withColumn("cos_r", round(col("cos"), 6))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among pairs
     * sharing a coarse partition (label here; a cluster id from k-means
     * in production — the IVF idea). Keeps the pair count far below n².

@@ -25,7 +25,7 @@ class QueryInventorySpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only checks allowed ONLY for engine-specific hash/sketch ops
     val allowed = Set("agg_approx_distinct", "text_langid",
-      "dedup_minhash", "dedup_simhash", "sim_ann_lsh")
+      "dedup_minhash", "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf")
     assert(noOracle === (allowed intersect noOracle))
     assert((allowed -- SparkEntry.queries.keySet).isEmpty,
       "allowed list mentions queries that don't exist")
