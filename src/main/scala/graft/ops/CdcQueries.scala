@@ -26,10 +26,21 @@ object CdcQueries extends QueryPack {
 
   /** Spark-side flattened feed matching [[feedCte]]. */
   def flatFeed(spark: SparkSession, dir: String): DataFrame =
-    ChangeFeed.envelope(Tables.events(spark, dir)).select(
-      col("key"), col("event_id"), col("ts_us"),
-      col("after.value").as("value"), col("after.props").as("props"),
-      col("op"))
+    flatFeedWindow(spark, dir, None, None)
+
+  /** Flat feed over an event-time window pushed into the parquet scan
+    * ([[Tables.eventsWindow]]) — the row content of the flat feed is
+    * window-invariant (only the unused `before` lag sees neighbors), so
+    * pre-filtering is semantics-preserving.
+    */
+  def flatFeedWindow(spark: SparkSession, dir: String,
+                     fromUs: Option[Long], untilUs: Option[Long])
+      : DataFrame =
+    ChangeFeed.envelope(Tables.eventsWindow(spark, dir, fromUs, untilUs))
+      .select(
+        col("key"), col("event_id"), col("ts_us"),
+        col("after.value").as("value"), col("after.props").as("props"),
+        col("op"))
 
   private val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z in µs
 
@@ -90,13 +101,12 @@ object CdcQueries extends QueryPack {
     // ≡ replaying the whole log; the oracle is the full-log replay).
     Q("cdc_upsert_materialize",
       (s, d) => {
-        val feed = flatFeed(s, d)
         val order = Seq(col("ts_us"), col("event_id"))
         val base = Materialize.currentState(
-          feed.filter(col("ts_us") < cutoffUs), Seq("key"), order)
+          flatFeedWindow(s, d, None, Some(cutoffUs)), Seq("key"), order)
           .select("key", "value", "props")
         val batch = Materialize.latest(
-          feed.filter(col("ts_us") >= cutoffUs), Seq("key"), order)
+          flatFeedWindow(s, d, Some(cutoffUs), None), Seq("key"), order)
           .select("key", "op", "value", "props")
         Materialize.upsert(base, batch, Seq("key"))
           .orderBy(col("key"))
@@ -107,14 +117,13 @@ object CdcQueries extends QueryPack {
     // incremental feed, then materialized; ≡ full-log replay.
     Q("cdc_snapshot_plus_incremental",
       (s, d) => {
-        val feed = flatFeed(s, d)
         val order = Seq(col("ts_us"), col("event_id"))
         val snapshot = Materialize.currentState(
-          feed.filter(col("ts_us") < cutoffUs), Seq("key"), order)
+          flatFeedWindow(s, d, None, Some(cutoffUs)), Seq("key"), order)
           .select(col("key"), lit(-1L).as("event_id"),
             lit(cutoffUs).as("ts_us"), col("value"), col("props"),
             lit("r").as("op"))
-        val incremental = feed.filter(col("ts_us") >= cutoffUs)
+        val incremental = flatFeedWindow(s, d, Some(cutoffUs), None)
         Materialize.currentState(
           snapshot.unionByName(incremental), Seq("key"), order)
           .select("key", "value", "props")

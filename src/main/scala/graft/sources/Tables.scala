@@ -38,13 +38,31 @@ object Tables {
     * (FIXTURES.md: "oracles must not depend on sub-microsecond digits"),
     * so nothing is lost and DuckDB sees identical instants.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    eventsWindow(s, d, None, None)
+
+  /** Events with an event-time window PUSHED INTO THE SCAN: the bounds
+    * are applied to the raw nano-long column BEFORE the µs conversion,
+    * so they appear in `PushedFilters` and prune parquet row groups —
+    * a filter on the derived timestamp would silently scan everything
+    * (`f(col)` predicates never push). At 100 TB the time window is the
+    * difference between reading a day and reading the lake.
+    */
+  def eventsWindow(s: SparkSession, d: String,
+                   fromUs: Option[Long], untilUs: Option[Long]): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      // integral `div`, NOT `/`: long/long promotes to double and rounds
-      // half-up, which would disagree with DuckDB's truncating epoch_us
-      // on events with sub-microsecond digits.
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    val bounded = (fromUs, untilUs) match {
+      case (Some(lo), Some(hi)) =>
+        raw.filter(col("ts") >= lo * 1000L && col("ts") < hi * 1000L)
+      case (Some(lo), None) => raw.filter(col("ts") >= lo * 1000L)
+      case (None, Some(hi)) => raw.filter(col("ts") < hi * 1000L)
+      case _ => raw
+    }
+    // integral `div`, NOT `/`: long/long promotes to double and rounds
+    // half-up, which would disagree with DuckDB's truncating epoch_us
+    // on events with sub-microsecond digits.
+    bounded.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

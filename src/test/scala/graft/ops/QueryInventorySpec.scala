@@ -50,6 +50,16 @@ class QueryInventorySpec extends SparkSpec {
     assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"), readSchema)
   }
 
+  test("event-time windows are pushed into the events parquet scan") {
+    val p = plan("cdc_upsert_materialize")
+    val scanLines = p.linesIterator
+      .filter(l => l.contains("events.parquet") && l.contains("PushedFilters"))
+      .toSeq
+    assert(scanLines.nonEmpty, p)
+    assert(scanLines.forall(_.matches(".*PushedFilters: \\[.*ts.*\\].*")),
+      s"ts bound not pushed:\n${scanLines.mkString("\n")}")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
