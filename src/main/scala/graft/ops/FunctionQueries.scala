@@ -167,6 +167,38 @@ object FunctionQueries extends QueryPack {
         |SELECT event_id, path, regexp_extract(path, '[^/]+$', 0) AS basename
         |FROM p ORDER BY event_id""".stripMargin)),
 
+    // Ordered array aggregation surfaced as scalars (collect_list order
+    // is shuffle-dependent, so sort before concatenating — array-typed
+    // outputs would also be fragile to compare across engines).
+    Q("fn_array",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("first_ts_us"),
+          max(unix_micros(col("ts"))).as("last_ts_us"),
+          concat_ws(",",
+            sort_array(collect_list(col("event_type")))).as("types_csv"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, count(*) AS n_events,
+        |  min(epoch_us(ts)) AS first_ts_us,
+        |  max(epoch_us(ts)) AS last_ts_us,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS types_csv
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Regex kit: replace-all, group extraction, boolean match.
+    Q("fn_regex",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "#").as("masked"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).as("k_digits"),
+          col("event_type").rlike("^(click|view)$").as("is_browse"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
+        |  regexp_extract(props, '"k": ([0-9]+)', 1) AS k_digits,
+        |  regexp_matches(event_type, '^(click|view)$') AS is_browse
+        |FROM events ORDER BY event_id""".stripMargin)),
+
     // Streaming-shape tumbling window expressed batch-verifiably:
     // 1-day windows over event time (stream version in graft.streaming).
     Q("stream_tumbling_window",

@@ -211,6 +211,103 @@ object RelationalQueries extends QueryPack {
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin)),
 
+    // GROUPING SETS — independent aggregation lattices in one pass.
+    Q("agg_grouping_sets",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupingSets(
+          Seq(Seq(col("r_name")), Seq(col("n_name")), Seq.empty),
+          col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_cust"))
+        .orderBy(col("region"), col("nation")),
+      Some("""SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation,
+        |       count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        |ORDER BY region, nation""".stripMargin)),
+
+    // PIVOT: status columns out of rows (explicit value list so the
+    // plan needs no extra distinct-scan pass).
+    Q("agg_pivot",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Moment statistics from EXACT decimal sums (Σx, Σx²) so
+    // mean/variance/stddev are bit-identical across engines —
+    // native stddev partial-merge order would not be.
+    Q("agg_stats",
+      (s, d) => {
+        val dec = col("value").cast("decimal(18,2)")
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec).cast("double").as("s1"),
+            sum(dec * dec).cast("double").as("s2"))
+          .select(col("event_type"), col("n"),
+            (col("s1") / col("n")).as("mean"),
+            ((col("s2") - col("s1") * col("s1") / col("n")) /
+              (col("n") - 1)).as("var_samp"),
+            sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+              (col("n") - 1)).as("stddev_samp"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) *
+        |             CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n, s1 / n AS mean,
+        |  (s2 - s1 * s1 / n) / (n - 1) AS var_samp,
+        |  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp
+        |FROM a ORDER BY event_type""".stripMargin)),
+
+    // lead/lag/ntile over the per-user event timeline.
+    Q("win_lead_lag",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+          .select(col("event_id"), col("user_id"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("value"), 1).over(w).as("next_value"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH t AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  ntile(4) OVER w AS quartile
+        |FROM t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY event_id""".stripMargin)),
+
     // rank() within key partitions (one shuffle + per-partition sort).
     Q("win_rank",
       (s, d) => {
