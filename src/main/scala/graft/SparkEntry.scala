@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All query packs; order is display order only. */
   def packs: Seq[QueryPack] = Seq(
-    CdcQueries, RelationalQueries, FunctionQueries,
+    CdcQueries, RelationalQueries, AnalyticQueries, FunctionQueries,
     TextQueries, SimilarityQueries, MultimodalQueries)
 
   private lazy val allQueries: Seq[Q] = packs.flatMap(_.queries)

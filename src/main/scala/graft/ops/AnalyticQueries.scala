@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Second relational batch: session windows, time-range frames, exact
+  * percentiles, non-equi band joins, skew-salted joins, explode, math kit.
+  *
+  * These extend SURVEY.md §2.B's "Aggregations / Windows / Joins /
+  * String-date-math-json" rows with the operators a training-data /
+  * event-analytics pipeline leans on at 100 TB. Scale notes per query:
+  * the band join is a bucketed equi-join (never a nested loop over the
+  * fact table), the salted join spreads a hot key over `saltFactor`
+  * sub-partitions, the session window is Spark's native `session_window`
+  * state machine (streaming-reusable), and range frames stay on one
+  * key-partitioned sort — exactly one shuffle each.
+  */
+object AnalyticQueries extends QueryPack {
+
+  private def dsum(c: String) =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  /** 30-minute session gap, in microseconds. */
+  private val GapUs = 1800000000L
+
+  /** ±60 s neighbor band, in microseconds. */
+  private val BandUs = 60000000L
+
+  def queries: Seq[Q] = Seq(
+
+    // Gap-based sessionization with Spark's native session_window —
+    // the same operator Structured Streaming uses for stateful session
+    // aggregation, here in batch mode. One shuffle on user_id; session
+    // merge is a per-key linear scan. DuckDB oracle reconstructs the
+    // identical semantics (a new session starts when the gap since the
+    // previous event is >= 30 min; session end = last event + gap).
+    Q("stream_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum("value").as("session_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start_us")),
+      Some(s"""WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |b AS (
+        |  SELECT user_id, ts_us, value,
+        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |           ORDER BY ts_us) >= $GapUs THEN 1 ELSE 0 END AS brk
+        |  FROM t),
+        |sids AS (
+        |  SELECT user_id, ts_us, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM b)
+        |SELECT user_id, min(ts_us) AS session_start_us,
+        |       max(ts_us) + $GapUs AS session_end_us,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS session_value
+        |FROM sids GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin)),
+
+    // Time-RANGE frame: trailing-30-day spend per customer. RANGE (not
+    // ROWS) so peers at the same date aggregate identically regardless
+    // of physical order — deterministic under ties by construction.
+    // One shuffle on o_custkey, one per-partition sort.
+    Q("win_range_between",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("od_us"))
+          .rangeBetween(-30L * 86400000000L, 0L)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+            col("o_totalprice"))
+          .withColumn("trailing_30d_spend",
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+              .cast("double"))
+          .select("o_orderkey", "o_custkey", "trailing_30d_spend")
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS trailing_30d_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Exact interpolated percentiles. l_quantity holds integral doubles
+    // and p*(n-1) fractions are dyadic (0/.25/.5/.75), so the linear
+    // interpolation is exact in binary — bitwise-identical across
+    // engines with no rounding crutch. Single-pass sort-based aggregate
+    // per group (constant group count here; at scale prefer
+    // approx_percentile for sketch-mergeable partials).
+    Q("agg_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    // Non-equi band join done the scale way: bucket time into band-width
+    // cells, explode ONE side to its 3 candidate cells, equi-join on the
+    // cell id, then apply the exact |Δts| predicate. Each qualifying
+    // pair lands in exactly one (left-cell, right-cell) combination, so
+    // no distinct pass is needed. The oracle states the same query as
+    // the naive non-equi join — DuckDB's IEJoin handles it at sf0.01;
+    // a nested loop over 100 TB would not, which is the point.
+    Q("join_range",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        val left = e.withColumn("cell",
+          explode(array(expr(s"ts_us div $BandUs") - 1,
+            expr(s"ts_us div $BandUs"),
+            expr(s"ts_us div $BandUs") + 1)))
+        val right = e.select(col("event_id").as("e2"),
+            col("ts_us").as("ts2"))
+          .withColumn("cell", expr(s"ts2 div $BandUs"))
+        left.join(right, "cell")
+          .filter(abs(col("ts_us") - col("ts2")) <= BandUs &&
+            col("event_id") =!= col("e2"))
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_neighbors"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""SELECT e1.event_id, count(*) AS n_neighbors
+        |FROM (SELECT event_id, epoch_us(ts) AS ts_us FROM events) e1
+        |JOIN (SELECT event_id AS e2, epoch_us(ts) AS ts2 FROM events) ee
+        |  ON abs(e1.ts_us - ee.ts2) <= $BandUs AND e1.event_id <> ee.e2
+        |GROUP BY e1.event_id ORDER BY e1.event_id""".stripMargin)),
+
+    // Skew-salted fact join (graft.ops.Skew): the probe side's key space
+    // is spread over 8 deterministic salt buckets and the build side
+    // replicated to match — result provably equals the plain equi-join,
+    // which is exactly what the oracle asserts. For the hot-key change
+    // stream case SURVEY.md §7.2 calls out.
+    Q("join_skew_salted",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        Skew.saltedJoin(li, ord, Seq("l_orderkey"), 8,
+            xxhash64(col("l_orderkey"), col("l_linenumber")))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_lines"), dsum("l_quantity").as("sum_qty"),
+            dsum("l_extendedprice").as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Generator / flatten: explode(split) — word frequencies over part
+    // names. Generate in the map stage, aggregate with map-side
+    // partials; no data explosion survives past the partial agg.
+    Q("fn_explode",
+      (s, d) => Tables.part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("word")),
+      Some("""SELECT word, count(*) AS n_parts FROM (
+        |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
+        |GROUP BY word ORDER BY word""".stripMargin)),
+
+    // Math kit: floor/ceil/abs/sign/mod exact; sqrt IEEE-correctly
+    // rounded (bitwise portable); ln rounded to 6 dp to absorb the
+    // ≤1-ulp libm divergence between engines.
+    Q("fn_math",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice")).cast("long").as("fl"),
+          ceil(col("l_extendedprice")).cast("long").as("ce"),
+          abs(col("l_discount") - 0.05).as("ab"),
+          signum(col("l_discount") - 0.05).as("sg"),
+          expr("l_orderkey % 7").as("md"),
+          sqrt(col("l_extendedprice")).as("sq"),
+          round(log(col("l_extendedprice")), 6).as("ln6"),
+          pow(col("l_quantity"), 2).as("qsq"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        |  abs(l_discount - 0.05) AS ab,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+        |  l_orderkey % 7 AS md,
+        |  sqrt(l_extendedprice) AS sq,
+        |  round(ln(l_extendedprice), 6) AS ln6,
+        |  pow(l_quantity, 2) AS qsq
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+  )
+}
