@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time one named query N times (first run = cold plan,
+  * later runs = warm JIT/caches), print per-run seconds and the final
+  * formatted physical plan. Usage:
+  *   runMain graft.Profile <queryName> [sfDir] [reps]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val fn = SparkEntry.queries(name)
+    (1 to reps).foreach { i =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    println(fn(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+    spark.stop()
+  }
+}

@@ -39,13 +39,15 @@ object Dedup {
                        textCol: String = "text"): DataFrame = {
     val tokHashes = s"transform(split($textCol, chr(32)), t -> xxhash64(t))"
     val combine = (0 until k).map(j => s"th[i+$j]").mkString(", ")
+    // set semantics per doc via array_distinct BEFORE the explode —
+    // a narrow per-row op instead of a full (doc, shingle) shuffle.
     docs.withColumn("th", expr(tokHashes))
       .where(expr(s"size(th) >= $k"))
       .select(col(idCol).as("doc_id"),
         explode(expr(
-          s"transform(sequence(0, size(th)-$k), i -> xxhash64($combine))"))
+          s"array_distinct(transform(sequence(0, size(th)-$k), " +
+            s"i -> xxhash64($combine)))"))
           .as("shingle"))
-      .distinct()
   }
 
   /** n-gram Jaccard near-dup pairs via shingle inverted index:
@@ -57,16 +59,33 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
                         maxPostings: Int = 1000): DataFrame = {
     val sh = hashedShingleSet(docs, k).cache()
+    naivePairs(sh, threshold, maxPostings)
+  }
+
+  /** Naive inverted-index join over a precomputed (doc, shingle) set.
+    * The postings-cap join (skew guard for degenerate ultra-common
+    * shingles) is elided entirely when uncapped — one fewer shuffle.
+    */
+  private def naivePairs(sh: DataFrame, threshold: Double,
+                         maxPostings: Int): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // drop degenerate ultra-common shingles (posting-list cap = skew guard)
-    val postings = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxPostings)
-    val filtered = sh.join(postings.select("shingle"), Seq("shingle"))
+    val filtered =
+      if (maxPostings == Int.MaxValue) sh
+      else sh.join(
+        sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxPostings).select("shingle"),
+        Seq("shingle"))
     val common = filtered.as("a")
       .join(filtered.as("b"), Seq("shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_common"))
+    finishJaccard(common, sizes, threshold)
+  }
+
+  /** Join intersection counts with set sizes and apply the τ filter. */
+  private def finishJaccard(common: DataFrame, sizes: DataFrame,
+                            threshold: Double): DataFrame =
     common
       .join(sizes.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("n_sh", "n_a"), Seq("a_id"))
@@ -77,7 +96,6 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "n_common", "jaccard")
-  }
 
   /** n-gram Jaccard with PREFIX FILTERING (PPJoin-style) — the 100 TB
     * path. Under a global canonical shingle order (df asc, hash asc),
@@ -91,8 +109,13 @@ object Dedup {
   def ngramJaccardPairsPrefix(docs: DataFrame, k: Int = 3,
                               threshold: Double = 0.8): DataFrame = {
     val sh = hashedShingleSet(docs, k).cache()
+    prefixPairs(sh, sh.groupBy("shingle").agg(count(lit(1)).as("df")),
+      threshold)
+  }
+
+  private def prefixPairs(sh: DataFrame, dfreq: DataFrame,
+                          threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // canonical order: rarest shingles first ⇒ smallest posting lists
     // do the candidate generation.
     val w = org.apache.spark.sql.expressions.Window
@@ -114,16 +137,7 @@ object Dedup {
         Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("n_sh", "n_a"), Seq("a_id"))
-      .join(sizes.withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("n_sh", "n_b"), Seq("b_id"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "n_common", "jaccard")
+    finishJaccard(common, sizes, threshold)
   }
 
   /** Cost-based choice between the naive inverted-index join and the
@@ -137,14 +151,16 @@ object Dedup {
     */
   def ngramJaccardAuto(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
                        naiveVolumeLimit: Long = 50_000_000L): DataFrame = {
-    val joinVolume = hashedShingleSet(docs, k)
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
-      .agg(sum(col("df") * col("df")))
+    // ONE cached shingle set feeds the estimate AND the chosen plan —
+    // the estimating pass materializes the cache the real query reuses.
+    val sh = hashedShingleSet(docs, k).cache()
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val joinVolume = dfreq.agg(sum(col("df") * col("df")))
       .head().getLong(0)
     if (joinVolume <= naiveVolumeLimit)
-      ngramJaccardPairs(docs, k, threshold, maxPostings = Int.MaxValue)
+      naivePairs(sh, threshold, maxPostings = Int.MaxValue)
     else
-      ngramJaccardPairsPrefix(docs, k, threshold)
+      prefixPairs(sh, dfreq, threshold)
   }
 
   /** Deterministic 64-bit hash of a shingle under permutation `seed`. */
