@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, TopKPairs}
 
 /** Public extension injector: enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions` to get the
@@ -20,5 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
+      (args: Seq[Expression]) => TopKPairs(args(0), args(1),
+        args(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
   }
 }

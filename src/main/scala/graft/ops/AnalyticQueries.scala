@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Native
 
 import graft.sources.Tables
 
@@ -184,6 +185,40 @@ object AnalyticQueries extends QueryPack {
       Some("""SELECT word, count(*) AS n_parts FROM (
         |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
         |GROUP BY word ORDER BY word""".stripMargin)),
+
+    // Custom TypedImperativeAggregate top-k (graft_topk): partial
+    // k-bounded heaps combine map-side, so at most k·partitions pairs
+    // per group cross the exchange — versus the window row_number
+    // formulation (`top_k_per_group`) which shuffles + sorts EVERY row.
+    // Same total order (value desc, id asc), so the SAME DuckDB oracle
+    // hash-verifies both plans.
+    Q("top_k_agg",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(Native.topk(col("o_totalprice"), col("o_orderkey"), 3).as("tk"))
+        .select(col("o_orderpriority"), posexplode(col("tk")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast("int").as("rn"),
+          col("col.id").as("o_orderkey"),
+          col("col.v").as("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rn")),
+      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    // DataSketches HLL: mergeable sketch partials — the re-aggregatable
+    // form of distinct counting (union per-day sketches ≡ sketch of the
+    // union; proved in SketchSpec). Estimates are sketch-specific ⇒
+    // rows-only for the driver.
+    Q("agg_hll_sketch",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+          .as("est_users"))
+        .orderBy(col("event_type")),
+      None),
 
     // Math kit: floor/ceil/abs/sign/mod exact; sqrt IEEE-correctly
     // rounded (bitwise portable); ln rounded to 6 dp to absorb the

@@ -27,6 +27,12 @@ object Native {
   /** Codegen'd fused cosine: one pass for dot and both norms. */
   def cosine(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
 
+  /** Bounded top-k aggregate: k best (value, id) pairs per group with
+    * map-side partial heaps — O(k) state, never a full partition sort.
+    */
+  def topk(value: Column, id: Column, k: Int): Column =
+    c(TopKPairs(e(value), e(id), k).toAggregateExpression())
+
   /** Register `graft_dot` / `graft_cosine` as SQL functions on an
     * existing session (idempotent).
     */
@@ -40,5 +46,11 @@ object Native {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSimilarity(args.head, args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
+      (args: Seq[Expression]) => TopKPairs(args.head, args(1),
+        args(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression())
   }
 }
