@@ -186,6 +186,26 @@ object AnalyticQueries extends QueryPack {
         |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
         |GROUP BY word ORDER BY word""".stripMargin)),
 
+    // Sliding (hopping) event-time windows: 1 h length, 15 min hop ⇒
+    // every event lands in exactly 4 windows. Spark's `window` generates
+    // the 4 assignments in the map stage (no self-join); the oracle
+    // reconstructs identical window starts with a 4-offset cross join.
+    Q("stream_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum("value").as("total_value"))
+        .select(unix_micros(col("w.start")).as("w_start_us"),
+          col("n"), col("total_value"))
+        .orderBy(col("w_start_us")),
+      Some("""WITH t AS (SELECT epoch_us(ts) AS ts_us, value FROM events),
+        | assigned AS (
+        |  SELECT ((ts_us // 900000000) - i) * 900000000 AS w_start_us, value
+        |  FROM t CROSS JOIN generate_series(0, 3) AS g(i))
+        |SELECT w_start_us, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM assigned GROUP BY w_start_us
+        |ORDER BY w_start_us""".stripMargin)),
+
     // Custom TypedImperativeAggregate top-k (graft_topk): partial
     // k-bounded heaps combine map-side, so at most k·partitions pairs
     // per group cross the exchange — versus the window row_number

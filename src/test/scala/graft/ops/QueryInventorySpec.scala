@@ -60,6 +60,17 @@ class QueryInventorySpec extends SparkSpec {
       s"ts bound not pushed:\n${scanLines.mkString("\n")}")
   }
 
+  test("top_k_agg runs as a partial-combinable object hash aggregate") {
+    val p = plan("top_k_agg")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_graft_topk"),
+      "map-side partial aggregation missing — every row would cross the exchange")
+  }
+
+  test("join_skew_salted replicates the build side via Generate") {
+    assert(plan("join_skew_salted").contains("Generate"))
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
