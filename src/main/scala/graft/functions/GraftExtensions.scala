@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, TopKPairs}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, SimHash, TopKPairs}
 
 /** Public extension injector: enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions` to get the
@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => TopKPairs(args(0), args(1),
         args(2).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash(args(0))))
   }
 }

@@ -224,13 +224,21 @@ object Dedup {
     * exact Hamming check via bit_count(xor).
     */
   def simHash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.graft.Native.simhash(tokens(col(textCol)))
+        .as("simhash"))
+
+  /** The pre-native formulation — explode + 64 per-bit sign sums in one
+    * groupBy (map-side partials). Kept as the equivalence reference for
+    * the codegen'd `graft_simhash` kernel (SimHashExpressionSpec); the
+    * kernel gives the same digests with zero shuffle.
+    */
+  def simHashAggFormulation(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
     val tokHash = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    // 64 per-bit sign sums as 64 aggregate columns in ONE groupBy —
-    // no 64× row explosion, no extra shuffle: partial aggregation does
-    // the bit counting map-side.
     val bitSums = (0 until 64).map(b =>
       sum(expr(s"IF((shiftright(h, $b) & 1L) = 1L, 1, -1)")).as(s"s$b"))
     val assembled = (0 until 64)

@@ -33,6 +33,9 @@ object Native {
   def topk(value: Column, id: Column, k: Int): Column =
     c(TopKPairs(e(value), e(id), k).toAggregateExpression())
 
+  /** Codegen'd per-row 64-bit SimHash over a token array. */
+  def simhash(tokens: Column): Column = c(SimHash(e(tokens)))
+
   /** Register `graft_dot` / `graft_cosine` as SQL functions on an
     * existing session (idempotent).
     */
@@ -52,5 +55,9 @@ object Native {
       (args: Seq[Expression]) => TopKPairs(args.head, args(1),
         args(2).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression())
+    reg.registerFunction(
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash(args.head))
   }
 }

@@ -1,0 +1,62 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+
+/** Per-row SimHash kernel shared by interpreted eval and codegen. */
+object SimHashKernel {
+  /** 64-bit SimHash of a token array: bit b is set iff
+    * Σ_tokens (±1 by bit b of xxhash64(token, seed=42)) is positive —
+    * bit-identical to the explode + 64-sign-sum aggregation formulation
+    * (equivalence pinned in SimHashExpressionSpec), with ZERO shuffle:
+    * each document's tokens already live in one row.
+    */
+  def compute(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** Native SimHash: `array<string>` tokens → 64-bit digest in one
+  * whole-stage-codegen pass. Replaces a 316k-row explode + 64-column
+  * hash aggregate (one shuffle) with a per-row primitive loop — the
+  * (b)-tier custom-Expression escalation SURVEY.md §4 reserves for
+  * kernels the built-ins can't express efficiently.
+  */
+case class SimHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SimHashKernel.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"org.apache.spark.sql.graft.SimHashKernel.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
