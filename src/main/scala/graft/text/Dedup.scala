@@ -36,18 +36,23 @@ object Dedup {
     * rate ~n²/2⁶⁴ — irrelevant for dedup purposes.
     */
   def hashedShingleSet(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text"): DataFrame =
+    withShingleArray(docs, k, idCol, textCol)
+      .select(col("doc_id"), explode(col("sharr")).as("shingle"))
+
+  /** (doc_id, sharr): the per-doc DISTINCT k-shingle hash array, built
+    * entirely per-row (set semantics via array_distinct BEFORE any
+    * explode — a narrow op instead of a full (doc, shingle) shuffle).
+    */
+  private def withShingleArray(docs: DataFrame, k: Int, idCol: String,
+                               textCol: String): DataFrame = {
     val tokHashes = s"transform(split($textCol, chr(32)), t -> xxhash64(t))"
     val combine = (0 until k).map(j => s"th[i+$j]").mkString(", ")
-    // set semantics per doc via array_distinct BEFORE the explode —
-    // a narrow per-row op instead of a full (doc, shingle) shuffle.
     docs.withColumn("th", expr(tokHashes))
       .where(expr(s"size(th) >= $k"))
       .select(col(idCol).as("doc_id"),
-        explode(expr(
-          s"array_distinct(transform(sequence(0, size(th)-$k), " +
-            s"i -> xxhash64($combine)))"))
-          .as("shingle"))
+        expr(s"array_distinct(transform(sequence(0, size(th)-$k), " +
+          s"i -> xxhash64($combine)))").as("sharr"))
   }
 
   /** n-gram Jaccard near-dup pairs via shingle inverted index:
@@ -172,10 +177,20 @@ object Dedup {
     * per doc regardless of document length.
     */
   def minHashSignatures(docs: DataFrame, numHashes: Int = 16, k: Int = 3)
+      : DataFrame =
+    withShingleArray(docs, k, "doc_id", "text")
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.Native.minhash(col("sharr"), numHashes)
+          .as("sig"))
+
+  /** The pre-native formulation — explode + numHashes min-aggregates
+    * (hash each shingle once, derive permutations by re-hashing the
+    * 8-byte value). Kept as the equivalence reference for the codegen'd
+    * `graft_minhash` kernel (MinHashExpressionSpec); the kernel gives
+    * bit-identical signatures with zero shuffle.
+    */
+  def minHashSignaturesAgg(docs: DataFrame, numHashes: Int = 16, k: Int = 3)
       : DataFrame = {
-    // hash each shingle string ONCE, then derive the k permutations by
-    // re-hashing the 8-byte value — 1 string hash + k long hashes per
-    // shingle instead of k string hashes.
     val sh = hashedShingleSet(docs, k)
       .withColumnRenamed("shingle", "h0")
     val mins = (0 until numHashes)

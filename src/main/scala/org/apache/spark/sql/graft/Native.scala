@@ -36,6 +36,10 @@ object Native {
   /** Codegen'd per-row 64-bit SimHash over a token array. */
   def simhash(tokens: Column): Column = c(SimHash(e(tokens)))
 
+  /** Codegen'd per-row MinHash signature over a shingle-hash array. */
+  def minhash(shingleHashes: Column, numHashes: Int): Column =
+    c(MinHashSig(e(shingleHashes), numHashes))
+
   /** Register `graft_dot` / `graft_cosine` as SQL functions on an
     * existing session (idempotent).
     */
@@ -59,5 +63,10 @@ object Native {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash(args.head))
+    reg.registerFunction(
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinHashSig(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()))
   }
 }

@@ -1,8 +1,8 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
 
 /** Per-row SimHash kernel shared by interpreted eval and codegen. */
@@ -59,4 +59,59 @@ case class SimHash(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash =
     copy(child = newChild)
+}
+
+/** Per-row MinHash kernel shared by interpreted eval and codegen. */
+object MinHashKernel {
+  /** MinHash signature of a shingle-hash array under `numHashes`
+    * simulated permutations. Permutation i of shingle h is
+    * `XXH64.hashInt(i, XXH64.hashLong(h, 42))` — EXACTLY the hash chain
+    * Spark's `xxhash64(h, i)` computes, so signatures are bit-identical
+    * to the explode + numHashes-min-aggregate formulation
+    * (MinHashExpressionSpec pins it).
+    */
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val base = XXH64.hashLong(arr.getLong(j), 42L)
+      var i = 0
+      while (i < numHashes) {
+        val v = XXH64.hashInt(i, base)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** Native MinHash: `array<long>` shingle hashes → `array<long>`
+  * signature in one codegen pass — replaces an explode +
+  * numHashes-column min aggregate (one shuffle) with per-row work;
+  * each document's shingles already live in one row.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(numHashes > 0, s"minhash needs numHashes > 0, got $numHashes")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType))
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(v: Any): Any =
+    MinHashKernel.compute(v.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"org.apache.spark.sql.graft.MinHashKernel.compute($a, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashSig = copy(child = newChild)
 }
