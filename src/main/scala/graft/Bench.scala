@@ -10,9 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: session/codegen/scheduler spin-up is not query cost,
-    // and must not be attributed to whichever query happens to run first.
+    // Untimed warmup: session/codegen/scheduler/datasource spin-up is not
+    // query cost, and must not be attributed to whichever query runs first.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, MinHashSig, SimHash, TopKPairs}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, MinHashSig, ShingleHashes, SimHash, TopKPairs}
 
 /** Public extension injector: enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions` to get the
@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (args: Seq[Expression]) => MinHashSig(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
+      (args: Seq[Expression]) => ShingleHashes(args(0),
         args(1).eval().asInstanceOf[Number].intValue())))
   }
 }

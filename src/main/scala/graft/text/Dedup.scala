@@ -41,11 +41,24 @@ object Dedup {
       .select(col("doc_id"), explode(col("sharr")).as("shingle"))
 
   /** (doc_id, sharr): the per-doc DISTINCT k-shingle hash array, built
-    * entirely per-row (set semantics via array_distinct BEFORE any
-    * explode — a narrow op instead of a full (doc, shingle) shuffle).
+    * entirely per-row by the codegen'd `graft_shingles` kernel (set
+    * semantics inside the row — never a (doc, shingle) shuffle, never
+    * an interpreted per-element lambda).
     */
   private def withShingleArray(docs: DataFrame, k: Int, idCol: String,
-                               textCol: String): DataFrame = {
+                               textCol: String): DataFrame =
+    docs.where(expr(s"size(split($textCol, chr(32))) >= $k"))
+      .select(col(idCol).as("doc_id"),
+        org.apache.spark.sql.graft.Native
+          .shingles(split(col(textCol), " "), k).as("sharr"))
+
+  /** The pre-native HOF formulation — token hashes then k-shingle
+    * combination via two interpreted `transform` lambdas. Kept as the
+    * equivalence reference for `graft_shingles`
+    * (ShingleExpressionSpec).
+    */
+  def shingleArrayHof(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
     val tokHashes = s"transform(split($textCol, chr(32)), t -> xxhash64(t))"
     val combine = (0 until k).map(j => s"th[i+$j]").mkString(", ")
     docs.withColumn("th", expr(tokHashes))

@@ -40,6 +40,10 @@ object Native {
   def minhash(shingleHashes: Column, numHashes: Int): Column =
     c(MinHashSig(e(shingleHashes), numHashes))
 
+  /** Codegen'd per-row distinct k-shingle hashing over a token array. */
+  def shingles(tokens: Column, k: Int): Column =
+    c(ShingleHashes(e(tokens), k))
+
   /** Register `graft_dot` / `graft_cosine` as SQL functions on an
     * existing session (idempotent).
     */
@@ -67,6 +71,11 @@ object Native {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (args: Seq[Expression]) => MinHashSig(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()))
+    reg.registerFunction(
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
+      (args: Seq[Expression]) => ShingleHashes(args.head,
         args(1).eval().asInstanceOf[Number].intValue()))
   }
 }

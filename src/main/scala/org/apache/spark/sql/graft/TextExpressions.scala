@@ -115,3 +115,72 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression)
       : MinHashSig = copy(child = newChild)
 }
+
+/** Per-row shingle-hash kernel shared by interpreted eval and codegen. */
+object ShingleKernel {
+  /** DISTINCT k-shingle hashes of a token array. Token t hashes as
+    * Spark's `xxhash64(t)` (seed 42 over UTF8 bytes); the k-shingle at
+    * position i hashes as `xxhash64(th[i], …, th[i+k-1])` — the same
+    * seed-chained XXH64 the HOF formulation computes, so the multiset
+    * of hashes is bit-identical (ShingleExpressionSpec pins it; output
+    * order is sorted rather than first-occurrence, which no consumer
+    * observes — every downstream op treats the result as a set).
+    */
+  def compute(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val m = n - k + 1
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var h = 42L
+      var t = 0
+      while (t < k) { h = XXH64.hashLong(th(j + t), h); t += 1 }
+      out(j) = h
+      j += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 1
+    var r = 1
+    while (r < m) {
+      if (out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+}
+
+/** Native k-shingling: `array<string>` tokens → distinct `array<long>`
+  * shingle hashes in one codegen pass. Replaces two interpreted
+  * higher-order `transform` lambdas (per-element boxed xxhash64 calls —
+  * the single hottest stage of the dedup family at sf0.1) with a
+  * primitive loop.
+  */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k > 0, s"shingling needs k > 0, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleKernel.compute(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"org.apache.spark.sql.graft.ShingleKernel.compute($a, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShingleHashes = copy(child = newChild)
+}
