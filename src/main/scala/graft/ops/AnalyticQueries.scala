@@ -147,6 +147,42 @@ object AnalyticQueries extends QueryPack {
         |  ON abs(e1.ts_us - ee.ts2) <= $BandUs AND e1.event_id <> ee.e2
         |GROUP BY e1.event_id ORDER BY e1.event_id""".stripMargin)),
 
+    // First-class AS-OF join API (graft.ops.AsOf) with a 1-hour
+    // tolerance: latest click ≤ each purchase, union + one
+    // key-partitioned running frame — one shuffle, linear per key.
+    // The oracle is the quadratic argmax definition.
+    Q("join_asof_tolerance",
+      (s, d) => {
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_ts"))
+        val c = Tables.events(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("c_ts"),
+            col("event_id").as("click_id"))
+        AsOf.joinLatest(p, c, Seq("user_id"), "p_ts", "c_ts",
+            rightPayload = Seq("click_id"), tieBreak = Some("click_id"),
+            toleranceUs = Some(3600000000L))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS p_ts FROM events
+        |  WHERE event_type = 'purchase'),
+        | c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        | j AS (
+        |  SELECT p.event_id, p.user_id, p.p_ts, c.click_id,
+        |         c.c_ts AS asof_ts,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY c.c_ts DESC, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c
+        |    ON p.user_id = c.user_id AND c.c_ts <= p.p_ts
+        |   AND p.p_ts - c.c_ts <= 3600000000)
+        |SELECT event_id, user_id, p_ts, click_id, asof_ts
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
     // Skew-salted fact join (graft.ops.Skew): the probe side's key space
     // is spread over 8 deterministic salt buckets and the build side
     // replicated to match — result provably equals the plain equi-join,
