@@ -155,6 +155,43 @@ object TextQueries extends QueryPack {
     Q("dedup_simhash",
       (s, d) => Dedup.simHashPairs(plantedDocs(s, d), maxHamming = 3)
         .orderBy(col("a_id"), col("b_id")),
-      None)
+      None),
+
+    // Duplicate-CLUSTER formation: connected components over the
+    // jaccard pair list (min reachable id = cluster id) via iterative
+    // label propagation — the step that turns pairwise dedup output
+    // into "keep one representative per cluster". The result is
+    // algorithm-independent, so the oracle states it as a recursive
+    // reachability query.
+    Q("dedup_clusters",
+      (s, d) => Dedup.dupClusters(
+          Dedup.ngramJaccardPairs(plantedDocs(s, d), k = 3,
+            threshold = 0.8, maxPostings = Int.MaxValue))
+        .orderBy(col("doc_id")),
+      Some(plantedCte.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+        | sh AS (SELECT DISTINCT doc_id,
+        |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                  FOR i IN generate_series(1, len(t) - 2)]) AS shingle
+        |        FROM toks),
+        | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        | common AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        | pairs AS (
+        |  SELECT a_id, b_id FROM common
+        |  JOIN sizes sa ON sa.doc_id = a_id
+        |  JOIN sizes sb ON sb.doc_id = b_id
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        |        >= 0.8),
+        | edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |           UNION SELECT b_id, a_id FROM pairs),
+        | reach AS (
+        |  SELECT src AS id, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
   )
 }

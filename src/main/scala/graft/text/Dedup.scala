@@ -181,6 +181,55 @@ object Dedup {
       prefixPairs(sh, dfreq, threshold)
   }
 
+  /** Connected components over a near-dup pair list: every document
+    * gets the MINIMUM doc id reachable through dup edges as its cluster
+    * id — the canonical "keep one representative per duplicate cluster"
+    * step that follows any pairwise dedup method.
+    *
+    * Algorithm: large-star-ish label propagation — each node repeatedly
+    * adopts the min label in its closed neighborhood until fixpoint.
+    * Per iteration: one join on the (symmetrized) edge list + one
+    * min-aggregate — two key shuffles, both on uniform ids. Iteration
+    * count is the cluster DIAMETER (dup clusters are tiny and dense, so
+    * 2–4 in practice), independent of corpus size; the driver loop only
+    * checks a convergence count per round. Deterministic result (min id
+    * is algorithm-independent), so the DuckDB oracle can state it as a
+    * recursive reachability query.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id"), col("src").as("lbl"))
+      .distinct()
+      .groupBy("id").agg(min("lbl").as("lbl"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min label over the closed neighborhood {self} ∪ neighbors
+      val next = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("lbl"))
+        .union(labels)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .cache()
+      next.count() // materialize before comparing
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("lbl", "cluster_id")
+  }
+
   /** Deterministic 64-bit hash of a shingle under permutation `seed`. */
   private def seededHash(c: Column, seed: Int): Column =
     xxhash64(c, lit(seed))

@@ -74,4 +74,28 @@ class DedupSpec extends SparkSpec {
         s"exact copy must have hamming 0 (doc $id)")
     }
   }
+
+  test("dupClusters: transitive chains collapse to the min id") {
+    import spark.implicits._
+    // chain 1-2-3-4 (no direct 1-4 edge), pair {10,11}, singleton edge-less
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dupClusters converges on the planted corpus and covers all pair ids") {
+    val pairs = Dedup.ngramJaccardPairs(planted, 3, 0.8, Int.MaxValue).cache()
+    val clusters = Dedup.dupClusters(pairs).cache()
+    val pairIds = pairs.select(col("a_id").as("id"))
+      .union(pairs.select(col("b_id"))).distinct()
+    assert(clusters.count() === pairIds.count())
+    // every cluster id is itself a member of the cluster (a valid rep)
+    val badRep = clusters.as("c")
+      .join(clusters.select(col("doc_id").as("cluster_id")).distinct()
+        .as("r"), Seq("cluster_id"), "left_anti")
+    assert(badRep.isEmpty)
+  }
 }
