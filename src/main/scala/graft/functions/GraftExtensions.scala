@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, MinHashSig, ShingleHashes, SimHash, TopKPairs}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, MinHashSig, ShingleHashes, SimHash, TopKPairs, TopKRewriteRule}
 
 /** Public extension injector: enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions` to get the
@@ -40,5 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
       (args: Seq[Expression]) => ShingleHashes(args(0),
         args(1).eval().asInstanceOf[Number].intValue())))
+    // window-top-k → graft_topk partial aggregate (lossless pattern only)
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
   }
 }

@@ -12,10 +12,12 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Bounded top-k state: the k best (value, id) pairs seen so far, where
-  * "better" = higher value, ties broken by smaller id (the same total
-  * order as `row_number() OVER (ORDER BY value DESC, id)`). A min-heap
+  * "better" = higher value, ties broken by smaller id, null values
+  * ranked after every non-null — the EXACT total order of
+  * `row_number() OVER (ORDER BY value DESC NULLS LAST, id)`. A min-heap
   * keyed worst-first gives O(log k) insert and O(1) "am I in the top k"
-  * rejection, so state is O(k) regardless of group size.
+  * rejection; null-valued rows keep their own k-bounded id heap. State
+  * is O(k) regardless of group size.
   */
 final class TopKBuffer(val k: Int) {
   // worst-kept pair at the head: ascending value, descending id.
@@ -23,6 +25,9 @@ final class TopKBuffer(val k: Int) {
     Ordering.by[(Double, Long), (Double, Long)] { case (v, id) => (-v, id) }
   val heap: mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty(ord)
+  // null-valued rows: keep the k SMALLEST ids (largest at the head).
+  val nullHeap: mutable.PriorityQueue[Long] =
+    mutable.PriorityQueue.empty(Ordering.Long)
 
   private def better(a: (Double, Long), b: (Double, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
@@ -33,12 +38,25 @@ final class TopKBuffer(val k: Int) {
     else if (better(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
   }
 
-  def mergeFrom(other: TopKBuffer): Unit =
-    other.heap.foreach { case (v, id) => insert(v, id) }
+  def insertNull(id: Long): Unit =
+    if (nullHeap.size < k) nullHeap.enqueue(id)
+    else if (id < nullHeap.head) { nullHeap.dequeue(); nullHeap.enqueue(id) }
 
-  /** Best-first (value desc, id asc). */
-  def sorted: Array[(Double, Long)] =
-    heap.toArray.sortBy { case (v, id) => (-v, id) }
+  def mergeFrom(other: TopKBuffer): Unit = {
+    other.heap.foreach { case (v, id) => insert(v, id) }
+    other.nullHeap.foreach(insertNull)
+  }
+
+  /** Best-first (value desc nulls last, id asc), exactly k or fewer:
+    * non-null pairs first, then null-valued ids, truncated to k.
+    */
+  def sorted: Array[(Option[Double], Long)] = {
+    val nonNull = heap.toArray.sortBy { case (v, id) => (-v, id) }
+      .map { case (v, id) => (Some(v): Option[Double], id) }
+    val nulls = nullHeap.toArray.sorted
+      .map(id => (None: Option[Double], id))
+    (nonNull ++ nulls).take(k)
+  }
 }
 
 /** Per-group top-k as a [[TypedImperativeAggregate]] — the scale path
@@ -65,7 +83,7 @@ case class TopKPairs(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(
-      StructField("v", DoubleType, nullable = false),
+      StructField("v", DoubleType, nullable = true),
       StructField("id", LongType, nullable = false))),
     containsNull = false)
   override def prettyName: String = "graft_topk"
@@ -75,8 +93,10 @@ case class TopKPairs(
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val v = value.eval(input)
     val i = id.eval(input)
-    if (v != null && i != null)
-      buf.insert(v.asInstanceOf[Double], i.asInstanceOf[Long])
+    if (i != null) {
+      if (v != null) buf.insert(v.asInstanceOf[Double], i.asInstanceOf[Long])
+      else buf.insertNull(i.asInstanceOf[Long])
+    }
     buf
   }
 
@@ -86,14 +106,17 @@ case class TopKPairs(
 
   override def eval(buf: TopKBuffer): Any =
     new GenericArrayData(buf.sorted.map { case (v, id) =>
-      new GenericInternalRow(Array[Any](v, id))
+      new GenericInternalRow(Array[Any](v.orNull, id))
     }.asInstanceOf[Array[Any]])
 
   override def serialize(buf: TopKBuffer): Array[Byte] = {
     val pairs = buf.sorted
-    val bb = ByteBuffer.allocate(4 + pairs.length * 16)
+    val bb = ByteBuffer.allocate(4 + pairs.length * 17)
     bb.putInt(pairs.length)
-    pairs.foreach { case (v, id) => bb.putDouble(v); bb.putLong(id) }
+    pairs.foreach { case (v, id) =>
+      bb.put((if (v.isDefined) 1 else 0): Byte)
+      bb.putDouble(v.getOrElse(0.0)); bb.putLong(id)
+    }
     bb.array()
   }
 
@@ -101,7 +124,11 @@ case class TopKPairs(
     val bb = ByteBuffer.wrap(bytes)
     val buf = new TopKBuffer(k)
     val n = bb.getInt
-    (0 until n).foreach(_ => buf.insert(bb.getDouble, bb.getLong))
+    (0 until n).foreach { _ =>
+      val defined = bb.get() == 1
+      val v = bb.getDouble; val id = bb.getLong
+      if (defined) buf.insert(v, id) else buf.insertNull(id)
+    }
     buf
   }
 
