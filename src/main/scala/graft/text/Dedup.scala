@@ -201,12 +201,16 @@ object Dedup {
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
       .cache()
-    var labels = edges.select(col("src").as("id"), col("src").as("lbl"))
+    var labels = edges.select(col("src").as("id"))
       .distinct()
-      .groupBy("id").agg(min("lbl").as("lbl"))
+      .withColumn("lbl", col("id"))
       .cache()
-    var converged = false
+    // labels only ever DECREASE, so Σ lbl is strictly monotone until the
+    // fixpoint — one cheap sum per iteration detects convergence, no
+    // old-vs-new comparison join, no extra materializing action.
+    var prevSum = Option.empty[String]
     var iter = 0
+    var converged = false
     while (!converged && iter < maxIter) {
       // min label over the closed neighborhood {self} ∪ neighbors
       val next = edges
@@ -215,14 +219,14 @@ object Dedup {
         .union(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .cache()
-      next.count() // materialize before comparing
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .limit(1).count()
+      // exact decimal sum — a long sum could overflow-alias with 64-bit
+      // ids at lake scale
+      val s = next.agg(sum(col("lbl").cast("decimal(38,0)")))
+        .head().getDecimal(0).toString
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       iter += 1
     }
     edges.unpersist()
