@@ -80,4 +80,58 @@ object Multimodal {
       .select(col("doc_id"),
         explode(sequence(lit(0L), col("n_frames") - 1L,
           lit(step.toLong))).as("frame_idx"))
+
+  /** Extracted feature vector (what a real encoder/embedder returns). */
+  final case class MediaFeatures(
+      doc_id: Long, f0: Double, f1: Double, f2: Double, f3: Double)
+
+  /** STUB feature extractor — deterministic pseudo-features from payload
+    * size and id (exact integer arithmetic, so the oracle reproduces the
+    * doubles bitwise). A real implementation runs a vision/audio encoder
+    * over `batch` here; the partition-batched shape is exactly
+    * [[decodeMeta]]'s — one vectorized model call per batch.
+    */
+  def featureStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val n = if (bytes == null) 0L else bytes.length.toLong
+    MediaFeatures(id,
+      n.toDouble,
+      (n * 2654435761L % 1048576L).toDouble / 1048576.0,
+      (id * 40503L % 65536L).toDouble / 65536.0,
+      ((n + id) % 997L).toDouble / 997.0)
+  }
+
+  /** Partition-batched feature extraction — same distribution contract
+    * as [[decodeMeta]]: no shuffle, parallelism = scan parallelism,
+    * one batch per model invocation.
+    */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64)
+      : Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) => featureStub(id, bytes) }
+        }
+      }
+  }
+
+  /** Aspect-preserving resize plan: target box `maxSide`², never
+    * upscale. Pure integer column math over the decoded metadata (the
+    * real pixel work happens in the stubbed codec); emitted dims are
+    * what a thumbnail/tiling stage partitions on.
+    */
+  def resizePlan(meta: DataFrame, maxSide: Int = 256): DataFrame = {
+    val longSide = greatest(col("width"), col("height"))
+    val scaleNeeded = longSide > maxSide
+    val outW = when(scaleNeeded,
+      expr(s"width * $maxSide div greatest(width, height)"))
+      .otherwise(col("width")).cast("int")
+    val outH = when(scaleNeeded,
+      expr(s"height * $maxSide div greatest(width, height)"))
+      .otherwise(col("height")).cast("int")
+    meta.select(col("doc_id"), col("width"), col("height"),
+      outW.as("out_w"), outH.as("out_h"))
+  }
 }

@@ -37,6 +37,44 @@ object MultimodalQueries extends QueryPack {
       Some("""SELECT doc_id,
         |  unnest(generate_series(0, octet_length(encode(text)) % 100 + 9, 7))
         |    AS frame_idx
-        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin))
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Partition-batched feature extraction (stubbed encoder, real
+    // batching/schema): deterministic pseudo-features from exact integer
+    // arithmetic so the oracle reproduces the doubles bitwise.
+    Q("mm_feature_extract",
+      (s, d) => Multimodal
+        .extractFeatures(Multimodal.asBinary(Tables.documents(s, d)))
+        .toDF()
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS DOUBLE) AS f0,
+        |  CAST(octet_length(encode(text)) * 2654435761 % 1048576 AS DOUBLE)
+        |    / 1048576 AS f1,
+        |  CAST(doc_id * 40503 % 65536 AS DOUBLE) / 65536 AS f2,
+        |  CAST((octet_length(encode(text)) + doc_id) % 997 AS DOUBLE)
+        |    / 997 AS f3
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Aspect-preserving resize plan over decoded metadata: integer
+    // column math (never upscale, fit 256²).
+    Q("mm_resize",
+      (s, d) => Multimodal.resizePlan(
+          Multimodal.decodeMeta(
+            Multimodal.asBinary(Tables.documents(s, d))).toDF())
+        .orderBy(col("doc_id")),
+      Some("""WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |    CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CAST(CASE WHEN greatest(width, height) > 256
+        |    THEN width * 256 // greatest(width, height)
+        |    ELSE width END AS INTEGER) AS out_w,
+        |  CAST(CASE WHEN greatest(width, height) > 256
+        |    THEN height * 256 // greatest(width, height)
+        |    ELSE height END AS INTEGER) AS out_h
+        |FROM m ORDER BY doc_id""".stripMargin))
   )
 }
