@@ -209,6 +209,36 @@ object AnalyticQueries extends QueryPack {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // TARGETED skew handling: hot keys (sampled estimate) salted, cold
+    // keys joined plain, union — result provably equals the plain join
+    // (the oracle), whatever the sample flags. events.user_id is the
+    // low-cardinality hot-key side; the per-user dim comes from the
+    // same table.
+    Q("join_skew_adaptive",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val dim = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("first_seen_us"))
+        Skew.adaptiveSaltedJoin(ev, dim, Seq("user_id"), 8,
+            xxhash64(col("event_id")), hotThreshold = 50L)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum("value").as("total_value"),
+            min(col("first_seen_us")).as("earliest_first_seen"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH dim AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_seen_us
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  min(d.first_seen_us) AS earliest_first_seen
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
     // Generator / flatten: explode(split) — word frequencies over part
     // names. Generate in the map stage, aggregate with map-side
     // partials; no data explosion survives past the partial agg.

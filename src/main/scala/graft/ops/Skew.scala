@@ -31,4 +31,33 @@ object Skew {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
+
+  /** TARGETED salting — the production skew pattern: detect hot keys on
+    * a sample, salt ONLY those, join the cold majority normally, union.
+    * Blanket salting (above) taxes every key with build-side
+    * replication; here the tax applies to exactly the keys that need
+    * it. Result ≡ `left.join(right, keys)` regardless of which keys the
+    * sample flags (detection tunes the PHYSICAL route only), which is
+    * what the oracle checks.
+    *
+    * `hotThreshold` is the estimated per-key row count (sample count /
+    * sampleFraction) above which a key is treated as hot. The hot-key
+    * list is tiny by construction (keys above a volume floor) and is
+    * broadcast to split both sides.
+    */
+  def adaptiveSaltedJoin(left: DataFrame, right: DataFrame,
+                         keys: Seq[String], saltFactor: Int,
+                         saltSource: Column, hotThreshold: Long,
+                         sampleFraction: Double = 0.1): DataFrame = {
+    val hot = left.sample(sampleFraction, 42L)
+      .groupBy(keys.map(col): _*).count()
+      .filter(col("count") >= lit(hotThreshold * sampleFraction))
+      .select(keys.map(col): _*)
+    val leftHot = left.join(broadcast(hot), keys, "left_semi")
+    val leftCold = left.join(broadcast(hot), keys, "left_anti")
+    val rightHot = right.join(broadcast(hot), keys, "left_semi")
+    leftCold.join(right, keys)
+      .unionByName(saltedJoin(leftHot, rightHot, keys, saltFactor,
+        saltSource))
+  }
 }

@@ -60,6 +60,29 @@ class ScaleSpec extends SparkSpec {
     assert(plain.except(salted).isEmpty && salted.except(plain).isEmpty)
   }
 
+  test("adaptive salted join equals plain join in all three routing regimes") {
+    import spark.implicits._
+    val left = spark.range(10000).select(lit(1L).as("k"),
+        col("id").as("payload"))
+      .unionAll(spark.range(500).select((col("id") % 50 + 2).as("k"),
+        col("id").as("payload")))
+    val right = spark.range(52).select(col("id").as("k"),
+      concat(lit("dim"), col("id")).as("attr"))
+    val plain = left.join(right, Seq("k")).select("k", "payload", "attr")
+    // mixed (hot key 1 flagged), all-cold (huge threshold),
+    // all-hot (threshold 0)
+    Seq(500L, Long.MaxValue / 2, 0L).foreach { thr =>
+      val adaptive = Skew.adaptiveSaltedJoin(left, right, Seq("k"), 8,
+          col("payload"), hotThreshold = thr, sampleFraction = 0.2)
+        .select("k", "payload", "attr")
+      withClue(s"threshold $thr:") {
+        assert(plain.count() === adaptive.count())
+        assert(plain.except(adaptive).isEmpty &&
+          adaptive.except(plain).isEmpty)
+      }
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     Layout.writeBucketed(
       Tables.orders(spark, sf).select("o_orderkey", "o_custkey",
