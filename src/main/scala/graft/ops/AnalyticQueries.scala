@@ -306,6 +306,28 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("event_type")),
       None),
 
+    // Scalar-subquery shape: rows above the GLOBAL mean. The 1-row
+    // aggregate is broadcast against the fact scan (no shuffle of the
+    // big side); decimal-exact mean so both engines compare against the
+    // same double.
+    Q("filter_scalar_subquery",
+      (s, d) => {
+        val avgPrice = Tables.orders(s, d)
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+            count(lit(1))).cast("double").as("avg_price"))
+        Tables.orders(s, d)
+          .join(broadcast(avgPrice))
+          .filter(col("o_totalprice") > col("avg_price"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) / count(*)
+        |              AS DOUBLE)
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Math kit: floor/ceil/abs/sign/mod exact; sqrt IEEE-correctly
     // rounded (bitwise portable); ln rounded to 6 dp to absorb the
     // ≤1-ulp libm divergence between engines.
