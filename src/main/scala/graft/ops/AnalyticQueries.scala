@@ -306,6 +306,36 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("event_type")),
       None),
 
+    // first/last/nth value over an explicit full-partition frame (the
+    // default frame would make last_value = current row — the classic
+    // trap; stating ROWS UNBOUNDED..UNBOUNDED on both engines keeps it
+    // deterministic and meaningful).
+    Q("win_first_last",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+          .select(col("event_id"), col("user_id"),
+            first(col("value")).over(w).as("first_value"),
+            last(col("value")).over(w).as("last_value"),
+            nth_value(col("value"), 2).over(w).as("second_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH t AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  first_value(value) OVER w AS first_value,
+        |  last_value(value) OVER w AS last_value,
+        |  nth_value(value, 2) OVER w AS second_value
+        |FROM t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin)),
+
     // Scalar-subquery shape: rows above the GLOBAL mean. The 1-row
     // aggregate is broadcast against the fact scan (no shuffle of the
     // big side); decimal-exact mean so both engines compare against the
