@@ -50,6 +50,31 @@ object EnvelopeCodec {
         col("env.after").as("after"), col("env.source").as("source"),
         col("env.op").as("op"), col("env.ts_us").as("ts_us"), col("topic"))
 
+  /** Encode to the keyed BINARY-AVRO wire record — the reference's
+    * actual wire format (`/root/reference/bin/mskc-connector.sh:440-445`:
+    * GlueSchemaRegistry AvroConverter, GENERIC_RECORD). Value bytes are
+    * raw Avro binary encoding of the envelope record, the payload a
+    * registry converter frames.
+    */
+  def encodeAvro(envelopes: DataFrame): DataFrame =
+    envelopes.select(
+      col("key").cast("string").as("key"),
+      org.apache.spark.sql.graft.Native.toAvro(
+        struct(col("before"), col("after"), col("source"),
+          col("op"), col("ts_us"))).as("value"),
+      col("topic"))
+
+  /** Decode keyed binary-Avro wire records with an explicit row schema. */
+  def decodeAvro(records: DataFrame, rowSchema: StructType): DataFrame =
+    records.select(
+      col("key").cast("string").as("key"),
+      org.apache.spark.sql.graft.Native.fromAvro(
+        col("value"), envelopeSchema(rowSchema)).as("env"),
+      col("topic"))
+      .select(col("key"), col("env.before").as("before"),
+        col("env.after").as("after"), col("env.source").as("source"),
+        col("env.op").as("op"), col("env.ts_us").as("ts_us"), col("topic"))
+
   /** Decode a topic history whose value schema evolved: each version's
     * slice decodes with its registered schema, then the frames normalize
     * into the merged read-schema (absent columns null) — the consumer

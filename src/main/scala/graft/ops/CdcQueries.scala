@@ -81,6 +81,44 @@ object CdcQueries extends QueryPack {
         |       event_id
         |FROM feed ORDER BY event_id""".stripMargin)),
 
+    // P1/P2 — the same envelope routed through the BINARY AVRO wire
+    // (encode → bytes → decode): proves the Avro serde is lossless on a
+    // feed the oracle can state without knowing Avro exists. The wire
+    // schema mirrors mskc-connector.sh:440-445 (GENERIC_RECORD values).
+    Q("cdc_envelope_avro",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val rowSchema = StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+        val feed = ChangeFeed.envelope(Tables.events(s, d))
+        val decoded = graft.cdc.EnvelopeCodec.decodeAvro(
+          graft.cdc.EnvelopeCodec.encodeAvro(feed), rowSchema)
+        decoded.select(
+          col("key"),
+          col("before.value").as("before_value"),
+          col("after.value").as("after_value"),
+          col("op"), col("ts_us"), col("topic"))
+          .orderBy(col("key").cast("long"), col("ts_us"), col("op"),
+            col("after_value"), col("before_value"))
+      },
+      Some(s"""WITH feed AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        |         CASE WHEN event_type = 'signup' THEN 'c'
+        |              WHEN event_type = 'error'  THEN 'd'
+        |              ELSE 'u' END AS op,
+        |         lag(value) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |SELECT CAST(user_id AS VARCHAR) AS key,
+        |       CASE WHEN op = 'c' THEN NULL ELSE prev_value END AS before_value,
+        |       CASE WHEN op = 'd' THEN NULL ELSE value END AS after_value,
+        |       op, ts_us,
+        |       'osci.db.mysql-server-1.cdc_test_db.person' AS topic
+        |FROM feed
+        |ORDER BY user_id, ts_us, op, after_value, before_value""".stripMargin)),
+
     // A1+A2 — latest non-deleted row per key (flagship; SURVEY §7.1 M0).
     Q("cdc_latest_state",
       (s, d) => Materialize.currentState(

@@ -49,10 +49,16 @@ object Skew {
                          keys: Seq[String], saltFactor: Int,
                          saltSource: Column, hotThreshold: Long,
                          sampleFraction: Double = 0.1): DataFrame = {
-    val hot = left.sample(sampleFraction, 42L)
+    // The hot list is referenced by THREE joins below; materialize it to
+    // a LocalRelation (it is tiny by construction — keys above a volume
+    // floor) so the sample+aggregate runs exactly once, not once per
+    // consuming join.
+    val hotPlan = left.sample(sampleFraction, 42L)
       .groupBy(keys.map(col): _*).count()
       .filter(col("count") >= lit(hotThreshold * sampleFraction))
       .select(keys.map(col): _*)
+    val hot = left.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hotPlan.collect(): _*), hotPlan.schema)
     val leftHot = left.join(broadcast(hot), keys, "left_semi")
     val leftCold = left.join(broadcast(hot), keys, "left_anti")
     val rightHot = right.join(broadcast(hot), keys, "left_semi")

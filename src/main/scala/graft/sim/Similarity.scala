@@ -143,34 +143,51 @@ object Similarity {
       : DataFrame = {
     // deterministic coarse quantizer: id-strided seed vectors — no
     // global sort/window (which wouldn't scale); one count() for the
-    // stride, then a pushed-down filter picks the seeds.
+    // stride, then a pushed-down filter picks the seeds. The nlist seed
+    // vectors are COLLECTED to the driver (nlist × dim floats — bytes,
+    // not data, at any corpus scale) and baked into the plan as
+    // literals, so cell assignment is a pure per-row expression: no
+    // crossJoin, no window, zero shuffle of the corpus.
     val n = corpus.count()
     val stride = math.max(1L, n / nlist)
-    val centroids = broadcast(
-      corpus.filter(col(idCol) % stride === 0 &&
-          col(idCol) < stride * nlist)
-        .select(expr(s"cast($idCol div $stride as int)").as("centroid_id"),
-          col(vecCol).as("c_vec")))
+    // element type widened to double literals: float→double is exact, and
+    // the cosine kernel upcasts its inputs to double regardless.
+    val cents: Array[(Int, Array[Double])] = corpus
+      .filter(col(idCol) % stride === 0 && col(idCol) < stride * nlist)
+      .select(expr(s"cast($idCol div $stride as int)"), col(vecCol))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray))
+      .sortBy(_._1)
+
+    // struct(-sim, centroid_id) under ascending sort ranks sim DESC with
+    // id-ASC tie-break — the exact ordering the former row_number window
+    // produced. sort_array + slice picks the nprobe nearest cells
+    // per-row, inside whole-stage codegen.
+    def nearestCells(vec: Column, probes: Int): Column =
+      slice(sort_array(array(cents.map { case (cid, v) =>
+        struct((-cosine(vec, typedlit(v))).as("neg_sim"),
+          lit(cid).as("centroid_id"))
+      }: _*)), 1, probes)
 
     def assign(df: DataFrame, id: String, vec: String, probes: Int)
-        : DataFrame = {
-      val scored = df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .crossJoin(centroids)
-        .withColumn("c_sim", cosine(col(vec), col("c_vec")))
-      val ww = Window.partitionBy(col(id))
-        .orderBy(col("c_sim").desc, col("centroid_id"))
-      scored.withColumn("__cr", row_number().over(ww))
-        .filter(col("__cr") <= probes)
-        .select(col(id), col(vec), col("centroid_id"))
-    }
+        : DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          explode(nearestCells(col(vecCol), probes)).as("__cell"))
+        .select(col(id), col(vec),
+          col("__cell.centroid_id").as("centroid_id"))
 
+    // corpus cell assignment is unique (probes=1) and each query probes
+    // nprobe DISTINCT cells, so a (query, cand) pair joins at most once —
+    // no dedup pass needed before ranking.
     val cells = assign(corpus, "cand_id", "c_vec2", probes = 1)
     val probed = broadcast(assign(queries, "query_id", "q_vec", nprobe))
     val scored = probed.join(cells, Seq("centroid_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         cosine(col("q_vec"), col("c_vec2")).as("cos"))
-      .distinct()
       .withColumn("cos_r", round(col("cos"), 6))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_r").desc, col("cand_id"))

@@ -197,17 +197,28 @@ object Dedup {
     * recursive reachability query.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not cache) on BOTH the edge list and each
+    // iteration's labels: caching alone keeps the full logical plan, so
+    // the analyzer/optimizer re-walk a tree that grows by one
+    // join+union+agg layer per iteration — planning cost quadratic in
+    // iterations, and a lost executor would recompute the entire pair
+    // pipeline. Checkpointing truncates lineage to the materialized
+    // blocks, so every iteration plans/compiles the same tiny 3-node
+    // plan. (On a real cluster `spark.checkpoint` to reliable storage
+    // every N iterations is the durable variant; the loop structure is
+    // identical.)
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("lbl", col("id"))
-      .cache()
+      .localCheckpoint()
     // labels only ever DECREASE, so Σ lbl is strictly monotone until the
     // fixpoint — one cheap sum per iteration detects convergence, no
-    // old-vs-new comparison join, no extra materializing action.
+    // old-vs-new comparison join. The sum scans the blocks the eager
+    // checkpoint just materialized.
     var prevSum = Option.empty[String]
     var iter = 0
     var converged = false
@@ -218,7 +229,7 @@ object Dedup {
         .select(col("src").as("id"), col("lbl"))
         .union(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .cache()
+        .localCheckpoint()
       // exact decimal sum — a long sum could overflow-alias with 64-bit
       // ids at lake scale
       val s = next.agg(sum(col("lbl").cast("decimal(38,0)")))

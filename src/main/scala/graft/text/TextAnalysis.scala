@@ -97,6 +97,15 @@ object TextAnalysis {
     docs.select(
       col(idCol),
       md5(col(textCol)).as("fp_full"),
-      array_min(transform(shingles(toks, 3), s => md5(s))).as("fp_minshingle"))
+      org.apache.spark.sql.graft.Native.minShingleMd5(toks)
+        .as("fp_minshingle"))
   }
+
+  /** Pre-native HOF formulation of the min-shingle fingerprint — two
+    * interpreted `transform` lambdas; kept as the equivalence reference
+    * for the codegen'd `graft_min_shingle_md5` kernel
+    * (FingerprintExpressionSpec).
+    */
+  def minShingleMd5Hof(toks: Column): Column =
+    array_min(transform(shingles(toks, 3), s => md5(s)))
 }

@@ -44,6 +44,17 @@ object Native {
   def shingles(tokens: Column, k: Int): Column =
     c(ShingleHashes(e(tokens), k))
 
+  /** Min MD5-hex over 3-shingles of a token array (1-perm MinHash). */
+  def minShingleMd5(tokens: Column): Column = c(MinShingleMd5(e(tokens)))
+
+  /** struct → binary Avro (registry-converter wire value). */
+  def toAvro(value: Column): Column = c(AvroEncode(e(value)))
+
+  /** binary Avro → struct under the given read schema. */
+  def fromAvro(value: Column,
+               schema: org.apache.spark.sql.types.StructType): Column =
+    c(AvroDecode(e(value), schema))
+
   /** Register `graft_dot` / `graft_cosine` as SQL functions on an
     * existing session (idempotent).
     */

@@ -184,3 +184,81 @@ case class ShingleHashes(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression)
       : ShingleHashes = copy(child = newChild)
 }
+
+object MinShingleKernel {
+  /** Lexicographic-min MD5 hex digest over the k-shingle strings of a
+    * token array — the 1-permutation MinHash fingerprint. Equals
+    * `array_min(transform(shingles, s -> md5(s)))` exactly: MD5 runs
+    * over the bytes of "t_i t_{i+1} … t_{i+k-1}" (fed incrementally —
+    * the shingle string is never materialized), and min-hex-string ==
+    * min-unsigned-digest-bytes because per-byte hex encoding is order
+    * preserving. One MessageDigest instance per row, zero per-shingle
+    * allocations beyond the 16-byte digest.
+    */
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def compute(arr: ArrayData): Any = {
+    val k = 3
+    val n = arr.numElements()
+    if (n < k) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var best: Array[Byte] = null
+    var i = 0
+    while (i <= n - k) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        val t = arr.getUTF8String(i + j)
+        if (t != null) md.update(t.getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      if (best == null || java.util.Arrays.compareUnsigned(d, best) < 0)
+        best = d
+      i += 1
+    }
+    val hex = new Array[Char](32)
+    var b = 0
+    while (b < 16) {
+      hex(2 * b) = HexChars((best(b) >> 4) & 0xf)
+      hex(2 * b + 1) = HexChars(best(b) & 0xf)
+      b += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
+  }
+}
+
+/** Native min-shingle-MD5 fingerprint: `array<string>` tokens → the
+  * smallest MD5 hex among all 3-shingles. Replaces two interpreted
+  * higher-order `transform` lambdas (per-shingle string concat + boxed
+  * md5 calls — 6.6 s of the sf0.1 bench) with one primitive loop.
+  */
+case class MinShingleMd5(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_min_shingle_md5"
+
+  override protected def nullSafeEval(v: Any): Any =
+    MinShingleKernel.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val resTerm = ctx.freshName("minShingle")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |Object $resTerm = org.apache.spark.sql.graft.MinShingleKernel.compute($a);
+      |if ($resTerm == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $resTerm;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinShingleMd5 = copy(child = newChild)
+}
