@@ -306,6 +306,25 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("event_type")),
       None),
 
+    // Sketch quantiles — THE unbounded-group percentile path at 100 TB
+    // (SCALE.md): GK summaries are mergeable partials with an ε rank
+    // bound, so no group ever materializes its value list (contrast
+    // agg_percentile's exact sort-based path). Estimates are
+    // merge-order-specific ⇒ rows-only for the driver; the rank-error
+    // envelope and exactness-under-repartition are pinned in
+    // ApproxPercentileSpec.
+    Q("agg_approx_percentile",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
+        .select(col("event_type"),
+          col("pcts").getItem(0).as("p50"),
+          col("pcts").getItem(1).as("p90"),
+          col("pcts").getItem(2).as("p99"))
+        .orderBy(col("event_type")),
+      None),
+
     // first/last/nth value over an explicit full-partition frame (the
     // default frame would make last_value = current row — the classic
     // trap; stating ROWS UNBOUNDED..UNBOUNDED on both engines keeps it

@@ -21,11 +21,16 @@ import graft.cdc.Materialize
   * SURVEY.md §7.2); the Kafka variant is the same pipeline with
   * `format("kafka")` + key/value decode and is config-only here.
   *
-  * State is a versioned parquet directory with a `_CURRENT` pointer —
-  * a deliberately minimal copy-on-write table. At 100 TB you'd swap the
-  * sink for a merge-on-read table format (what DeltaStreamer does); the
-  * pipeline shape — one shuffle on key per micro-batch, state co-located
-  * by key — is the part that scales.
+  * State is a parquet table HASH-BUCKETED on the key into
+  * `Config.numBuckets` partition directories (`__bucket=<b>/`), merged
+  * PARTITION-SCOPED: a micro-batch rewrites only the buckets its keys
+  * hash into (Spark's dynamic partition overwrite); untouched buckets'
+  * files are not read, not rewritten, not even listed for write. Merge
+  * cost is therefore ∝ batch keys × (table size / numBuckets), never
+  * ∝ table size — the Hudi upsert shape (`/root/reference/README.md:22`:
+  * file groups touched by the batch are the only ones rewritten). At
+  * 100 TB you'd layer a table format's commit timeline on top for
+  * atomicity across buckets; the I/O scoping is the part that scales.
   */
 object CdcPipeline {
 
@@ -34,7 +39,13 @@ object CdcPipeline {
       tsCol: String = "ts",
       orderCols: Seq[String] = Seq("ts_us", "event_id"),
       opCol: String = "op",
-      watermarkDelay: String = "10 minutes")
+      watermarkDelay: String = "10 minutes",
+      numBuckets: Int = 32)
+
+  /** Deterministic bucket of a row's key — the unit of merge I/O. */
+  private[streaming] def bucketOf(cfg: Config): org.apache.spark.sql.Column =
+    pmod(xxhash64(cfg.keyCols.map(col): _*), lit(cfg.numBuckets))
+      .cast("int")
 
   /** File-backed change-event stream (schema must be supplied: streaming
     * sources cannot infer).
@@ -73,10 +84,12 @@ object CdcPipeline {
       .start()
   }
 
-  /** One micro-batch: reduce the batch to latest-per-key, then merge into
-    * the current state snapshot (copy-on-write + atomic pointer flip).
-    * Idempotent under batch replay: merging the same batch twice is a
-    * no-op because upsert is keyed.
+  /** One micro-batch, partition-scoped: reduce the batch to
+    * latest-per-key, read ONLY the state buckets the batch's keys hash
+    * into (partition-pruned scan), upsert, and dynamically overwrite
+    * ONLY those bucket directories. Idempotent under batch replay:
+    * merging the same batch twice rewrites the same buckets with the
+    * same rows.
     */
   def mergeBatch(batch: DataFrame, statePath: String, cfg: Config,
                  batchId: Long): Unit = {
@@ -84,46 +97,46 @@ object CdcPipeline {
     val spark = batch.sparkSession
     val order = cfg.orderCols.map(col)
     val latest = Materialize.latest(batch, cfg.keyCols, order)
-    val merged = currentState(spark, statePath) match {
-      case Some(state) =>
-        // Keep only strictly newer changes per key, then upsert: makes
-        // replayed batches (at-least-once restart) a true no-op.
+      .withColumn("__bucket", bucketOf(cfg))
+    val dataPath = s"$statePath/data"
+    val fs = new Path(dataPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // touched-bucket list: ≤ numBuckets ints, driver-side by design
+    val touched = latest.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val merged =
+      if (fs.exists(new Path(dataPath))) {
+        val state = spark.read.parquet(dataPath)
+          .filter(col("__bucket")
+            .isin(touched.toSeq.map(Integer.valueOf): _*))
         Materialize.upsert(state, latest.select(state.columns.map(col): _*),
           cfg.keyCols, cfg.opCol)
-      case None =>
-        Materialize.dropTombstones(latest, cfg.opCol)
+      } else Materialize.dropTombstones(latest, cfg.opCol)
+    // materialize before the write: the merge reads the same bucket
+    // directories it overwrites, and Spark (rightly) refuses a write
+    // whose plan still scans the destination.
+    val out = merged.localCheckpoint()
+    out.write
+      .partitionBy("__bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(dataPath)
+    // dynamic overwrite only rewrites buckets PRESENT in the output; a
+    // touched bucket whose every key was tombstoned produces no rows and
+    // would keep its stale files — delete those directories explicitly.
+    val stillPresent = out.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    (touched -- stillPresent).foreach { b =>
+      fs.delete(new Path(s"$dataPath/__bucket=$b"), true)
     }
-    val versionDir = s"$statePath/v$batchId"
-    merged.write.mode("overwrite").parquet(versionDir)
-    writePointer(spark, statePath, s"v$batchId")
   }
 
   /** Read the current materialized state, if any batch has committed. */
   def currentState(spark: SparkSession, statePath: String)
       : Option[DataFrame] = {
-    val fs = new Path(statePath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val ptr = new Path(statePath, "_CURRENT")
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      val version = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-      Some(spark.read.parquet(s"$statePath/$version"))
-    }
-  }
-
-  private def writePointer(spark: SparkSession, statePath: String,
-                           version: String): Unit = {
-    val fs = new Path(statePath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(statePath, s"_CURRENT.tmp")
-    val dst = new Path(statePath, "_CURRENT")
-    val out = fs.create(tmp, true)
-    try out.write(version.getBytes("UTF-8")) finally out.close()
-    // local FS rename won't clobber; delete-then-rename is fine for this
-    // single-writer sink (a real deployment uses a table format's commit).
-    if (fs.exists(dst)) fs.delete(dst, false)
-    fs.rename(tmp, dst)
+    val p = new Path(s"$statePath/data")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).drop("__bucket"))
   }
 }

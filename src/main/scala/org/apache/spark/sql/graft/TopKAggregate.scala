@@ -140,3 +140,216 @@ case class TopKPairs(
       newChildren: IndexedSeq[Expression]): TopKPairs =
     copy(value = newChildren(0), id = newChildren(1))
 }
+
+/** Ranked, payload-carrying top-k state. Entries are (v, id, payload)
+  * rows; the retained set is exactly the rows the corresponding window
+  * filter would keep under ORDER BY (v DESC NULLS LAST, id ASC):
+  *
+  *  - mode 0 (row_number ≤ k): the k best rows;
+  *  - mode 1 (rank ≤ k): rows with < k strictly-better rows — boundary
+  *    ties ALL qualify, so the set can exceed k exactly when the window
+  *    emits more than k rows;
+  *  - mode 2 (dense_rank ≤ k): rows in the first k distinct (v, id)
+  *    tie-groups.
+  *
+  * Retained size is k plus tie overhang (bounded by duplicate
+  * multiplicity of the ordering key, not by group size). Inserts append
+  * and trim lazily at 4k so per-row cost stays O(1) amortized.
+  */
+final class TopKRowsBuffer(val k: Int, val mode: Int) {
+  import scala.collection.mutable.ArrayBuffer
+
+  // (vDefined, v, id, payload)
+  var entries: ArrayBuffer[(Boolean, Double, Long, InternalRow)] =
+    ArrayBuffer.empty
+
+  /** best-first: v desc nulls last, id asc. */
+  private def cmp(a: (Boolean, Double, Long, InternalRow),
+                  b: (Boolean, Double, Long, InternalRow)): Int =
+    if (a._1 && b._1) {
+      val c = java.lang.Double.compare(b._2, a._2)
+      if (c != 0) c else java.lang.Long.compare(a._3, b._3)
+    } else if (a._1) -1
+    else if (b._1) 1
+    else java.lang.Long.compare(a._3, b._3)
+
+  private def samePair(a: (Boolean, Double, Long, InternalRow),
+                       b: (Boolean, Double, Long, InternalRow)): Boolean =
+    cmp(a, b) == 0
+
+  def insert(vDefined: Boolean, v: Double, id: Long,
+             payload: InternalRow): Unit = {
+    entries += ((vDefined, v, id, payload))
+    if (entries.length >= math.max(4 * k, 64)) trim()
+  }
+
+  def mergeFrom(other: TopKRowsBuffer): Unit = {
+    entries ++= other.entries
+    trim()
+  }
+
+  /** Reduce to exactly the qualifying set (sorted best-first). */
+  def trim(): Unit = {
+    val s = entries.sortWith((a, b) => cmp(a, b) < 0)
+    if (s.length <= k) { entries = s; return }
+    val kept = ArrayBuffer.empty[(Boolean, Double, Long, InternalRow)]
+    mode match {
+      case 0 =>
+        kept ++= s.take(k)
+      case 1 => // rank: keep whole tie-groups while groupStart < k
+        var i = 0
+        while (i < s.length && i < k) {
+          var j = i + 1
+          while (j < s.length && samePair(s(j), s(i))) j += 1
+          kept ++= s.slice(i, j)
+          i = j
+        }
+      case 2 => // dense_rank: keep the first k distinct tie-groups
+        var i = 0
+        var groups = 0
+        while (i < s.length && groups < k) {
+          var j = i + 1
+          while (j < s.length && samePair(s(j), s(i))) j += 1
+          kept ++= s.slice(i, j)
+          groups += 1
+          i = j
+        }
+    }
+    entries = kept
+  }
+
+  /** (entry, rank) best-first with mode-correct rank values. */
+  def ranked: Seq[((Boolean, Double, Long, InternalRow), Int)] = {
+    trim()
+    val out = ArrayBuffer.empty[((Boolean, Double, Long, InternalRow), Int)]
+    var i = 0
+    var groupIdx = 0
+    while (i < entries.length) {
+      var j = i + 1
+      while (j < entries.length && samePair(entries(j), entries(i))) j += 1
+      var p = i
+      while (p < j) {
+        val rk = mode match {
+          case 0 => p + 1
+          case 1 => i + 1
+          case 2 => groupIdx + 1
+        }
+        out += ((entries(p), rk))
+        p += 1
+      }
+      groupIdx += 1
+      i = j
+    }
+    out.toSeq
+  }
+}
+
+/** Ranked top-k rows per group as a [[TypedImperativeAggregate]]: the
+  * generalization of [[TopKPairs]] that (a) reproduces rank /
+  * dense_rank ≤ k tie semantics exactly and (b) carries an arbitrary
+  * payload struct through the aggregation, so `SELECT *`-under-rank
+  * rewrites stay lossless. Partial buffers combine map-side; ≤
+  * (k + tie-overhang)·partitions rows per group cross the exchange.
+  * Result: `array<struct<v, id, rk, p>>` best-first.
+  */
+case class TopKRows(
+    value: Expression,
+    id: Expression,
+    payload: Expression,
+    k: Int,
+    mode: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKRowsBuffer] {
+
+  require(k > 0, s"top-k needs k > 0, got $k")
+  require(mode >= 0 && mode <= 2, s"mode must be 0|1|2, got $mode")
+
+  private def payloadSchema: StructType =
+    payload.dataType.asInstanceOf[StructType]
+
+  override def children: Seq[Expression] = Seq(value, id, payload)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("v", DoubleType, nullable = true),
+      StructField("id", LongType, nullable = false),
+      StructField("rk", IntegerType, nullable = false),
+      StructField("p", payloadSchema, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_topk_rows"
+
+  override def createAggregationBuffer(): TopKRowsBuffer =
+    new TopKRowsBuffer(k, mode)
+
+  override def update(buf: TopKRowsBuffer, input: InternalRow)
+      : TopKRowsBuffer = {
+    val i = id.eval(input)
+    if (i != null) {
+      val v = value.eval(input)
+      val p = payload.eval(input).asInstanceOf[InternalRow]
+      val pCopy = if (p == null) InternalRow.empty else p.copy()
+      if (v != null)
+        buf.insert(vDefined = true, v.asInstanceOf[Double],
+          i.asInstanceOf[Long], pCopy)
+      else
+        buf.insert(vDefined = false, 0.0, i.asInstanceOf[Long], pCopy)
+    }
+    buf
+  }
+
+  override def merge(buf: TopKRowsBuffer, other: TopKRowsBuffer)
+      : TopKRowsBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: TopKRowsBuffer): Any =
+    new GenericArrayData(buf.ranked.map { case ((vDef, v, id, p), rk) =>
+      new GenericInternalRow(Array[Any](
+        if (vDef) v else null, id, rk, p))
+    }.toArray.asInstanceOf[Array[Any]])
+
+  override def serialize(buf: TopKRowsBuffer): Array[Byte] = {
+    buf.trim()
+    val proj = org.apache.spark.sql.catalyst.expressions
+      .UnsafeProjection.create(payloadSchema)
+    val rows = buf.entries.map { case (vDef, v, id, p) =>
+      (vDef, v, id, proj(p).getBytes)
+    }
+    val size = 4 + rows.map(17 + 4 + _._4.length).sum
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(rows.length)
+    rows.foreach { case (vDef, v, id, pb) =>
+      bb.put((if (vDef) 1 else 0): Byte)
+      bb.putDouble(v); bb.putLong(id)
+      bb.putInt(pb.length); bb.put(pb)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKRowsBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TopKRowsBuffer(k, mode)
+    val n = bb.getInt
+    (0 until n).foreach { _ =>
+      val vDef = bb.get() == 1
+      val v = bb.getDouble; val id = bb.getLong
+      val plen = bb.getInt
+      val pb = new Array[Byte](plen); bb.get(pb)
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .UnsafeRow(payloadSchema.length)
+      row.pointTo(pb, plen)
+      buf.insert(vDef, v, id, row)
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKRows =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKRows =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKRows =
+    copy(value = newChildren(0), id = newChildren(1),
+      payload = newChildren(2))
+}

@@ -68,24 +68,90 @@ class TopKRewriteSpec extends SparkSpec {
     assert(expected.exists(r => r.getString(0) == "b" && r.isNullAt(3)))
   }
 
-  test("rank() (not row_number) is NOT rewritten") {
-    val w = Window.partitionBy(col("grp")).orderBy(col("v").desc, col("id"))
-    val q = df.withColumn("rn", rank().over(w))
-      .filter(col("rn") <= 2).select("grp", "rn", "id", "v")
-    withRule {
-      assert(q.queryExecution.optimizedPlan.toString.contains("Window"))
-    }
+  // ties in the FULL ordering key (v, id) — the only way rank can
+  // diverge from row_number under this total order
+  private def tiedDf: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("a", 9.0, 0L, "w"), ("a", 7.0, 1L, "x"), ("a", 7.0, 1L, "y"),
+      ("a", 5.0, 2L, "z"),
+      ("b", 2.0, 5L, "p"), ("b", 2.0, 5L, "q"), ("b", 2.0, 5L, "r"),
+      ("b", 1.0, 6L, "s")).toDF("grp", "v", "id", "payload")
   }
 
-  test("extra payload column blocks the rewrite") {
-    import spark.implicits._
-    val d = Seq(("a", 5.0, 1L, "x")).toDF("grp", "v", "id", "payload")
-    val w = Window.partitionBy(col("grp")).orderBy(col("v").desc, col("id"))
-    val q = d.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2).select("grp", "rn", "id", "v", "payload")
-    withRule {
-      assert(q.queryExecution.optimizedPlan.toString.contains("Window"))
+  private def rankQuery(d: DataFrame, fn: org.apache.spark.sql.Column) = {
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("v").desc, col("id"))
+    d.withColumn("rn", fn.over(w))
+      .filter(col("rn") <= 2)
+      .select("grp", "rn", "id", "v")
+  }
+
+  // multiset compare: tied rows are IDENTICAL rows, a Set would collapse
+  private def rows(d: DataFrame): Seq[String] =
+    d.collect().map(_.toString).toSeq.sorted
+
+  test("rank() is rewritten; boundary ties all surface, ranks match") {
+    val expected = rows(rankQuery(tiedDf, rank()))
+    // NB: rebuild the Dataset inside withRule — queryExecution is cached
+    val (plan, got) = withRule {
+      val q = rankQuery(tiedDf, rank())
+      (q.queryExecution.optimizedPlan.toString, rows(q))
     }
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("graft_topk_rows"), plan)
+    assert(got === expected)
+    // group b: three rows tied at rank 1 — MORE than k rows survive
+    assert(got.count(_.startsWith("[b,")) === 3)
+  }
+
+  test("dense_rank() is rewritten; tie groups count once") {
+    val expected = rows(rankQuery(tiedDf, dense_rank()))
+    val got = withRule {
+      val q = rankQuery(tiedDf, dense_rank())
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Window"), plan)
+      rows(q)
+    }
+    assert(got === expected)
+    // group a under dense_rank <= 2: ranks 1 (9.0) and 2 (both 7.0 rows)
+    assert(got.count(_.startsWith("[a,")) === 3)
+  }
+
+  test("payload columns ride through the rewrite unchanged") {
+    def q = {
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("v").desc, col("id"))
+      tiedDf.filter(col("payload") =!= "y") // unique (v,id) per row
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).select("grp", "rn", "id", "v", "payload")
+    }
+    val expected = q.collect().toSet
+    val (plan, got) = withRule {
+      val q2 = q
+      (q2.queryExecution.optimizedPlan.toString, q2.collect().toSet)
+    }
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("graft_topk_rows"), plan)
+    assert(got === expected)
+    assert(got.forall(!_.isNullAt(4)))
+  }
+
+  test("rank + payload + nulls: full general path equals the window") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", Some(5.0), 1L, "m"), ("a", None, 2L, "n"), ("a", None, 3L, "o"),
+      ("b", None, 4L, "p")).toDF("grp", "v", "id", "payload")
+    val w = Window.partitionBy(col("grp")).orderBy(col("v").desc, col("id"))
+    def q = d.withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 2).select("grp", "rn", "id", "v", "payload")
+    val expected = q.collect().toSet
+    val got = withRule {
+      val q2 = q
+      assert(!q2.queryExecution.optimizedPlan.toString.contains("Window"))
+      q2.collect().toSet
+    }
+    assert(got === expected)
   }
 
   test("ascending value order blocks the rewrite") {

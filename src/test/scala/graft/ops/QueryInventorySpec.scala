@@ -24,7 +24,8 @@ class QueryInventorySpec extends SparkSpec {
   test("every query name has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only checks allowed ONLY for engine-specific hash/sketch ops
-    val allowed = Set("agg_approx_distinct", "agg_hll_sketch", "text_langid",
+    val allowed = Set("agg_approx_distinct", "agg_hll_sketch",
+      "agg_approx_percentile", "text_langid",
       "dedup_minhash", "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf")
     assert(noOracle === (allowed intersect noOracle))
     assert((allowed -- SparkEntry.queries.keySet).isEmpty,

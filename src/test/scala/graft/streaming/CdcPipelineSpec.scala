@@ -71,6 +71,63 @@ class CdcPipelineSpec extends SparkSpec {
       expected.select("key", "value")).isEmpty)
   }
 
+  test("merge rewrites only the buckets the batch's keys hash into") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("cdcscope").toString
+    val state = s"$base/state"
+    val cfg = CdcPipeline.Config(numBuckets = 8)
+    val full = feed.drop("ts")
+
+    // batch 1: the whole feed spreads keys across many buckets
+    CdcPipeline.mergeBatch(full, state, cfg, 0L)
+
+    def snapshot(): Map[String, (Long, String)] =
+      JFiles.walk(Paths.get(s"$state/data")).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map { p =>
+          val bytes = JFiles.readAllBytes(p)
+          (p.toString,
+            (JFiles.getLastModifiedTime(p).toMillis,
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(bytes).map("%02x".format(_)).mkString))
+        }.toMap
+    val before = snapshot()
+
+    // batch 2: one single key — exactly one bucket should change. Force
+    // op=u and a ts past everything so the upsert definitely lands.
+    val maxTs = full.agg(max("ts_us")).head().getLong(0)
+    val oneKey = full.orderBy(col("key"), col("ts_us")).limit(1)
+      .withColumn("ts_us", lit(maxTs + 1000000L))
+      .withColumn("op", lit("u"))
+    val touchedBucket = oneKey
+      .select(CdcPipeline.bucketOf(cfg).as("b")).head().getInt(0)
+    CdcPipeline.mergeBatch(oneKey, state, cfg, 1L)
+    val after = snapshot()
+
+    val untouchedBefore = before.filter {
+      case (p, _) => !p.contains(s"__bucket=$touchedBucket/")
+    }
+    val untouchedAfter = after.filter {
+      case (p, _) => !p.contains(s"__bucket=$touchedBucket/")
+    }
+    // untouched buckets: identical file paths, mtimes, and content bytes
+    assert(untouchedBefore === untouchedAfter)
+    // the touched bucket WAS rewritten
+    val touchedBefore = before.filter(_._1.contains(s"__bucket=$touchedBucket/"))
+    val touchedAfter = after.filter(_._1.contains(s"__bucket=$touchedBucket/"))
+    assert(touchedBefore !== touchedAfter)
+    // and the merged state is still correct: upserted key carries new ts
+    val st = CdcPipeline.currentState(spark, state).get
+    val k = oneKey.select("key").head().getString(0)
+    val expectedTs = Materialize.currentState(
+      full.unionByName(oneKey), Seq("key"),
+      Seq(col("ts_us"), col("event_id")))
+      .filter(col("key") === k).select("ts_us").head().getLong(0)
+    assert(st.filter(col("key") === k).select("ts_us").head().getLong(0)
+      === expectedTs)
+  }
+
   test("tombstoned keys are absent from the materialized state") {
     val base = Files.createTempDirectory("cdctomb").toString
     val (in, state, cp) = (s"$base/in", s"$base/state", s"$base/cp")
