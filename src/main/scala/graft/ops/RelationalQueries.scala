@@ -364,6 +364,34 @@ object RelationalQueries extends QueryPack {
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)),
 
+    // Payload-carrying ranked top-k via the graft_topk_rows aggregate
+    // (the TopKRewrite target shape, exercised directly): map-side
+    // bounded buffers carry (price, orderkey, custkey-payload) — the
+    // "SELECT * under rank" pattern without shuffling every row. The
+    // ordering key (price, orderkey) is unique per row, so rank() is
+    // deterministic and the DuckDB window formulation is an exact
+    // oracle.
+    Q("top_k_payload",
+      (s, d) => {
+        val tk = org.apache.spark.sql.graft.Native.topkRows(
+          col("o_totalprice"), col("o_orderkey"),
+          struct(col("o_custkey").as("o_custkey")), 3, 1)
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(tk.as("tk"))
+          .select(col("o_orderpriority"), explode(col("tk")).as("e"))
+          .select(col("o_orderpriority"), col("e.rk").as("rn"),
+            col("e.id").as("o_orderkey"), col("e.v").as("o_totalprice"),
+            col("e.p.o_custkey").as("o_custkey"))
+          .orderBy(col("o_orderpriority"), col("rn"))
+      },
+      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice, o_custkey
+        |FROM (
+        |  SELECT *, rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)),
+
     // Global top-N: Spark plans TakeOrderedAndProject — per-partition
     // heaps + driver merge of N rows, never a full sort at scale.
     Q("sort_limit",

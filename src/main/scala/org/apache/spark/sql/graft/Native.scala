@@ -33,6 +33,15 @@ object Native {
   def topk(value: Column, id: Column, k: Int): Column =
     c(TopKPairs(e(value), e(id), k).toAggregateExpression())
 
+  /** Ranked payload-carrying top-k aggregate: k best (value, id) rows
+    * per group with a payload struct riding through; mode 0|1|2 =
+    * row_number|rank|dense_rank ≤ k retained-set semantics.
+    */
+  def topkRows(value: Column, id: Column, payload: Column, k: Int,
+               mode: Int): Column =
+    c(TopKRows(e(value), e(id), e(payload), k, mode)
+      .toAggregateExpression())
+
   /** Codegen'd per-row 64-bit SimHash over a token array. */
   def simhash(tokens: Column): Column = c(SimHash(e(tokens)))
 

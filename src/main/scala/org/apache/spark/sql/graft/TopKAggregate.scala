@@ -265,6 +265,18 @@ case class TopKRows(
   require(k > 0, s"top-k needs k > 0, got $k")
   require(mode >= 0 && mode <= 2, s"mode must be 0|1|2, got $mode")
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (value.dataType != DoubleType)
+      TypeCheckFailure(s"value must be double, got ${value.dataType}")
+    else if (id.dataType != LongType)
+      TypeCheckFailure(s"id must be bigint, got ${id.dataType}")
+    else if (!payload.dataType.isInstanceOf[StructType])
+      TypeCheckFailure(s"payload must be a struct, got ${payload.dataType}")
+    else TypeCheckSuccess
+  }
+
   private def payloadSchema: StructType =
     payload.dataType.asInstanceOf[StructType]
 
@@ -313,8 +325,11 @@ case class TopKRows(
     buf.trim()
     val proj = org.apache.spark.sql.catalyst.expressions
       .UnsafeProjection.create(payloadSchema)
+    // proj REUSES its result row — and for fixed-width schemas getBytes
+    // returns the shared backing array itself, so every entry would
+    // alias the last projected payload. copy() first: private buffer.
     val rows = buf.entries.map { case (vDef, v, id, p) =>
-      (vDef, v, id, proj(p).getBytes)
+      (vDef, v, id, proj(p).copy().getBytes)
     }
     val size = 4 + rows.map(17 + 4 + _._4.length).sum
     val bb = ByteBuffer.allocate(size)

@@ -54,6 +54,26 @@ class TopKAggregateSpec extends SparkSpec {
     assert(got === Seq((7.0, 99L), (5.0, 10L), (5.0, 20L)))
   }
 
+  test("topkRows: fixed-width payloads stay associated across serde") {
+    // regression: UnsafeProjection's exactly-sized result row aliases
+    // its backing array via getBytes — every serialized entry carried
+    // the LAST payload until serialize copied the row first.
+    import spark.implicits._
+    val df = Seq(
+      ("g", 9.0, 1L, 101L), ("g", 8.0, 2L, 102L), ("g", 7.0, 3L, 103L),
+      ("g", 6.0, 4L, 104L), ("g", 5.0, 5L, 105L))
+      .toDF("grp", "v", "id", "pay")
+    Seq(df.coalesce(1), df.repartition(4)).foreach { d =>
+      val got = d.groupBy("grp")
+        .agg(Native.topkRows(col("v"), col("id"),
+          struct(col("pay")), 3, 1).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.id"), col("e.p.pay")).as[(Long, Long)]
+        .collect().toSeq.sorted
+      assert(got === Seq((1L, 101L), (2L, 102L), (3L, 103L)))
+    }
+  }
+
   test("graft_topk registered as a SQL function") {
     Native.install(spark)
     Tables.orders(spark, sf).createOrReplaceTempView("orders_tk")

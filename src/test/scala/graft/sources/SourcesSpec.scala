@@ -70,4 +70,25 @@ class SourcesSpec extends SparkSpec {
     assert(replay.options("startingTimestamp") === "1704067200000")
     assert(!replay.options.contains("startingOffsets"))
   }
+
+  test("kafka option keys are exactly Spark's kafka-source option names") {
+    // golden list from the spark-sql-kafka integration's documented
+    // options (Structured Streaming + Kafka guide) — a typo'd key would
+    // be silently ignored by the real source, so pin every key here.
+    val sourceAllowed = Set("kafka.bootstrap.servers", "subscribePattern",
+      "subscribe", "assign", "startingOffsets", "endingOffsets",
+      "startingTimestamp", "endingTimestamp", "failOnDataLoss",
+      "maxOffsetsPerTrigger", "minPartitions", "groupIdPrefix",
+      "includeHeaders")
+    val sinkAllowed = Set("kafka.bootstrap.servers", "topic",
+      "checkpointLocation", "includeHeaders")
+    val src = KafkaCdc.source("b:9092", "p", Seq("db"))
+    assert((src.options.keySet -- sourceAllowed).isEmpty,
+      s"unknown source options: ${src.options.keySet -- sourceAllowed}")
+    val srcTs = KafkaCdc.source("b:9092", "p", Seq("db"), Some(1L))
+    assert((srcTs.options.keySet -- sourceAllowed).isEmpty)
+    val snk = KafkaCdc.sink("b:9092", "/tmp/cp")
+    assert((snk.options.keySet -- sinkAllowed).isEmpty,
+      s"unknown sink options: ${snk.options.keySet -- sinkAllowed}")
+  }
 }
