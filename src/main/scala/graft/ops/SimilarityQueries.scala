@@ -31,6 +31,35 @@ object SimilarityQueries extends QueryPack {
 
   def queries: Seq[Q] = Seq(
 
+    // Per-vector kernel functions: L2 norm (fused native dot), component
+    // extrema, and a normalized component — the embarrassingly-parallel
+    // embedding hygiene pass (normalize-before-index) every vector
+    // pipeline runs. Zero shuffles; scalar outputs oracle exactly.
+    Q("fn_vector",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        val nrm = Similarity.norm(col("embedding"))
+        vecs.select(col("vec_id"),
+          round(nrm, 6).as("l2_norm"),
+          round(array_max(col("embedding")), 6).as("max_c"),
+          round(array_min(col("embedding")), 6).as("min_c"),
+          round(array_max(col("embedding")) / nrm, 6)
+            .as("max_c_normalized"),
+          size(col("embedding")).as("dim"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+        |  round(sqrt(list_dot_product(embedding::DOUBLE[],
+        |                              embedding::DOUBLE[])), 6) AS l2_norm,
+        |  round(list_max(embedding::DOUBLE[]), 6) AS max_c,
+        |  round(list_min(embedding::DOUBLE[]), 6) AS min_c,
+        |  round(list_max(embedding::DOUBLE[]) /
+        |        sqrt(list_dot_product(embedding::DOUBLE[],
+        |                              embedding::DOUBLE[])), 6)
+        |    AS max_c_normalized,
+        |  len(embedding) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
     // Exact ANN baseline: 8 broadcast queries × corpus scan, top-5.
     Q("sim_cosine_topk",
       (s, d) => {

@@ -38,6 +38,48 @@ object TextQueries extends QueryPack {
 
   def queries: Seq[Q] = Seq(
 
+    // Composite training-data pipeline: quality gate → exact dedup →
+    // per-language corpus stats — the end-to-end shape a 100 TB corpus
+    // build runs. Every stage is deterministic, so the whole pipeline
+    // oracles exactly. Scale shape: token stats are one map-side-partial
+    // agg; the dedup rep-set groups on a content digest (uniform);
+    // survivor selection is a key semi join; final agg is tiny.
+    Q("pipeline_clean_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val stats = TextAnalysis.tokenStats(docs)
+        val qual = docs.join(stats, Seq("doc_id"))
+          .filter(col("n_chars").between(50L, 5000L) &&
+            col("n_stop").cast("double") / col("n_tok").cast("double")
+              <= 0.6)
+        val reps = qual
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        qual.join(reps, Seq("doc_id"), "left_semi")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        | a AS (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |         count(CASE WHEN tok IN
+        |           ('the','a','an','of','and','to','in','is','it','for')
+        |           THEN 1 END) AS n_stop
+        |  FROM t GROUP BY doc_id),
+        | q AS (
+        |  SELECT d.doc_id, d.lang, d.text, a.n_tok
+        |  FROM documents d JOIN a USING (doc_id)
+        |  WHERE d.n_chars BETWEEN 50 AND 5000
+        |    AND CAST(a.n_stop AS DOUBLE) / a.n_tok <= 0.6),
+        | reps AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text))
+        |SELECT lang, count(*) AS n_docs, sum(n_tok) AS n_tokens
+        |FROM q JOIN reps USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Token counting: whitespace tokens + BPE-ish subword pieces.
     Q("text_tokens",
       (s, d) => Tables.documents(s, d)

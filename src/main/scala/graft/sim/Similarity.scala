@@ -137,8 +137,55 @@ object Similarity {
     * picked by id-stride (k-means iterations would refine them; the
     * partition-probe-rank shape is identical and stays deterministic).
     */
+  /** Nearest-cell structs (sorted best-first) for a vector against a
+    * LITERAL centroid table — a pure per-row expression, zero shuffle.
+    * struct(-sim, centroid_id) under ascending sort ranks sim DESC with
+    * id-ASC tie-break.
+    */
+  private def nearestCellStructs(vec: Column,
+                                 cents: Array[(Int, Array[Double])])
+      : Column =
+    sort_array(array(cents.map { case (cid, v) =>
+      struct((-cosine(vec, typedlit(v))).as("neg_sim"),
+        lit(cid).as("centroid_id"))
+    }: _*))
+
+  /** Lloyd refinement of a centroid table: assign every corpus vector to
+    * its nearest centroid (per-row argmax over literals, zero shuffle),
+    * then recompute each cell's mean with the O(dim)-state
+    * `graft_vecsum` aggregate — ONE nlist-key shuffle per iteration,
+    * never a (row × dim) explode. Cells that go empty keep their seed.
+    * Refined means are deterministic only up to double reassociation, so
+    * refinement is opt-in where bit-stable output matters.
+    */
+  def refineCentroids(corpus: DataFrame,
+                      seeds: Array[(Int, Array[Double])],
+                      iters: Int,
+                      vecCol: String = "embedding")
+      : Array[(Int, Array[Double])] = {
+    var cur = seeds
+    (0 until iters).foreach { _ =>
+      val assigned = corpus.select(
+        element_at(nearestCellStructs(col(vecCol), cur), 1)
+          .getField("centroid_id").as("centroid_id"),
+        col(vecCol).as("v"))
+      val agg = assigned.groupBy("centroid_id")
+        .agg(org.apache.spark.sql.graft.Native.vecsum(col("v")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map { r =>
+          val sum = r.getSeq[Double](1).toArray
+          val n = r.getLong(2).toDouble
+          (r.getInt(0), sum.map(_ / n))
+        }.toMap
+      cur = cur.map { case (cid, seed) => (cid, agg.getOrElse(cid, seed)) }
+    }
+    cur
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 3,
+              refineIters: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
     // deterministic coarse quantizer: id-strided seed vectors — no
@@ -152,7 +199,7 @@ object Similarity {
     val stride = math.max(1L, n / nlist)
     // element type widened to double literals: float→double is exact, and
     // the cosine kernel upcasts its inputs to double regardless.
-    val cents: Array[(Int, Array[Double])] = corpus
+    val seeds: Array[(Int, Array[Double])] = corpus
       .filter(col(idCol) % stride === 0 && col(idCol) < stride * nlist)
       .select(expr(s"cast($idCol div $stride as int)"), col(vecCol))
       .collect()
@@ -161,16 +208,15 @@ object Similarity {
         case d: Double => d
       }.toArray))
       .sortBy(_._1)
+    val cents =
+      if (refineIters > 0) refineCentroids(corpus, seeds, refineIters, vecCol)
+      else seeds
 
-    // struct(-sim, centroid_id) under ascending sort ranks sim DESC with
-    // id-ASC tie-break — the exact ordering the former row_number window
-    // produced. sort_array + slice picks the nprobe nearest cells
-    // per-row, inside whole-stage codegen.
+    // sort_array + slice picks the nprobe nearest cells per-row, inside
+    // whole-stage codegen (ordering identical to the former row_number
+    // window: sim desc, centroid_id asc).
     def nearestCells(vec: Column, probes: Int): Column =
-      slice(sort_array(array(cents.map { case (cid, v) =>
-        struct((-cosine(vec, typedlit(v))).as("neg_sim"),
-          lit(cid).as("centroid_id"))
-      }: _*)), 1, probes)
+      slice(nearestCellStructs(vec, cents), 1, probes)
 
     def assign(df: DataFrame, id: String, vec: String, probes: Int)
         : DataFrame =

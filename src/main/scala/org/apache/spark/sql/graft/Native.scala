@@ -53,6 +53,10 @@ object Native {
   def shingles(tokens: Column, k: Int): Column =
     c(ShingleHashes(e(tokens), k))
 
+  /** Element-wise vector-sum aggregate (O(dim) state, k-means update). */
+  def vecsum(vec: Column): Column =
+    c(VectorSum(e(vec)).toAggregateExpression())
+
   /** Min MD5-hex over 3-shingles of a token array (1-perm MinHash). */
   def minShingleMd5(tokens: Column): Column = c(MinShingleMd5(e(tokens)))
 

@@ -110,3 +110,86 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
 }
+
+/** Element-wise sum of `array<double>` vectors as a
+  * [[org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate]]:
+  * O(dim) state per group regardless of group size, map-side partial
+  * sums — the building block for distributed centroid computation
+  * (k-means update step) without exploding vectors into (row × dim)
+  * shuffles. NOTE: double addition order across partitions is not
+  * fixed, so sums are deterministic only up to floating-point
+  * reassociation — callers that need bit-stability must keep the
+  * aggregate out of oracle-hashed outputs (the IVF refinement loop
+  * tolerates it by design).
+  */
+case class VectorSum(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Double]] with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType))
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_vecsum"
+
+  override def createAggregationBuffer(): Array[Double] =
+    Array.emptyDoubleArray
+
+  override def update(buf: Array[Double],
+                      input: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = if (buf.length >= n) buf else {
+      val grown = new Array[Double](n)
+      System.arraycopy(buf, 0, grown, 0, buf.length)
+      grown
+    }
+    var i = 0
+    while (i < n) { out(i) += arr.getDouble(i); i += 1 }
+    out
+  }
+
+  override def merge(buf: Array[Double], other: Array[Double])
+      : Array[Double] = {
+    val (big, small) = if (buf.length >= other.length) (buf, other)
+                       else (other, buf)
+    var i = 0
+    while (i < small.length) { big(i) += small(i); i += 1 }
+    big
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.length * 8)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Double](bb.getInt)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getDouble; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VectorSum =
+    copy(child = newChildren(0))
+}

@@ -31,6 +31,40 @@ class IvfSpec extends SparkSpec {
       "IVF produced a (query,cand,cosine) brute force disagrees with")
   }
 
+  test("Lloyd refinement lowers mean quantization error, keeps recall") {
+    import org.apache.spark.sql.DataFrame
+    def meanBestSim(cents: Array[(Int, Array[Double])],
+                    corpus: DataFrame): Double = {
+      val best = cents.map { case (_, v) =>
+        Similarity.cosine(col("embedding"),
+          org.apache.spark.sql.functions.typedlit(v))
+      }.reduce((a, b) => greatest(a, b))
+      corpus.agg(avg(best)).head().getDouble(0)
+    }
+    val corpus = vecs
+    val n = corpus.count()
+    val stride = math.max(1L, n / 16)
+    val seeds = corpus
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * 16)
+      .select(expr(s"cast(vec_id div $stride as int)"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val refined = Similarity.refineCentroids(corpus, seeds, iters = 2)
+    val before = meanBestSim(seeds, corpus)
+    val after = meanBestSim(refined, corpus)
+    // Lloyd monotonically improves within-cell similarity (mean cosine
+    // to the nearest centroid) — require a real improvement, not noise
+    assert(after > before + 1e-4, s"refine did not improve: $before -> $after")
+
+    // recall with refined centroids stays at the planted-dup bar
+    val queries = planted.filter(col("vec_id") >= 100000L)
+    val top = Similarity.ivfTopK(planted, queries, 1, nlist = 16,
+      nprobe = 3, refineIters = 2)
+    val hits = top.filter(col("cand_id") === col("query_id") - 100000L)
+    assert(hits.count() >= (queries.count() * 0.9).toLong)
+  }
+
   test("IVF probes bound the scanned fraction of the corpus") {
     val queries = vecs.filter(col("vec_id") < 8)
     val top = Similarity.ivfTopK(vecs, queries, 1000, nlist = 16, nprobe = 2)
