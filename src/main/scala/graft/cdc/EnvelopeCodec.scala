@@ -56,24 +56,32 @@ object EnvelopeCodec {
     * raw Avro binary encoding of the envelope record, the payload a
     * registry converter frames.
     */
-  def encodeAvro(envelopes: DataFrame): DataFrame =
+  def encodeAvro(envelopes: DataFrame,
+                 passthrough: Seq[String] = Nil): DataFrame =
     envelopes.select(
-      col("key").cast("string").as("key"),
-      org.apache.spark.sql.graft.Native.toAvro(
-        struct(col("before"), col("after"), col("source"),
-          col("op"), col("ts_us"))).as("value"),
-      col("topic"))
+      (Seq(
+        col("key").cast("string").as("key"),
+        org.apache.spark.sql.graft.Native.toAvro(
+          struct(col("before"), col("after"), col("source"),
+            col("op"), col("ts_us"))).as("value"),
+        col("topic")) ++ passthrough.map(col)): _*)
 
-  /** Decode keyed binary-Avro wire records with an explicit row schema. */
-  def decodeAvro(records: DataFrame, rowSchema: StructType): DataFrame =
+  /** Decode keyed binary-Avro wire records with an explicit row schema.
+    * `passthrough` columns (consumer-side record metadata — the Kafka
+    * topic/partition/offset analog) ride alongside untouched.
+    */
+  def decodeAvro(records: DataFrame, rowSchema: StructType,
+                 passthrough: Seq[String] = Nil): DataFrame =
     records.select(
-      col("key").cast("string").as("key"),
-      org.apache.spark.sql.graft.Native.fromAvro(
-        col("value"), envelopeSchema(rowSchema)).as("env"),
-      col("topic"))
-      .select(col("key"), col("env.before").as("before"),
+      (Seq(
+        col("key").cast("string").as("key"),
+        org.apache.spark.sql.graft.Native.fromAvro(
+          col("value"), envelopeSchema(rowSchema)).as("env"),
+        col("topic")) ++ passthrough.map(col)): _*)
+      .select((Seq(col("key"), col("env.before").as("before"),
         col("env.after").as("after"), col("env.source").as("source"),
-        col("env.op").as("op"), col("env.ts_us").as("ts_us"), col("topic"))
+        col("env.op").as("op"), col("env.ts_us").as("ts_us"),
+        col("topic")) ++ passthrough.map(col)): _*)
 
   /** Decode a topic history whose value schema evolved: each version's
     * slice decodes with its registered schema, then the frames normalize

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, MinHashSig, ShingleHashes, SimHash, TopKPairs, TopKRewriteRule}
+import org.apache.spark.sql.graft.{AvroEncode, CosineSimilarity, DotProduct, MinHashSig, MinShingleMd5, ShingleHashes, SimHash, TopKPairs, TopKRewriteRule, VectorSum}
 
 /** Public extension injector: enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions` to get the
@@ -40,7 +40,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
       (args: Seq[Expression]) => ShingleHashes(args(0),
         args(1).eval().asInstanceOf[Number].intValue())))
-    // window-top-k → graft_topk partial aggregate (lossless pattern only)
+    ext.injectFunction((
+      FunctionIdentifier("graft_min_shingle_md5"),
+      new ExpressionInfo(classOf[MinShingleMd5].getName,
+        "graft_min_shingle_md5"),
+      (args: Seq[Expression]) => MinShingleMd5(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vecsum"),
+      new ExpressionInfo(classOf[VectorSum].getName, "graft_vecsum"),
+      (args: Seq[Expression]) => VectorSum(args(0))
+        .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_to_avro"),
+      new ExpressionInfo(classOf[AvroEncode].getName, "graft_to_avro"),
+      (args: Seq[Expression]) => AvroEncode(args(0))))
+    // graft_from_avro needs a StructType argument — SQL callers pass a
+    // DDL string: graft_from_avro(value, 'a INT, b STRING')
+    ext.injectFunction((
+      FunctionIdentifier("graft_from_avro"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.AvroDecode].getName,
+        "graft_from_avro"),
+      (args: Seq[Expression]) => org.apache.spark.sql.graft.AvroDecode(
+        args(0),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          args(1).eval().toString))))
+    // window-top-k → graft_topk[_rows] partial aggregate (lossless
+    // patterns only: row_number/rank/dense_rank, optional payload)
     ext.injectOptimizerRule(_ => TopKRewriteRule)
   }
 }

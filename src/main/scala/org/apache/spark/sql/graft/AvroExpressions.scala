@@ -145,12 +145,22 @@ case class AvroEncode(child: Expression)
     AvroSchemas.toAvroSchema(structType, "Envelope")
   @transient private lazy val writer =
     new GenericDatumWriter[GenericRecord](avroSchema)
+  // per-thread stream+encoder reuse: one allocation per task, not per
+  // row (binaryEncoder(_, reuse) rebinds the buffered encoder cheaply)
+  @transient private lazy val local =
+    new ThreadLocal[(ByteArrayOutputStream,
+        Array[org.apache.avro.io.BinaryEncoder])] {
+      override def initialValue() =
+        (new ByteArrayOutputStream(), Array(null: org.apache.avro.io.BinaryEncoder))
+    }
 
   override protected def nullSafeEval(input: Any): Any = {
     val rec = AvroSchemas
       .toAvro(input, structType, avroSchema).asInstanceOf[GenericRecord]
-    val baos = new ByteArrayOutputStream()
-    val enc = EncoderFactory.get().binaryEncoder(baos, null)
+    val (baos, encHolder) = local.get()
+    baos.reset()
+    val enc = EncoderFactory.get().binaryEncoder(baos, encHolder(0))
+    encHolder(0) = enc
     writer.write(rec, enc)
     enc.flush()
     baos.toByteArray
@@ -176,10 +186,17 @@ case class AvroDecode(child: Expression, schema: StructType)
     AvroSchemas.toAvroSchema(schema, "Envelope")
   @transient private lazy val reader =
     new GenericDatumReader[GenericRecord](avroSchema)
+  @transient private lazy val local =
+    new ThreadLocal[Array[org.apache.avro.io.BinaryDecoder]] {
+      override def initialValue() =
+        Array(null: org.apache.avro.io.BinaryDecoder)
+    }
 
   override protected def nullSafeEval(input: Any): Any = {
+    val holder = local.get()
     val dec = DecoderFactory.get()
-      .binaryDecoder(input.asInstanceOf[Array[Byte]], null)
+      .binaryDecoder(input.asInstanceOf[Array[Byte]], holder(0))
+    holder(0) = dec
     AvroSchemas.fromAvro(reader.read(null, dec), schema)
   }
 

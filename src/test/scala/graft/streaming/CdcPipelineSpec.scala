@@ -71,6 +71,45 @@ class CdcPipelineSpec extends SparkSpec {
       expected.select("key", "value")).isEmpty)
   }
 
+  test("binary-Avro wire feed streams to the same materialized state") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("cdcavro").toString
+    val (in, state, cp) = (s"$base/in", s"$base/state", s"$base/cp")
+    val rowSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+
+    // producer side: envelope → binary Avro wire records (+ event_id as
+    // the record-metadata analog of a Kafka offset)
+    val env = graft.cdc.ChangeFeed.envelope(Tables.events(spark, sf))
+    graft.cdc.EnvelopeCodec.encodeAvro(env, passthrough = Seq("event_id"))
+      .write.mode("append").parquet(in)
+
+    // consumer side: stream the wire, decode INSIDE the stream, flatten,
+    // and run the standard dedup→merge pipeline
+    val wireSchema = StructType(Seq(
+      StructField("key", StringType),
+      StructField("value", BinaryType),
+      StructField("topic", StringType),
+      StructField("event_id", LongType)))
+    val wire = spark.readStream.schema(wireSchema).parquet(in)
+    val decoded = graft.cdc.EnvelopeCodec
+      .decodeAvro(wire, rowSchema, passthrough = Seq("event_id"))
+      .select(col("key"), col("event_id"), col("ts_us"),
+        col("after.value").as("value"), col("after.props").as("props"),
+        col("op"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = CdcPipeline.start(decoded, state, cp)
+    q.awaitTermination()
+
+    val fin = CdcPipeline.currentState(spark, state).get
+    val expected = expectedState(feed)
+    assert(fin.count() === expected.count())
+    assert(fin.select("key", "value", "props").except(
+      expected.select("key", "value", "props")).isEmpty)
+  }
+
   test("merge rewrites only the buckets the batch's keys hash into") {
     import java.nio.file.{Files => JFiles, Paths}
     import scala.jdk.CollectionConverters._

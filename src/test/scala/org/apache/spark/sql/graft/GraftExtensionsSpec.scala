@@ -21,7 +21,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
     val reg = ext.registerFunctions(FunctionRegistry.builtin.clone())
     Seq("graft_dot", "graft_cosine", "graft_topk", "graft_simhash",
-      "graft_minhash", "graft_shingles").foreach { f =>
+      "graft_minhash", "graft_shingles", "graft_min_shingle_md5",
+      "graft_vecsum", "graft_to_avro", "graft_from_avro").foreach { f =>
       assert(reg.functionExists(FunctionIdentifier(f)), s"missing $f")
     }
 
