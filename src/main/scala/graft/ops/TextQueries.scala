@@ -38,6 +38,22 @@ object TextQueries extends QueryPack {
 
   def queries: Seq[Q] = Seq(
 
+    // Vocabulary build: corpus-wide token frequencies, top-100 — the
+    // tokenizer-training precursor. explode → count is ONE map-side-
+    // partial aggregation on a high-cardinality uniform key; the top-k
+    // is TakeOrderedAndProject (per-partition heaps + driver merge of
+    // 100 rows), never a full sort.
+    Q("text_vocab",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok"))
+        .limit(100),
+      Some("""SELECT tok, count(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY tok ORDER BY freq DESC, tok LIMIT 100""".stripMargin)),
+
     // Composite training-data pipeline: quality gate → exact dedup →
     // per-language corpus stats — the end-to-end shape a 100 TB corpus
     // build runs. Every stage is deterministic, so the whole pipeline
