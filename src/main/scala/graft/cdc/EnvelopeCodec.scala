@@ -93,11 +93,29 @@ object EnvelopeCodec {
     */
   def decodeEvolved(records: DataFrame, registry: SchemaRegistry,
                     subject: String, versionCol: String = "schema_version")
+      : DataFrame =
+    decodeEvolvedWith(records, registry, subject, versionCol, decode)
+
+  /** [[decodeEvolved]] for a binary-Avro topic history: identical
+    * version dispatch, Avro serde per slice — the registry-consumer
+    * resolution path (writer version looked up, then decoded).
+    */
+  def decodeEvolvedAvro(records: DataFrame, registry: SchemaRegistry,
+                        subject: String,
+                        versionCol: String = "schema_version")
+      : DataFrame =
+    decodeEvolvedWith(records, registry, subject, versionCol,
+      decodeAvro(_, _))
+
+  private def decodeEvolvedWith(records: DataFrame,
+                                registry: SchemaRegistry, subject: String,
+                                versionCol: String,
+                                decodeFn: (DataFrame, StructType) => DataFrame)
       : DataFrame = {
     val versions = registry.history(subject)
     require(versions.nonEmpty, s"no schemas registered for $subject")
     val frames = versions.zipWithIndex.map { case (rowSchema, i) =>
-      decode(records.filter(col(versionCol) === (i + 1)), rowSchema)
+      decodeFn(records.filter(col(versionCol) === (i + 1)), rowSchema)
         .withColumn(versionCol, lit(i + 1))
     }
     SchemaEvolution.normalizeHistory(frames)

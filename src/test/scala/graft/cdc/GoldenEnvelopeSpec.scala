@@ -108,6 +108,41 @@ class GoldenEnvelopeSpec extends SparkSpec {
     assert(rec.get("before") != null)
   }
 
+  test("mixed-version binary-Avro history decodes and normalizes") {
+    val reg = new SchemaRegistry()
+    reg.register("person-avro", rowSchema)
+    val v2 = StructType(rowSchema.fields :+
+      StructField("email", StringType, nullable = true))
+    assert(reg.register("person-avro", v2).isRight)
+
+    // v1 records encoded under the v1 row schema
+    val wireV1 = EnvelopeCodec
+      .encodeAvro(golden.withColumn("topic", lit("t")))
+      .withColumn("schema_version", lit(1))
+    // one v2 record (extra email column) encoded under the v2 schema
+    import spark.implicits._
+    val v2env = Seq(("9", "zoe", 20L, "z@x"))
+      .toDF("id9", "name9", "age9", "email9")
+      .select(col("id9").as("key"),
+        lit(null).cast(v2).as("before"),
+        struct(col("id9").cast("long").as("id"), col("name9").as("name"),
+          col("age9").as("age"), col("email9").as("email")).as("after"),
+        struct(lit("d").as("db"), lit("t").as("table"),
+          lit(1L).as("server_id"), lit(900L).as("ts_us")).as("source"),
+        lit("c").as("op"), lit(900L).as("ts_us"), lit("t").as("topic"))
+    val wireV2 = EnvelopeCodec.encodeAvro(v2env)
+      .withColumn("schema_version", lit(2))
+
+    val decoded = EnvelopeCodec.decodeEvolvedAvro(
+      wireV1.unionByName(wireV2), reg, "person-avro")
+    assert(decoded.count() === 13)
+    assert(decoded.filter(col("schema_version") === 1)
+      .filter(col("after").isNotNull)
+      .filter(col("after.email").isNotNull).isEmpty)
+    assert(decoded.filter(col("key") === "9")
+      .select(col("after.email")).head().getString(0) === "z@x")
+  }
+
   test("evolved history decodes per-version and normalizes columns") {
     val reg = new SchemaRegistry()
     reg.register("person-value", rowSchema)
