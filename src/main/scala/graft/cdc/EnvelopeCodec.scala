@@ -69,14 +69,18 @@ object EnvelopeCodec {
   /** Decode keyed binary-Avro wire records with an explicit row schema.
     * `passthrough` columns (consumer-side record metadata — the Kafka
     * topic/partition/offset analog) ride alongside untouched.
+    * `permissive = true` nulls malformed values (poison pills) so the
+    * pipeline can quarantine them (`WHERE op IS NULL`) instead of dying.
     */
   def decodeAvro(records: DataFrame, rowSchema: StructType,
-                 passthrough: Seq[String] = Nil): DataFrame =
+                 passthrough: Seq[String] = Nil,
+                 permissive: Boolean = false): DataFrame =
     records.select(
       (Seq(
         col("key").cast("string").as("key"),
         org.apache.spark.sql.graft.Native.fromAvro(
-          col("value"), envelopeSchema(rowSchema)).as("env"),
+          col("value"), envelopeSchema(rowSchema),
+          failOnError = !permissive).as("env"),
         col("topic")) ++ passthrough.map(col)): _*)
       .select((Seq(col("key"), col("env.before").as("before"),
         col("env.after").as("after"), col("env.source").as("source"),

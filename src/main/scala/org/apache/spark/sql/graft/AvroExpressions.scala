@@ -174,8 +174,14 @@ case class AvroEncode(child: Expression)
   * reader schema — version dispatch happens a level up in
   * [[graft.cdc.EnvelopeCodec.decodeEvolved]], exactly as a registry
   * consumer resolves the writer version before decoding).
+  *
+  * `failOnError = false` is PERMISSIVE mode: malformed bytes decode to
+  * null instead of failing the task — the from_json/from_avro
+  * convention that lets a pipeline quarantine poison-pill records
+  * (`WHERE decoded IS NULL`) rather than dying mid-stream.
   */
-case class AvroDecode(child: Expression, schema: StructType)
+case class AvroDecode(child: Expression, schema: StructType,
+                      failOnError: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = schema
@@ -197,7 +203,10 @@ case class AvroDecode(child: Expression, schema: StructType)
     val dec = DecoderFactory.get()
       .binaryDecoder(input.asInstanceOf[Array[Byte]], holder(0))
     holder(0) = dec
-    AvroSchemas.fromAvro(reader.read(null, dec), schema)
+    if (failOnError) AvroSchemas.fromAvro(reader.read(null, dec), schema)
+    else
+      try AvroSchemas.fromAvro(reader.read(null, dec), schema)
+      catch { case scala.util.control.NonFatal(_) => null }
   }
 
   override protected def withNewChildInternal(newChild: Expression)

@@ -63,10 +63,14 @@ object Native {
   /** struct → binary Avro (registry-converter wire value). */
   def toAvro(value: Column): Column = c(AvroEncode(e(value)))
 
-  /** binary Avro → struct under the given read schema. */
+  /** binary Avro → struct under the given read schema. Permissive mode
+    * (`failOnError = false`) nulls malformed records instead of failing
+    * the task.
+    */
   def fromAvro(value: Column,
-               schema: org.apache.spark.sql.types.StructType): Column =
-    c(AvroDecode(e(value), schema))
+               schema: org.apache.spark.sql.types.StructType,
+               failOnError: Boolean = true): Column =
+    c(AvroDecode(e(value), schema, failOnError))
 
   /** Register `graft_dot` / `graft_cosine` as SQL functions on an
     * existing session (idempotent).

@@ -108,6 +108,29 @@ class GoldenEnvelopeSpec extends SparkSpec {
     assert(rec.get("before") != null)
   }
 
+  test("permissive Avro decode quarantines poison pills, strict fails") {
+    import spark.implicits._
+    val good = EnvelopeCodec.encodeAvro(golden.withColumn("topic", lit("t")))
+    val poison = Seq(("x", Array[Byte](1, 2, 3), "t"))
+      .toDF("key", "value", "topic")
+    val wire = good.unionByName(poison)
+
+    val permissive = EnvelopeCodec.decodeAvro(wire, rowSchema,
+      permissive = true)
+    assert(permissive.count() === golden.count() + 1)
+    // poison row decodes to a null envelope (op is non-null in every
+    // real record) and is filterable; good rows decode intact
+    assert(permissive.filter(col("op").isNull).count() === 1)
+    assert(permissive.filter(col("op").isNotNull).count() === golden.count())
+
+    // NB: count() would prune the decode expression — materialize rows.
+    // Local mode may surface the raw decode error unwrapped.
+    val strict = EnvelopeCodec.decodeAvro(wire, rowSchema)
+    assertThrows[Exception] {
+      strict.collect()
+    }
+  }
+
   test("mixed-version binary-Avro history decodes and normalizes") {
     val reg = new SchemaRegistry()
     reg.register("person-avro", rowSchema)

@@ -72,6 +72,39 @@ class QueryInventorySpec extends SparkSpec {
     assert(plan("join_skew_salted").contains("Generate"))
   }
 
+  test("sim_ann_ivf: no Exchange before candidate ranking") {
+    // round-2 contract: cell assignment is a per-row argmax over literal
+    // centroids — the corpus side must reach the (broadcast) probe join
+    // through scan→project→generate only, with NO shuffle. The only
+    // Exchanges allowed are the per-query ranking shuffle and the final
+    // presentation sort.
+    val p = plan("sim_ann_ivf")
+    assert(!p.contains("CartesianProduct") && !p.contains("crossJoin"), p)
+    // corpus side feeds the broadcast join directly: between the
+    // embeddings scan and the BroadcastHashJoin there is no Exchange
+    val lines = p.linesIterator.toSeq
+    val scanIdx = lines.lastIndexWhere(_.contains("embeddings.parquet"))
+    val joinIdx = lines.lastIndexWhere(_.contains("BroadcastHashJoin"))
+    assert(joinIdx >= 0 && scanIdx > joinIdx, p)
+    val between = lines.slice(joinIdx, scanIdx)
+    assert(!between.exists(l => l.contains("Exchange") &&
+      !l.contains("BroadcastExchange")),
+      s"corpus shuffled before candidate ranking:\n${between.mkString("\n")}")
+  }
+
+  test("top_k_payload runs as a partial-combinable graft_topk_rows") {
+    val p = plan("top_k_payload")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_graft_topk_rows"),
+      "map-side partial aggregation missing for payload top-k")
+  }
+
+  test("pipeline_clean_corpus: quality filter precedes the dedup shuffle") {
+    val p = plan("pipeline_clean_corpus")
+    // survivor selection must be a semi join, not a full join
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
