@@ -134,4 +134,43 @@ object Multimodal {
     meta.select(col("doc_id"), col("width"), col("height"),
       outW.as("out_w"), outH.as("out_h"))
   }
+
+  /** STUB embedder — deterministic pseudo-embedding from (id, payload
+    * size) in EXACT dyadic arithmetic (every component is k/1024 with
+    * |k| ≤ 1024, exactly representable in float AND double), so a SQL
+    * oracle reproduces the vectors bitwise. A real implementation runs
+    * a vision/text encoder over the batch here.
+    */
+  def embedStub(id: Long, bytes: Array[Byte], dim: Int): Array[Float] = {
+    val n = if (bytes == null) 0L else bytes.length.toLong
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      val h = (id * 2654435761L + j * 40503L + n * 97L) % 2048L
+      out(j) = (h - 1024L).toFloat / 1024.0f
+      j += 1
+    }
+    out
+  }
+
+  /** Partition-batched embedding inference — the multimodal → ANN
+    * bridge: one vectorized model call per `batchSize` records, no
+    * shuffle, output schema identical to the `embeddings` table's
+    * (`doc_id`, `embedding: array<float>`), so the result feeds
+    * [[graft.sim.Similarity]] unchanged.
+    */
+  def batchEmbed(media: DataFrame, batchSize: Int = 64, dim: Int = 64)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // batch boundary = one encoder invocation over the whole batch
+          batch.map { case (id, bytes) => (id, embedStub(id, bytes, dim)) }
+        }
+      }
+      .toDF("doc_id", "embedding")
+  }
 }

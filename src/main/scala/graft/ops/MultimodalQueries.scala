@@ -75,6 +75,37 @@ object MultimodalQueries extends QueryPack {
         |  CAST(CASE WHEN greatest(width, height) > 256
         |    THEN height * 256 // greatest(width, height)
         |    ELSE height END AS INTEGER) AS out_h
-        |FROM m ORDER BY doc_id""".stripMargin))
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Partition-batched embedding inference (stubbed encoder, real
+    // batching/schema — output feeds Similarity unchanged). The stub's
+    // components are exact dyadic rationals (k/1024), so float, double,
+    // and the DuckDB list comprehension agree bitwise; the projection
+    // checks two raw components and the exact-in-double squared norm.
+    Q("mm_batch_embed",
+      (s, d) => {
+        val emb = Multimodal
+          .batchEmbed(Multimodal.asBinary(Tables.documents(s, d)))
+        emb.select(col("doc_id"),
+          element_at(col("embedding"), 1).cast("double").as("e0"),
+          element_at(col("embedding"), 18).cast("double").as("e17"),
+          org.apache.spark.sql.graft.Native.dot(
+            transform(col("embedding"), x => x.cast("double")),
+            transform(col("embedding"), x => x.cast("double")))
+            .as("sq_norm"),
+          size(col("embedding")).as("dim"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH e AS (
+        |  SELECT doc_id,
+        |    [CAST(((doc_id * 2654435761 + j * 40503
+        |            + octet_length(encode(text)) * 97) % 2048 - 1024)
+        |          AS DOUBLE) / 1024.0
+        |     FOR j IN generate_series(0, 63)] AS emb
+        |  FROM documents)
+        |SELECT doc_id, emb[1] AS e0, emb[18] AS e17,
+        |  list_dot_product(emb, emb) AS sq_norm,
+        |  len(emb) AS dim
+        |FROM e ORDER BY doc_id""".stripMargin))
   )
 }

@@ -39,4 +39,19 @@ class MultimodalSpec extends SparkSpec {
     val joined = counts.join(expected, Seq("doc_id"))
     assert(joined.filter(col("n") =!= col("n_expected")).isEmpty)
   }
+
+  test("batchEmbed: partition/batch-invariant and feeds the ANN stack") {
+    val a = Multimodal.batchEmbed(media, batchSize = 64)
+    val b = Multimodal.batchEmbed(media.repartition(5), batchSize = 3)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    assert(a.count() === media.count())
+
+    // output schema is the embeddings-table contract: ANN runs on it
+    val vecs = a.select(col("doc_id").as("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val top = graft.sim.Similarity.bruteForceTopK(
+      vecs, vecs.filter(col("vec_id") < 3), k = 2)
+    assert(top.groupBy("query_id").count()
+      .filter(col("count") =!= 2).isEmpty)
+  }
 }
