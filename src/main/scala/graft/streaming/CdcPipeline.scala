@@ -86,10 +86,18 @@ object CdcPipeline {
 
   /** One micro-batch, partition-scoped: reduce the batch to
     * latest-per-key, read ONLY the state buckets the batch's keys hash
-    * into (partition-pruned scan), upsert, and dynamically overwrite
-    * ONLY those bucket directories. Idempotent under batch replay:
-    * merging the same batch twice rewrites the same buckets with the
-    * same rows.
+    * into (partition-pruned scan), merge LATEST-WINS BY EVENT TIME, and
+    * dynamically overwrite ONLY those bucket directories.
+    *
+    * The merge is `latest(state ∪ batch)` per key — not a blind
+    * replace — so it converges under ANY replay order: re-delivering an
+    * old batch after a newer one is a no-op (the state row out-orders
+    * it). Tombstones are RETAINED in state (op = d rows) so a delete
+    * also cannot be resurrected by an older replayed upsert; external
+    * readers get live rows via [[currentState]]'s filter. (At lake
+    * scale a compaction pass drops tombstones older than the replay
+    * horizon — bounded retention, same as Kafka compacted-topic
+    * deletes.)
     */
   def mergeBatch(batch: DataFrame, statePath: String, cfg: Config,
                  batchId: Long): Unit = {
@@ -109,9 +117,10 @@ object CdcPipeline {
         val state = spark.read.parquet(dataPath)
           .filter(col("__bucket")
             .isin(touched.toSeq.map(Integer.valueOf): _*))
-        Materialize.upsert(state, latest.select(state.columns.map(col): _*),
-          cfg.keyCols, cfg.opCol)
-      } else Materialize.dropTombstones(latest, cfg.opCol)
+        Materialize.latest(
+          state.unionByName(latest.select(state.columns.map(col): _*)),
+          cfg.keyCols, order)
+      } else latest
     // materialize before the write: the merge reads the same bucket
     // directories it overwrites, and Spark (rightly) refuses a write
     // whose plan still scans the destination.
@@ -121,22 +130,23 @@ object CdcPipeline {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(dataPath)
-    // dynamic overwrite only rewrites buckets PRESENT in the output; a
-    // touched bucket whose every key was tombstoned produces no rows and
-    // would keep its stale files — delete those directories explicitly.
-    val stillPresent = out.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    (touched -- stillPresent).foreach { b =>
-      fs.delete(new Path(s"$dataPath/__bucket=$b"), true)
-    }
+    // NB: every touched bucket has ≥1 output row by construction
+    // (tombstones are retained, latest() keeps one row per key), so
+    // dynamic overwrite never leaves a stale touched bucket behind.
   }
 
-  /** Read the current materialized state, if any batch has committed. */
-  def currentState(spark: SparkSession, statePath: String)
-      : Option[DataFrame] = {
+  /** Read the current materialized state (live rows only — retained
+    * tombstones are internal merge state), if any batch has committed.
+    */
+  def currentState(spark: SparkSession, statePath: String,
+                   opCol: String = "op"): Option[DataFrame] = {
     val p = new Path(s"$statePath/data")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString).drop("__bucket"))
+    else {
+      val df = spark.read.parquet(p.toString).drop("__bucket")
+      Some(if (df.columns.contains(opCol)) df.filter(col(opCol) =!= "d")
+           else df)
+    }
   }
 }

@@ -167,6 +167,40 @@ class CdcPipelineSpec extends SparkSpec {
       === expectedTs)
   }
 
+  test("replaying an older batch after a newer one is a no-op") {
+    val base = Files.createTempDirectory("cdcooo").toString
+    val state = s"$base/state"
+    val cfg = CdcPipeline.Config()
+    val full = feed.drop("ts")
+
+    CdcPipeline.mergeBatch(full, state, cfg, 0L)
+    def snap(): Set[String] = CdcPipeline.currentState(spark, state).get
+      .select("key", "event_id", "ts_us", "value", "props")
+      .collect().map(_.toString).toSet
+    val before = snap()
+
+    // out-of-order redelivery: an OLD slice arrives again — every state
+    // row out-orders it, including retained tombstones, so nothing moves
+    val oldSlice = full.filter(col("ts_us") < cutoffUs)
+    assert(oldSlice.count() > 0)
+    CdcPipeline.mergeBatch(oldSlice, state, cfg, 1L)
+    assert(snap() === before)
+
+    // specifically: a key whose FINAL op is a delete but which has an
+    // older upsert in the replayed slice must stay deleted
+    val deletedKeys = Materialize.latest(full, Seq("key"),
+        Seq(col("ts_us"), col("event_id")))
+      .filter(col("op") === "d").select("key")
+    val resurrectable = oldSlice.filter(col("op") =!= "d")
+      .join(deletedKeys, Seq("key"), "left_semi")
+      .select("key").distinct().collect().map(_.getString(0))
+    if (resurrectable.nonEmpty) {
+      val st = CdcPipeline.currentState(spark, state).get
+      assert(st.filter(col("key").isin(resurrectable.toSeq: _*)).isEmpty,
+        "deleted key resurrected by an older replayed upsert")
+    }
+  }
+
   test("tombstoned keys are absent from the materialized state") {
     val base = Files.createTempDirectory("cdctomb").toString
     val (in, state, cp) = (s"$base/in", s"$base/state", s"$base/cp")
