@@ -324,6 +324,31 @@ object RelationalQueries extends QueryPack {
         |FROM customer
         |ORDER BY c_nationkey, bal_rank, c_custkey""".stripMargin)),
 
+    // Distribution window functions: percent_rank / cume_dist / ntile —
+    // same single key-shuffle + per-partition sort as rank; the outputs
+    // are exact rational arithmetic ((rank-1)/(n-1), rows≤cur/n), so
+    // both engines produce identical doubles.
+    Q("win_distribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, d)
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .withColumn("decile", ntile(10).over(w))
+          .select("c_custkey", "c_nationkey", "c_acctbal",
+            "pct_rank", "cume", "decile")
+          .orderBy(col("c_nationkey"), col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  ntile(10) OVER w AS decile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin)),
+
     // Running sum per key — DECIMAL inside the frame so Spark's sequential
     // fold and DuckDB's segment-tree evaluation agree exactly.
     Q("win_running_sum",

@@ -142,8 +142,9 @@ case class TopKPairs(
 }
 
 /** Ranked, payload-carrying top-k state. Entries are (v, id, payload)
-  * rows; the retained set is exactly the rows the corresponding window
-  * filter would keep under ORDER BY (v DESC NULLS LAST, id ASC):
+  * rows (both v and id may be null); the retained set is exactly the
+  * rows the corresponding window filter would keep under
+  * ORDER BY (v DESC NULLS LAST, id ASC NULLS FIRST):
   *
   *  - mode 0 (row_number ≤ k): the k best rows;
   *  - mode 1 (rank ≤ k): rows with < k strictly-better rows — boundary
@@ -159,27 +160,30 @@ case class TopKPairs(
 final class TopKRowsBuffer(val k: Int, val mode: Int) {
   import scala.collection.mutable.ArrayBuffer
 
-  // (vDefined, v, id, payload)
-  var entries: ArrayBuffer[(Boolean, Double, Long, InternalRow)] =
-    ArrayBuffer.empty
+  var entries: ArrayBuffer[TopKRowEntry] = ArrayBuffer.empty
 
-  /** best-first: v desc nulls last, id asc. */
-  private def cmp(a: (Boolean, Double, Long, InternalRow),
-                  b: (Boolean, Double, Long, InternalRow)): Int =
-    if (a._1 && b._1) {
-      val c = java.lang.Double.compare(b._2, a._2)
-      if (c != 0) c else java.lang.Long.compare(a._3, b._3)
-    } else if (a._1) -1
-    else if (b._1) 1
-    else java.lang.Long.compare(a._3, b._3)
+  /** best-first: v DESC NULLS LAST, id ASC NULLS FIRST (a null id
+    * out-ranks non-null ids within a value tie — the window's order).
+    */
+  private def cmp(a: TopKRowEntry, b: TopKRowEntry): Int =
+    if (a.vDef && b.vDef) {
+      val c = java.lang.Double.compare(b.v, a.v)
+      if (c != 0) c else cmpId(a, b)
+    } else if (a.vDef) -1
+    else if (b.vDef) 1
+    else cmpId(a, b)
 
-  private def samePair(a: (Boolean, Double, Long, InternalRow),
-                       b: (Boolean, Double, Long, InternalRow)): Boolean =
+  private def cmpId(a: TopKRowEntry, b: TopKRowEntry): Int =
+    if (a.idDef && b.idDef) java.lang.Long.compare(a.id, b.id)
+    else if (a.idDef) 1       // non-null id AFTER null id (NULLS FIRST)
+    else if (b.idDef) -1
+    else 0
+
+  private def samePair(a: TopKRowEntry, b: TopKRowEntry): Boolean =
     cmp(a, b) == 0
 
-  def insert(vDefined: Boolean, v: Double, id: Long,
-             payload: InternalRow): Unit = {
-    entries += ((vDefined, v, id, payload))
+  def insert(e: TopKRowEntry): Unit = {
+    entries += e
     if (entries.length >= math.max(4 * k, 64)) trim()
   }
 
@@ -192,7 +196,7 @@ final class TopKRowsBuffer(val k: Int, val mode: Int) {
   def trim(): Unit = {
     val s = entries.sortWith((a, b) => cmp(a, b) < 0)
     if (s.length <= k) { entries = s; return }
-    val kept = ArrayBuffer.empty[(Boolean, Double, Long, InternalRow)]
+    val kept = ArrayBuffer.empty[TopKRowEntry]
     mode match {
       case 0 =>
         kept ++= s.take(k)
@@ -219,9 +223,9 @@ final class TopKRowsBuffer(val k: Int, val mode: Int) {
   }
 
   /** (entry, rank) best-first with mode-correct rank values. */
-  def ranked: Seq[((Boolean, Double, Long, InternalRow), Int)] = {
+  def ranked: Seq[(TopKRowEntry, Int)] = {
     trim()
-    val out = ArrayBuffer.empty[((Boolean, Double, Long, InternalRow), Int)]
+    val out = ArrayBuffer.empty[(TopKRowEntry, Int)]
     var i = 0
     var groupIdx = 0
     while (i < entries.length) {
@@ -243,6 +247,13 @@ final class TopKRowsBuffer(val k: Int, val mode: Int) {
     out.toSeq
   }
 }
+
+/** One retained row: nullable value and nullable id flags are explicit
+  * so the aggregate reproduces the window's NULLS LAST / NULLS FIRST
+  * order for real (nullable) table columns.
+  */
+final case class TopKRowEntry(vDef: Boolean, v: Double, idDef: Boolean,
+                              id: Long, p: InternalRow)
 
 /** Ranked top-k rows per group as a [[TypedImperativeAggregate]]: the
   * generalization of [[TopKPairs]] that (a) reproduces rank /
@@ -285,7 +296,7 @@ case class TopKRows(
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("v", DoubleType, nullable = true),
-      StructField("id", LongType, nullable = false),
+      StructField("id", LongType, nullable = true),
       StructField("rk", IntegerType, nullable = false),
       StructField("p", payloadSchema, nullable = false))),
     containsNull = false)
@@ -296,17 +307,14 @@ case class TopKRows(
 
   override def update(buf: TopKRowsBuffer, input: InternalRow)
       : TopKRowsBuffer = {
+    val v = value.eval(input)
     val i = id.eval(input)
-    if (i != null) {
-      val v = value.eval(input)
-      val p = payload.eval(input).asInstanceOf[InternalRow]
-      val pCopy = if (p == null) InternalRow.empty else p.copy()
-      if (v != null)
-        buf.insert(vDefined = true, v.asInstanceOf[Double],
-          i.asInstanceOf[Long], pCopy)
-      else
-        buf.insert(vDefined = false, 0.0, i.asInstanceOf[Long], pCopy)
-    }
+    val p = payload.eval(input).asInstanceOf[InternalRow]
+    val pCopy = if (p == null) InternalRow.empty else p.copy()
+    buf.insert(TopKRowEntry(
+      v != null, if (v != null) v.asInstanceOf[Double] else 0.0,
+      i != null, if (i != null) i.asInstanceOf[Long] else 0L,
+      pCopy))
     buf
   }
 
@@ -316,9 +324,11 @@ case class TopKRows(
   }
 
   override def eval(buf: TopKRowsBuffer): Any =
-    new GenericArrayData(buf.ranked.map { case ((vDef, v, id, p), rk) =>
+    new GenericArrayData(buf.ranked.map { case (e, rk) =>
       new GenericInternalRow(Array[Any](
-        if (vDef) v else null, id, rk, p))
+        if (e.vDef) e.v else null,
+        if (e.idDef) e.id else null,
+        rk, e.p))
     }.toArray.asInstanceOf[Array[Any]])
 
   override def serialize(buf: TopKRowsBuffer): Array[Byte] = {
@@ -328,15 +338,14 @@ case class TopKRows(
     // proj REUSES its result row — and for fixed-width schemas getBytes
     // returns the shared backing array itself, so every entry would
     // alias the last projected payload. copy() first: private buffer.
-    val rows = buf.entries.map { case (vDef, v, id, p) =>
-      (vDef, v, id, proj(p).copy().getBytes)
-    }
-    val size = 4 + rows.map(17 + 4 + _._4.length).sum
+    val rows = buf.entries.map(e => (e, proj(e.p).copy().getBytes))
+    val size = 4 + rows.map(18 + 4 + _._2.length).sum
     val bb = ByteBuffer.allocate(size)
     bb.putInt(rows.length)
-    rows.foreach { case (vDef, v, id, pb) =>
-      bb.put((if (vDef) 1 else 0): Byte)
-      bb.putDouble(v); bb.putLong(id)
+    rows.foreach { case (e, pb) =>
+      bb.put((if (e.vDef) 1 else 0): Byte)
+      bb.put((if (e.idDef) 1 else 0): Byte)
+      bb.putDouble(e.v); bb.putLong(e.id)
       bb.putInt(pb.length); bb.put(pb)
     }
     bb.array()
@@ -348,13 +357,14 @@ case class TopKRows(
     val n = bb.getInt
     (0 until n).foreach { _ =>
       val vDef = bb.get() == 1
+      val idDef = bb.get() == 1
       val v = bb.getDouble; val id = bb.getLong
       val plen = bb.getInt
       val pb = new Array[Byte](plen); bb.get(pb)
       val row = new org.apache.spark.sql.catalyst.expressions
         .UnsafeRow(payloadSchema.length)
       row.pointTo(pb, plen)
-      buf.insert(vDef, v, id, row)
+      buf.insert(TopKRowEntry(vDef, v, idDef, id, row))
     }
     buf
   }

@@ -25,17 +25,17 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructFiel
   *   - the single window expression is row_number, rank, or dense_rank
   *     with its default frame;
   *   - ORDER BY is (v DESC NULLS LAST, id ASC NULLS FIRST) — the
-  *     aggregates' total order — with v: double, id: non-nullable
-  *     bigint (a nullable id could legally out-rank rows under NULLS
-  *     FIRST, which the aggregate cannot represent: decline, stay
-  *     correct);
+  *     aggregates' total order — with v: double, id: bigint (both may
+  *     be nullable: graft_topk_rows models null ids under NULLS FIRST
+  *     explicitly, which matters because every parquet-backed column is
+  *     nullable — a non-null-only rule would never fire on real tables);
   *   - partition keys are plain attributes;
   *   - every projected column is a plain attribute (or alias of one):
   *     {partition keys, rk, v, id} map onto aggregate outputs, any
   *     OTHER child attribute rides through as a payload struct in
   *     graft_topk_rows.
-  * The no-payload row_number case keeps the minimal heap-of-pairs
-  * aggregate (graft_topk); every other eligible shape uses the ranked
+  * The no-payload, non-nullable-id row_number case keeps the minimal
+  * heap-of-pairs aggregate (graft_topk); every other eligible shape uses the ranked
   * payload-carrying graft_topk_rows, whose retained set reproduces
   * rank/dense_rank boundary-tie semantics exactly. Everything else is
   * left untouched. Results are bit-identical (TopKRewriteSpec asserts
@@ -102,7 +102,7 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
             SortOrder(id: AttributeReference, Ascending, NullsFirst, _)),
           Some(gs))
           if defaultFrame && v.dataType == DoubleType &&
-            id.dataType == LongType && !id.nullable =>
+            id.dataType == LongType =>
         // payload: projected columns beyond {group keys, rn, v, id} ride
         // through the aggregate as a struct — but only if they are plain
         // child outputs (an expression of them could be computed after
@@ -136,7 +136,7 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
           case other => other
         }
 
-        if (payloadAttrs.isEmpty && mode == 0) {
+        if (payloadAttrs.isEmpty && mode == 0 && !id.nullable) {
           // proven minimal path: heap-of-pairs aggregate
           val structType = StructType(Seq(
             StructField("v", DoubleType, nullable = true),

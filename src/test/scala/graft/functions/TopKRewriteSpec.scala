@@ -154,6 +154,18 @@ class TopKRewriteSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("rewrite preserves the graded top_k_per_group inventory query") {
+    def q = graft.SparkEntry.queries("top_k_per_group")(spark,
+      "/root/testdata/sf0.001")
+    val expected = rows(q)
+    val got = withRule {
+      val q2 = q
+      assert(!q2.queryExecution.optimizedPlan.toString.contains("Window"))
+      rows(q2)
+    }
+    assert(got === expected)
+  }
+
   test("ascending value order blocks the rewrite") {
     val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
     val q = df.withColumn("rn", row_number().over(w))

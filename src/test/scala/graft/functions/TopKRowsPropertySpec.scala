@@ -1,8 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal}
-import org.apache.spark.sql.graft.{TopKRows, TopKRowsBuffer}
+import org.apache.spark.sql.graft.{TopKRowEntry, TopKRows, TopKRowsBuffer}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
@@ -15,21 +14,22 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class TopKRowsPropertySpec extends AnyFunSuite {
 
-  // (value, id, payload)
-  private type E = (Option[Double], Long, Long)
+  // (value, id, payload) — id nullable too (NULLS FIRST in the order)
+  private type E = (Option[Double], Option[Long], Long)
 
   /** best-first total preorder; ties = equal (v, id). */
-  private def sortKey(e: E): (Int, Double, Long) =
-    (if (e._1.isDefined) 0 else 1, -e._1.getOrElse(0.0), e._2)
+  private def sortKey(e: E): (Int, Double, Int, Long) =
+    (if (e._1.isDefined) 0 else 1, -e._1.getOrElse(0.0),
+      if (e._2.isDefined) 1 else 0, e._2.getOrElse(0L))
 
   /** window-filter reference: rank per mode over the full sorted list,
     * keep rank ≤ k. For rank/dense_rank the result is a deterministic
     * multiset even with duplicate (v, id) pairs.
     */
   private def reference(xs: List[E], k: Int, mode: Int)
-      : List[(Option[Double], Long, Long, Int)] = {
+      : List[(Option[Double], Option[Long], Long, Int)] = {
     val sorted = xs.sortBy(sortKey)
-    var out = List.empty[(Option[Double], Long, Long, Int)]
+    var out = List.empty[(Option[Double], Option[Long], Long, Int)]
     var i = 0
     var group = 0
     while (i < sorted.length) {
@@ -53,21 +53,24 @@ class TopKRowsPropertySpec extends AnyFunSuite {
 
   private def fill(buf: TopKRowsBuffer, xs: List[E]): TopKRowsBuffer = {
     xs.foreach { case (v, id, pay) =>
-      buf.insert(v.isDefined, v.getOrElse(0.0), id,
-        new GenericInternalRow(Array[Any](pay)))
+      buf.insert(TopKRowEntry(v.isDefined, v.getOrElse(0.0),
+        id.isDefined, id.getOrElse(0L),
+        new GenericInternalRow(Array[Any](pay))))
     }
     buf
   }
 
   private def drain(buf: TopKRowsBuffer)
-      : List[(Option[Double], Long, Long, Int)] =
-    buf.ranked.map { case ((vDef, v, id, p), rk) =>
-      (if (vDef) Some(v) else None, id, p.getLong(0), rk)
+      : List[(Option[Double], Option[Long], Long, Int)] =
+    buf.ranked.map { case (e, rk) =>
+      (if (e.vDef) Some(e.v) else None,
+        if (e.idDef) Some(e.id) else None, e.p.getLong(0), rk)
     }.toList
 
-  private def canon(xs: List[(Option[Double], Long, Long, Int)]) =
+  private def canon(xs: List[(Option[Double], Option[Long], Long, Int)]) =
     xs.sortBy { case (v, id, pay, rk) =>
-      (if (v.isDefined) 0 else 1, -v.getOrElse(0.0), id, pay, rk)
+      (if (v.isDefined) 0 else 1, -v.getOrElse(0.0),
+        if (id.isDefined) 1 else 0, id.getOrElse(0L), pay, rk)
     }
 
   // duplicate (v, id) pairs on purpose: ties across the k boundary
@@ -77,7 +80,9 @@ class TopKRowsPropertySpec extends AnyFunSuite {
       v <- Gen.frequency(
         5 -> Gen.choose(0, 8).map(d => Some(d.toDouble)),
         1 -> Gen.const(None))
-      id <- Gen.choose(0L, 6L)
+      id <- Gen.frequency(
+        6 -> Gen.choose(0L, 6L).map(Some(_)),
+        1 -> Gen.const(None))
       pay <- Gen.choose(0L, 1000L)
     } yield (v, id, pay))
   } yield xs
@@ -98,7 +103,7 @@ class TopKRowsPropertySpec extends AnyFunSuite {
 
   test("row_number buffer equals reference when ordering keys unique") {
     val uniqueGen = entriesGen.map(_.zipWithIndex
-      .map { case ((v, _, pay), i) => (v, i.toLong, pay) })
+      .map { case ((v, _, pay), i) => (v, Some(i.toLong): Option[Long], pay) })
     run(Prop.forAll(uniqueGen, Gen.choose(1, 5)) { (xs, k) =>
       canon(drain(fill(new TopKRowsBuffer(k, 0), xs))) ==
         canon(reference(xs, k, 0))
