@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables
+import graft.sources.{Layout, Tables}
 
 /** Relational query inventory (SURVEY.md §2.B: joins, aggregations,
   * windows, sort/limit, set ops).
@@ -429,6 +429,36 @@ object RelationalQueries extends QueryPack {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 100""".stripMargin)),
+
+    // Co-located (bucketed) join — the recurring-join layout: both
+    // sides written bucketed+sorted on the join key, so the join plans
+    // with ZERO Exchange (asserted in QueryInventorySpec) — at 100 TB
+    // this is the difference between an in-place merge and re-shuffling
+    // the lake per query. The write happens inside the query (idempotent
+    // drop+recreate) so the driver grades the full layout→join path.
+    Q("join_bucketed_colocated",
+      (s, d) => {
+        Layout.writeBucketed(
+          Tables.orders(s, d).select("o_orderkey", "o_custkey",
+            "o_totalprice"),
+          "orders_colo", Seq("o_orderkey"), numBuckets = 8)
+        Layout.writeBucketed(
+          Tables.lineitem(s, d).select("l_orderkey", "l_quantity",
+            "l_extendedprice"),
+          "lineitem_colo", Seq("l_orderkey"), numBuckets = 8)
+        Layout.readTable(s, "orders_colo")
+          .join(Layout.readTable(s, "lineitem_colo"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("sum_qty"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
 
     // Set algebra (SURVEY §2.A A5 config-array append/remove semantics).
     Q("set_union",

@@ -105,6 +105,27 @@ class QueryInventorySpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("join_bucketed_colocated joins with zero Exchange") {
+    // disable auto-broadcast: at test SF the small side would broadcast
+    // (also fine), hiding the co-location the layout is FOR at scale
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan("join_bucketed_colocated")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p)
+      assert(p.contains("Bucketed: true"), p)
+      // bucketed layout satisfies the join's distribution: the only
+      // exchange allowed is the final presentation sort
+      val joinSection = p.linesIterator
+        .dropWhile(l => !l.contains("Join")).toSeq
+      assert(!joinSection.exists(l => l.contains("Exchange") &&
+        !l.contains("BroadcastExchange")),
+        s"bucketed join still shuffles:\n${joinSection.mkString("\n")}")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
