@@ -38,6 +38,58 @@ object TextQueries extends QueryPack {
 
   def queries: Seq[Q] = Seq(
 
+    // Edit-distance verification of near-dup candidates: MinHash/LSH
+    // band collisions propose pairs; levenshtein over a bounded prefix
+    // CONFIRMS them (the cheap exact check real pipelines run before
+    // merging clusters — bounded cost per pair regardless of doc size).
+    Q("dedup_edit_verify",
+      (s, d) => {
+        val docs = plantedDocs(s, d)
+        // candidates: the planted near-copies paired with their source
+        val pairs = docs.filter(col("doc_id") >= 2000000L)
+          .select((col("doc_id") - 2000000L).as("a_id"),
+            col("doc_id").as("b_id"), col("text").as("b_text"))
+        pairs.join(docs.select(col("doc_id").as("a_id"),
+            col("text").as("a_text")), Seq("a_id"))
+          .select(col("a_id"), col("b_id"),
+            levenshtein(substring(col("a_text"), 1, 80),
+              substring(col("b_text"), 1, 80)).as("prefix_dist"))
+          .filter(col("prefix_dist") <= 5)
+          .orderBy(col("a_id"))
+      },
+      Some(s"""$plantedCte
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80))
+        |    AS prefix_dist
+        |FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 2000000
+        |WHERE levenshtein(substring(a.text, 1, 80),
+        |                  substring(b.text, 1, 80)) <= 5
+        |ORDER BY a_id""".stripMargin)),
+
+    // Column profiling — the ANALYZE/data-quality pass every ingest
+    // runs: per-column null counts, distincts, extrema in ONE scan
+    // (single aggregation, map-side partials).
+    Q("profile_columns",
+      (s, d) => Tables.events(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("user_id")).as("user_id_nn"),
+          countDistinct(col("user_id")).as("user_id_distinct"),
+          countDistinct(col("event_type")).as("event_type_distinct"),
+          min(col("value")).cast("double").as("value_min"),
+          max(col("value")).cast("double").as("value_max"),
+          min(col("event_id")).as("event_id_min"),
+          max(col("event_id")).as("event_id_max")),
+      Some("""SELECT count(*) AS n_rows,
+        |  count(user_id) AS user_id_nn,
+        |  count(DISTINCT user_id) AS user_id_distinct,
+        |  count(DISTINCT event_type) AS event_type_distinct,
+        |  CAST(min(value) AS DOUBLE) AS value_min,
+        |  CAST(max(value) AS DOUBLE) AS value_max,
+        |  min(event_id) AS event_id_min,
+        |  max(event_id) AS event_id_max
+        |FROM events""".stripMargin)),
+
     // Vocabulary build: corpus-wide token frequencies, top-100 — the
     // tokenizer-training precursor. explode → count is ONE map-side-
     // partial aggregation on a high-cardinality uniform key; the top-k
