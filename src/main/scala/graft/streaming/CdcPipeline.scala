@@ -22,15 +22,20 @@ import graft.cdc.Materialize
   * `format("kafka")` + key/value decode and is config-only here.
   *
   * State is a parquet table HASH-BUCKETED on the key into
-  * `Config.numBuckets` partition directories (`__bucket=<b>/`), merged
-  * PARTITION-SCOPED: a micro-batch rewrites only the buckets its keys
-  * hash into (Spark's dynamic partition overwrite); untouched buckets'
-  * files are not read, not rewritten, not even listed for write. Merge
+  * `Config.numBuckets` bucket directories, merged PARTITION-SCOPED: a
+  * micro-batch rewrites only the buckets its keys hash into; untouched
+  * buckets' files are not read, not rewritten, not even listed. Merge
   * cost is therefore ∝ batch keys × (table size / numBuckets), never
   * ∝ table size — the Hudi upsert shape (`/root/reference/README.md:22`:
-  * file groups touched by the batch are the only ones rewritten). At
-  * 100 TB you'd layer a table format's commit timeline on top for
-  * atomicity across buckets; the I/O scoping is the part that scales.
+  * file groups touched by the batch are the only ones rewritten).
+  *
+  * Commits are CRASH-SAFE: each batch writes an immutable
+  * `batches/b<id>/__bucket=<n>` directory (existing state never
+  * modified in place), then flips tiny per-bucket pointer files
+  * atomically; committed state can never be lost mid-commit, only be a
+  * mix of per-bucket versions that the idempotent latest-wins replay
+  * converges. This is a minimal per-file-group commit timeline — the
+  * same protocol shape a table format provides at lake scale.
   */
 object CdcPipeline {
 
@@ -86,8 +91,8 @@ object CdcPipeline {
 
   /** One micro-batch, partition-scoped: reduce the batch to
     * latest-per-key, read ONLY the state buckets the batch's keys hash
-    * into (partition-pruned scan), merge LATEST-WINS BY EVENT TIME, and
-    * dynamically overwrite ONLY those bucket directories.
+    * into (pure path selection), merge LATEST-WINS BY EVENT TIME, and
+    * commit ONLY those buckets (immutable batch dir + pointer flips).
     *
     * The merge is `latest(state ∪ batch)` per key — not a blind
     * replace — so it converges under ANY replay order: re-delivering an
@@ -104,35 +109,48 @@ object CdcPipeline {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val order = cfg.orderCols.map(col)
+    // ONE materialization of the batch's latest-per-key feeds BOTH the
+    // touched-bucket collect and the merge union (no double window).
     val latest = Materialize.latest(batch, cfg.keyCols, order)
       .withColumn("__bucket", bucketOf(cfg))
-    val dataPath = s"$statePath/data"
-    val fs = new Path(dataPath).getFileSystem(
+      .localCheckpoint()
+    val fs = new Path(statePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // touched-bucket list: ≤ numBuckets ints, driver-side by design
     val touched = latest.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
+      .collect().map(_.getInt(0)).sorted
+    val ptrs = readPointers(fs, statePath)
+    val statePaths = touched.flatMap(b =>
+      ptrs.get(b).map(v => s"$statePath/batches/$v/__bucket=$b"))
     val merged =
-      if (fs.exists(new Path(dataPath))) {
-        val state = spark.read.parquet(dataPath)
-          .filter(col("__bucket")
-            .isin(touched.toSeq.map(Integer.valueOf): _*))
+      if (statePaths.nonEmpty) {
+        // state's bucket is recomputed from the key (deterministic) —
+        // files never store it; I/O scoping is pure path selection
+        val state = spark.read.parquet(statePaths.toSeq: _*)
+          .withColumn("__bucket", bucketOf(cfg))
         Materialize.latest(
           state.unionByName(latest.select(state.columns.map(col): _*)),
           cfg.keyCols, order)
       } else latest
-    // materialize before the write: the merge reads the same bucket
-    // directories it overwrites, and Spark (rightly) refuses a write
-    // whose plan still scans the destination.
-    val out = merged.localCheckpoint()
-    out.write
+    // COMMIT PROTOCOL (crash-safe, single-writer):
+    //  1. write the merged touched buckets to an immutable batch dir —
+    //     existing state is never modified in place, so a crash during
+    //     the write loses nothing;
+    //  2. flip each touched bucket's pointer file (tmp + rename, atomic
+    //     per bucket). A crash mid-flips leaves every bucket on a
+    //     COMMITTED version (some old, some new); replaying the batch
+    //     converges because the merge is latest-wins idempotent;
+    //  3. GC bucket dirs no pointer references (crash before GC only
+    //     leaves orphans, collected by the next merge).
+    // (materialize first: a replayed batchId overwrites the batch dir
+    // its own state paths may point into)
+    merged.localCheckpoint()
+      .write
       .partitionBy("__bucket")
-      .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
-      .parquet(dataPath)
-    // NB: every touched bucket has ≥1 output row by construction
-    // (tombstones are retained, latest() keeps one row per key), so
-    // dynamic overwrite never leaves a stale touched bucket behind.
+      .parquet(s"$statePath/batches/b$batchId")
+    touched.foreach(b => writePointer(fs, statePath, b, s"b$batchId"))
+    gcUnreferenced(fs, statePath)
   }
 
   /** Read the current materialized state (live rows only — retained
@@ -140,13 +158,67 @@ object CdcPipeline {
     */
   def currentState(spark: SparkSession, statePath: String,
                    opCol: String = "op"): Option[DataFrame] = {
-    val p = new Path(s"$statePath/data")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    val fs = new Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ptrs = readPointers(fs, statePath)
+    if (ptrs.isEmpty) None
     else {
-      val df = spark.read.parquet(p.toString).drop("__bucket")
+      val paths = ptrs.toSeq.sortBy(_._1).map { case (b, v) =>
+        s"$statePath/batches/$v/__bucket=$b"
+      }
+      val df = spark.read.parquet(paths: _*)
       Some(if (df.columns.contains(opCol)) df.filter(col(opCol) =!= "d")
            else df)
+    }
+  }
+
+  /** bucket → batch-dir name, from the tiny per-bucket pointer files. */
+  private def readPointers(fs: org.apache.hadoop.fs.FileSystem,
+                           statePath: String): Map[Int, String] = {
+    val dir = new Path(s"$statePath/ptr")
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => !s.getPath.getName.endsWith(".tmp"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val v = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        st.getPath.getName.toInt -> v
+      }.toMap
+  }
+
+  /** Atomic per-bucket pointer flip: write tmp, rename over. */
+  private def writePointer(fs: org.apache.hadoop.fs.FileSystem,
+                           statePath: String, bucket: Int,
+                           batchDir: String): Unit = {
+    val dst = new Path(s"$statePath/ptr/$bucket")
+    val tmp = new Path(s"$statePath/ptr/$bucket.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchDir.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  /** Delete bucket dirs (and then-empty batch dirs) no pointer uses. */
+  private def gcUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
+                             statePath: String): Unit = {
+    val ptrs = readPointers(fs, statePath)
+    val batchesDir = new Path(s"$statePath/batches")
+    if (!fs.exists(batchesDir)) return
+    fs.listStatus(batchesDir).foreach { bd =>
+      val batchName = bd.getPath.getName
+      fs.listStatus(bd.getPath)
+        .filter(_.getPath.getName.startsWith("__bucket="))
+        .foreach { sub =>
+          val b = sub.getPath.getName.stripPrefix("__bucket=").toInt
+          if (!ptrs.get(b).contains(batchName))
+            fs.delete(sub.getPath, true)
+        }
+      // empty = no bucket dirs remain (NB: "__bucket=" also starts
+      // with '_', so a bare underscore test would match data dirs too)
+      if (!fs.listStatus(bd.getPath)
+          .exists(_.getPath.getName.startsWith("__bucket=")))
+        fs.delete(bd.getPath, true)
     }
   }
 }

@@ -206,11 +206,18 @@ object MinShingleKernel {
     var i = 0
     while (i <= n - k) {
       md.reset()
+      // concat_ws semantics: null tokens are SKIPPED entirely — the
+      // separator is only emitted between two non-null tokens (keeps
+      // the kernel bitwise-equal to the HOF formulation on any input)
+      var written = false
       var j = 0
       while (j < k) {
-        if (j > 0) md.update(' '.toByte)
         val t = arr.getUTF8String(i + j)
-        if (t != null) md.update(t.getBytes)
+        if (t != null) {
+          if (written) md.update(' '.toByte)
+          md.update(t.getBytes)
+          written = true
+        }
         j += 1
       }
       val d = md.digest()

@@ -161,6 +161,10 @@ final class TopKRowsBuffer(val k: Int, val mode: Int) {
   import scala.collection.mutable.ArrayBuffer
 
   var entries: ArrayBuffer[TopKRowEntry] = ArrayBuffer.empty
+  // adaptive lazy-trim threshold: if the QUALIFYING set itself exceeds
+  // the base threshold (massive rank ties), doubling keeps insert cost
+  // O(log n) amortized instead of re-sorting the whole buffer per row
+  private var trimAt: Int = 0
 
   /** best-first: v DESC NULLS LAST, id ASC NULLS FIRST (a null id
     * out-ranks non-null ids within a value tie — the window's order).
@@ -183,8 +187,12 @@ final class TopKRowsBuffer(val k: Int, val mode: Int) {
     cmp(a, b) == 0
 
   def insert(e: TopKRowEntry): Unit = {
+    if (trimAt == 0) trimAt = math.max(4 * k, 64)
     entries += e
-    if (entries.length >= math.max(4 * k, 64)) trim()
+    if (entries.length >= trimAt) {
+      trim()
+      trimAt = math.max(math.max(4 * k, 64), entries.length * 2)
+    }
   }
 
   def mergeFrom(other: TopKRowsBuffer): Unit = {
@@ -291,6 +299,10 @@ case class TopKRows(
   private def payloadSchema: StructType =
     payload.dataType.asInstanceOf[StructType]
 
+  @transient private lazy val payloadProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(payloadSchema)
+
   override def children: Seq[Expression] = Seq(value, id, payload)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
@@ -310,7 +322,11 @@ case class TopKRows(
     val v = value.eval(input)
     val i = id.eval(input)
     val p = payload.eval(input).asInstanceOf[InternalRow]
-    val pCopy = if (p == null) InternalRow.empty else p.copy()
+    // a NULL payload struct becomes an all-null row of the payload arity
+    // (InternalRow.empty would crash serialize's UnsafeProjection)
+    val pCopy =
+      if (p == null) new GenericInternalRow(payloadSchema.length)
+      else p.copy()
     buf.insert(TopKRowEntry(
       v != null, if (v != null) v.asInstanceOf[Double] else 0.0,
       i != null, if (i != null) i.asInstanceOf[Long] else 0L,
@@ -333,12 +349,10 @@ case class TopKRows(
 
   override def serialize(buf: TopKRowsBuffer): Array[Byte] = {
     buf.trim()
-    val proj = org.apache.spark.sql.catalyst.expressions
-      .UnsafeProjection.create(payloadSchema)
-    // proj REUSES its result row — and for fixed-width schemas getBytes
-    // returns the shared backing array itself, so every entry would
-    // alias the last projected payload. copy() first: private buffer.
-    val rows = buf.entries.map(e => (e, proj(e.p).copy().getBytes))
+    // payloadProj REUSES its result row — and for fixed-width schemas
+    // getBytes returns the shared backing array itself, so every entry
+    // would alias the last projected payload. copy() first.
+    val rows = buf.entries.map(e => (e, payloadProj(e.p).copy().getBytes))
     val size = 4 + rows.map(18 + 4 + _._2.length).sum
     val bb = ByteBuffer.allocate(size)
     bb.putInt(rows.length)

@@ -179,7 +179,7 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
             StructField(a.name, a.dataType, a.nullable)))
           val elemType = StructType(Seq(
             StructField("v", DoubleType, nullable = true),
-            StructField("id", LongType, nullable = false),
+            StructField("id", LongType, nullable = true),
             StructField("rk", IntegerType, nullable = false),
             StructField("p", payloadType, nullable = false)))
           val payloadStruct = CreateNamedStruct(payloadAttrs.flatMap(a =>

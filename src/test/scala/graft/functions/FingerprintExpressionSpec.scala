@@ -27,6 +27,20 @@ class FingerprintExpressionSpec extends SparkSpec {
     assert(both.filter(col("native_fp").isNotNull).count() > 0)
   }
 
+  test("null tokens follow concat_ws skip semantics exactly") {
+    // regression: the kernel emitted the separator for skipped null
+    // tokens ("a  b"), diverging from concat_ws ("a b")
+    import spark.implicits._
+    val withNulls = Seq(1).toDF("x")
+      .select(array(lit("a"), lit(null).cast("string"), lit("b"),
+        lit("c"), lit("d")).as("toks"))
+    val both = withNulls.select(
+      Native.minShingleMd5(col("toks")).as("native_fp"),
+      TextAnalysis.minShingleMd5Hof(col("toks")).as("hof_fp"))
+      .head()
+    assert(both.getString(0) === both.getString(1))
+  }
+
   test("fewer than 3 tokens yields null") {
     import spark.implicits._
     val r = Seq("a b", "only one", "x y z").toDF("text")

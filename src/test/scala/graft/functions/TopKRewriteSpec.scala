@@ -166,6 +166,45 @@ class TopKRewriteSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("null ids survive the rewrite as NULL, not 0") {
+    // regression: the rule's exploded struct declared id non-nullable
+    // while the aggregate emits null ids — codegen read 0 silently
+    import spark.implicits._
+    val d = Seq(("a", Some(9.0), Some(1L)), ("a", Some(8.0), None),
+      ("a", Some(7.0), Some(3L)), ("b", None, None))
+      .toDF("grp", "v", "id")
+    val w = Window.partitionBy(col("grp")).orderBy(col("v").desc, col("id"))
+    def q = d.withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 2).select("grp", "rn", "id", "v")
+    val expected = rows(q)
+    val got = withRule {
+      val q2 = q
+      assert(!q2.queryExecution.optimizedPlan.toString.contains("Window"))
+      rows(q2)
+    }
+    assert(got === expected)
+    // the null-id row ranks ABOVE id=3 at v tie-break… here it simply
+    // must be present with a NULL id
+    assert(got.exists(_.contains("null")))
+  }
+
+  test("nullable payload struct rows aggregate without crashing") {
+    // regression: a null payload struct was stored as InternalRow.empty,
+    // crashing serialize's UnsafeProjection at the partial exchange
+    import spark.implicits._
+    val d = Seq(("a", 9.0, 1L, Some("x")), ("a", 8.0, 2L, None),
+      ("a", 7.0, 3L, Some("z"))).toDF("grp", "v", "id", "pay")
+    val tk = org.apache.spark.sql.graft.Native.topkRows(
+      col("v"), col("id"),
+      when(col("pay").isNotNull, struct(col("pay"))).otherwise(lit(null))
+        .cast("struct<pay:string>"), 3, 0)
+    val got = d.repartition(3).groupBy("grp").agg(tk.as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.id"), col("e.p.pay"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got === Set((1L, Some("x")), (2L, None), (3L, Some("z"))))
+  }
+
   test("ascending value order blocks the rewrite") {
     val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
     val q = df.withColumn("rn", row_number().over(w))

@@ -122,7 +122,7 @@ class CdcPipelineSpec extends SparkSpec {
     CdcPipeline.mergeBatch(full, state, cfg, 0L)
 
     def snapshot(): Map[String, (Long, String)] =
-      JFiles.walk(Paths.get(s"$state/data")).iterator().asScala
+      JFiles.walk(Paths.get(s"$state/batches")).iterator().asScala
         .filter(p => p.toString.endsWith(".parquet"))
         .map { p =>
           val bytes = JFiles.readAllBytes(p)
