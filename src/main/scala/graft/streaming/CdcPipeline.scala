@@ -172,6 +172,47 @@ object CdcPipeline {
     }
   }
 
+  /** Compaction: rewrite every live bucket, dropping tombstones whose
+    * event time is older than `horizonUs` — the bounded-retention pass
+    * the merge protocol assumes (a tombstone only needs to outlive the
+    * replay horizon; Kafka compacted-topic delete retention). Uses the
+    * SAME commit protocol as [[mergeBatch]] (immutable batch dir +
+    * per-bucket pointer flips), so it is crash-safe and can run between
+    * any two merges. Live rows and still-needed tombstones are
+    * byte-for-byte re-laid-out (small files merge as a side effect).
+    */
+  def compact(spark: SparkSession, statePath: String, cfg: Config,
+              horizonUs: Long, batchId: Long): Unit = {
+    val fs = new Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ptrs = readPointers(fs, statePath)
+    if (ptrs.isEmpty) return
+    val paths = ptrs.toSeq.sortBy(_._1).map { case (b, v) =>
+      s"$statePath/batches/$v/__bucket=$b"
+    }
+    val tsCol = col(cfg.orderCols.head)
+    val compacted = spark.read.parquet(paths: _*)
+      .filter(col(cfg.opCol) =!= "d" || tsCol >= horizonUs)
+      .withColumn("__bucket", bucketOf(cfg))
+    compacted.localCheckpoint()
+      .write
+      .partitionBy("__bucket")
+      .mode("overwrite")
+      .parquet(s"$statePath/batches/b$batchId")
+    // a fully-tombstoned-and-expired bucket writes no dir: drop its
+    // pointer so readers stop referencing it
+    val written = fs.listStatus(
+        new Path(s"$statePath/batches/b$batchId"))
+      .map(_.getPath.getName)
+      .filter(_.startsWith("__bucket="))
+      .map(_.stripPrefix("__bucket=").toInt).toSet
+    ptrs.keys.foreach { b =>
+      if (written.contains(b)) writePointer(fs, statePath, b, s"b$batchId")
+      else fs.delete(new Path(s"$statePath/ptr/$b"), false)
+    }
+    gcUnreferenced(fs, statePath)
+  }
+
   /** bucket → batch-dir name, from the tiny per-bucket pointer files. */
   private def readPointers(fs: org.apache.hadoop.fs.FileSystem,
                            statePath: String): Map[Int, String] = {

@@ -201,6 +201,49 @@ class CdcPipelineSpec extends SparkSpec {
     }
   }
 
+  test("compaction drops expired tombstones, keeps live state intact") {
+    val base = Files.createTempDirectory("cdccompact").toString
+    val state = s"$base/state"
+    val cfg = CdcPipeline.Config()
+    val full = feed.drop("ts")
+    CdcPipeline.mergeBatch(full, state, cfg, 0L)
+
+    val liveBefore = CdcPipeline.currentState(spark, state).get
+      .select("key", "event_id", "ts_us", "value", "props")
+      .collect().map(_.toString).toSet
+    def tombstones(): Long = {
+      // internal state view: read all pointed bucket dirs directly
+      val ptrDir = new java.io.File(s"$state/ptr")
+      val paths = ptrDir.listFiles().filter(f => !f.getName.contains("."))
+        .map { f =>
+          val v = scala.io.Source.fromFile(f).mkString.trim
+          s"$state/batches/$v/__bucket=${f.getName}"
+        }
+      spark.read.parquet(paths.toSeq: _*).filter(col("op") === "d").count()
+    }
+    val tombsBefore = tombstones()
+    assert(tombsBefore > 0, "fixture needs at least one tombstone")
+
+    // horizon beyond every event: all tombstones expire
+    val horizon = full.agg(max("ts_us")).head().getLong(0) + 1L
+    CdcPipeline.compact(spark, state, cfg, horizon, 1L)
+
+    assert(tombstones() === 0L)
+    val liveAfter = CdcPipeline.currentState(spark, state).get
+      .select("key", "event_id", "ts_us", "value", "props")
+      .collect().map(_.toString).toSet
+    assert(liveAfter === liveBefore)
+
+    // merges still work after compaction (protocol unchanged)
+    val maxTs = full.agg(max("ts_us")).head().getLong(0)
+    val oneKey = full.orderBy(col("key"), col("ts_us")).limit(1)
+      .withColumn("ts_us", lit(maxTs + 1000000L))
+      .withColumn("op", lit("u"))
+    CdcPipeline.mergeBatch(oneKey, state, cfg, 2L)
+    assert(CdcPipeline.currentState(spark, state).get.count()
+      === liveBefore.size)
+  }
+
   test("tombstoned keys are absent from the materialized state") {
     val base = Files.createTempDirectory("cdctomb").toString
     val (in, state, cp) = (s"$base/in", s"$base/state", s"$base/cp")
