@@ -191,6 +191,10 @@ object CdcPipeline {
       s"$statePath/batches/$v/__bucket=$b"
     }
     val tsCol = col(cfg.orderCols.head)
+    // "c" namespace: a later merge batch may reuse the numeric id (ids
+    // restart from the stream checkpoint) and would overwrite this dir
+    // while untouched-bucket pointers still reference it
+    val outDir = s"c$batchId"
     val compacted = spark.read.parquet(paths: _*)
       .filter(col(cfg.opCol) =!= "d" || tsCol >= horizonUs)
       .withColumn("__bucket", bucketOf(cfg))
@@ -198,16 +202,16 @@ object CdcPipeline {
       .write
       .partitionBy("__bucket")
       .mode("overwrite")
-      .parquet(s"$statePath/batches/b$batchId")
+      .parquet(s"$statePath/batches/$outDir")
     // a fully-tombstoned-and-expired bucket writes no dir: drop its
     // pointer so readers stop referencing it
     val written = fs.listStatus(
-        new Path(s"$statePath/batches/b$batchId"))
+        new Path(s"$statePath/batches/$outDir"))
       .map(_.getPath.getName)
       .filter(_.startsWith("__bucket="))
       .map(_.stripPrefix("__bucket=").toInt).toSet
     ptrs.keys.foreach { b =>
-      if (written.contains(b)) writePointer(fs, statePath, b, s"b$batchId")
+      if (written.contains(b)) writePointer(fs, statePath, b, outDir)
       else fs.delete(new Path(s"$statePath/ptr/$b"), false)
     }
     gcUnreferenced(fs, statePath)
