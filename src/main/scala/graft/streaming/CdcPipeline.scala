@@ -29,13 +29,16 @@ import graft.cdc.Materialize
   * ∝ table size — the Hudi upsert shape (`/root/reference/README.md:22`:
   * file groups touched by the batch are the only ones rewritten).
   *
-  * Commits are CRASH-SAFE: each batch writes an immutable
-  * `batches/b<id>/__bucket=<n>` directory (existing state never
-  * modified in place), then flips tiny per-bucket pointer files
-  * atomically; committed state can never be lost mid-commit, only be a
-  * mix of per-bucket versions that the idempotent latest-wins replay
-  * converges. This is a minimal per-file-group commit timeline — the
-  * same protocol shape a table format provides at lake scale.
+  * Commits are CRASH-SAFE: each batch writes an immutable,
+  * NEVER-REUSED `batches/b<id>-<attempt>/__bucket=<n>` directory
+  * (existing state is never modified in place — replays and
+  * fresh-checkpoint id reuse write elsewhere), then flips tiny
+  * per-bucket pointer files with an atomic overwrite-rename; committed
+  * state can never be lost mid-commit, only be a mix of per-bucket
+  * versions that the idempotent latest-wins replay converges.
+  * Unreferenced dirs are GC'd after the flips. This is a minimal
+  * per-file-group commit timeline — the same protocol shape a table
+  * format provides at lake scale.
   */
 object CdcPipeline {
 
@@ -121,7 +124,7 @@ object CdcPipeline {
       .collect().map(_.getInt(0)).sorted
     val ptrs = readPointers(fs, statePath)
     val statePaths = touched.flatMap(b =>
-      ptrs.get(b).map(v => s"$statePath/batches/$v/__bucket=$b"))
+      ptrs.get(b).map(v => bucketPath(statePath, v, b)))
     val merged =
       if (statePaths.nonEmpty) {
         // state's bucket is recomputed from the key (deterministic) —
@@ -133,23 +136,22 @@ object CdcPipeline {
           cfg.keyCols, order)
       } else latest
     // COMMIT PROTOCOL (crash-safe, single-writer):
-    //  1. write the merged touched buckets to an immutable batch dir —
-    //     existing state is never modified in place, so a crash during
-    //     the write loses nothing;
-    //  2. flip each touched bucket's pointer file (tmp + rename, atomic
-    //     per bucket). A crash mid-flips leaves every bucket on a
-    //     COMMITTED version (some old, some new); replaying the batch
+    //  1. write the merged touched buckets to a NEVER-REUSED dir (the
+    //     attempt suffix makes replays and fresh-checkpoint id reuse
+    //     write elsewhere — live pointers can keep referencing old dirs,
+    //     nothing is ever overwritten in place);
+    //  2. flip each touched bucket's pointer file (atomic overwrite
+    //     rename per bucket). A crash mid-flips leaves every bucket on
+    //     a COMMITTED version (some old, some new); replaying the batch
     //     converges because the merge is latest-wins idempotent;
     //  3. GC bucket dirs no pointer references (crash before GC only
     //     leaves orphans, collected by the next merge).
-    // (materialize first: a replayed batchId overwrites the batch dir
-    // its own state paths may point into)
-    merged.localCheckpoint()
-      .write
+    val outDir = uniqueDir("b", batchId)
+    merged.write
       .partitionBy("__bucket")
       .mode("overwrite")
-      .parquet(s"$statePath/batches/b$batchId")
-    touched.foreach(b => writePointer(fs, statePath, b, s"b$batchId"))
+      .parquet(s"$statePath/batches/$outDir")
+    touched.foreach(b => writePointer(fs, statePath, b, outDir))
     gcUnreferenced(fs, statePath)
   }
 
@@ -164,7 +166,7 @@ object CdcPipeline {
     if (ptrs.isEmpty) None
     else {
       val paths = ptrs.toSeq.sortBy(_._1).map { case (b, v) =>
-        s"$statePath/batches/$v/__bucket=$b"
+        bucketPath(statePath, v, b)
       }
       val df = spark.read.parquet(paths: _*)
       Some(if (df.columns.contains(opCol)) df.filter(col(opCol) =!= "d")
@@ -188,18 +190,21 @@ object CdcPipeline {
     val ptrs = readPointers(fs, statePath)
     if (ptrs.isEmpty) return
     val paths = ptrs.toSeq.sortBy(_._1).map { case (b, v) =>
-      s"$statePath/batches/$v/__bucket=$b"
+      bucketPath(statePath, v, b)
     }
     val tsCol = col(cfg.orderCols.head)
-    // "c" namespace: a later merge batch may reuse the numeric id (ids
-    // restart from the stream checkpoint) and would overwrite this dir
-    // while untouched-bucket pointers still reference it
-    val outDir = s"c$batchId"
+    // never-reused dir: a retried compact (same id) or a later merge
+    // batch must not overwrite a dir live pointers still reference
+    val outDir = uniqueDir("c", batchId)
+    // null-safe retention: a tombstone with UNKNOWN event time (null
+    // ts) must be kept — a three-valued `op != d || ts >= horizon`
+    // would evaluate NULL and silently drop it, re-enabling the
+    // resurrection this retention exists to prevent
     val compacted = spark.read.parquet(paths: _*)
-      .filter(col(cfg.opCol) =!= "d" || tsCol >= horizonUs)
+      .filter(!(col(cfg.opCol) <=> "d" &&
+        coalesce(tsCol < horizonUs, lit(false))))
       .withColumn("__bucket", bucketOf(cfg))
-    compacted.localCheckpoint()
-      .write
+    compacted.write
       .partitionBy("__bucket")
       .mode("overwrite")
       .parquet(s"$statePath/batches/$outDir")
@@ -232,7 +237,11 @@ object CdcPipeline {
       }.toMap
   }
 
-  /** Atomic per-bucket pointer flip: write tmp, rename over. */
+  /** Atomic per-bucket pointer flip: write tmp, OVERWRITE-rename over
+    * (FileContext rename with Options.Rename.OVERWRITE — one atomic
+    * op; a delete-then-rename pair would leave a no-pointer window a
+    * crash could turn into GC deleting the bucket's only data).
+    */
   private def writePointer(fs: org.apache.hadoop.fs.FileSystem,
                            statePath: String, bucket: Int,
                            batchDir: String): Unit = {
@@ -240,9 +249,19 @@ object CdcPipeline {
     val tmp = new Path(s"$statePath/ptr/$bucket.tmp")
     val out = fs.create(tmp, true)
     try out.write(batchDir.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    fs.rename(tmp, dst)
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, fs.getConf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
+
+  /** Never-reused output dir name: id + monotonic attempt stamp. */
+  private def uniqueDir(prefix: String, batchId: Long): String =
+    s"$prefix$batchId-${System.currentTimeMillis()}-${
+      java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** The state-layout path of one bucket's current data. */
+  private def bucketPath(statePath: String, version: String,
+                         bucket: Int): String =
+    s"$statePath/batches/$version/__bucket=$bucket"
 
   /** Delete bucket dirs (and then-empty batch dirs) no pointer uses. */
   private def gcUnreferenced(fs: org.apache.hadoop.fs.FileSystem,

@@ -299,9 +299,17 @@ case class TopKRows(
   private def payloadSchema: StructType =
     payload.dataType.asInstanceOf[StructType]
 
+  /** Payload fields forced nullable: a NULL payload struct is stored as
+    * an all-null row, which must be legal for the serde projection and
+    * the declared output type even when the source fields are
+    * non-nullable (widening only — never narrows real values).
+    */
+  private def payloadSchemaNullable: StructType =
+    StructType(payloadSchema.map(_.copy(nullable = true)))
+
   @transient private lazy val payloadProj =
     org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-      .create(payloadSchema)
+      .create(payloadSchemaNullable)
 
   override def children: Seq[Expression] = Seq(value, id, payload)
   override def nullable: Boolean = false
@@ -310,7 +318,7 @@ case class TopKRows(
       StructField("v", DoubleType, nullable = true),
       StructField("id", LongType, nullable = true),
       StructField("rk", IntegerType, nullable = false),
-      StructField("p", payloadSchema, nullable = false))),
+      StructField("p", payloadSchemaNullable, nullable = false))),
     containsNull = false)
   override def prettyName: String = "graft_topk_rows"
 
@@ -376,7 +384,7 @@ case class TopKRows(
       val plen = bb.getInt
       val pb = new Array[Byte](plen); bb.get(pb)
       val row = new org.apache.spark.sql.catalyst.expressions
-        .UnsafeRow(payloadSchema.length)
+        .UnsafeRow(payloadSchemaNullable.length)
       row.pointTo(pb, plen)
       buf.insert(TopKRowEntry(vDef, v, idDef, id, row))
     }

@@ -205,6 +205,26 @@ class TopKRewriteSpec extends SparkSpec {
     assert(got === Set((1L, Some("x")), (2L, None), (3L, Some("z"))))
   }
 
+  test("null payload with NON-nullable fields aggregates safely") {
+    // regression: the all-null substitute row crashed the serde
+    // projection when the payload schema declared non-nullable fields
+    import spark.implicits._
+    val d = Seq(("a", 9.0, 1L, 10L), ("a", 8.0, 2L, -1L),
+      ("a", 7.0, 3L, 30L)).toDF("grp", "v", "id", "pay")
+    // pay is non-nullable from toDF; the when() makes the STRUCT null
+    // without widening the field's nullability
+    val payload = when(col("pay") > 0, struct(col("pay")))
+    val tk = org.apache.spark.sql.graft.Native.topkRows(
+      col("v"), col("id"), payload, 3, 0)
+    val got = d.repartition(3).groupBy("grp").agg(tk.as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.id"), col("e.p.pay"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    assert(got === Set((1L, Some(10L)), (2L, None), (3L, Some(30L))))
+  }
+
   test("ascending value order blocks the rewrite") {
     val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
     val q = df.withColumn("rn", row_number().over(w))
