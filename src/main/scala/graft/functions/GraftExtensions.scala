@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{AvroEncode, CosineSimilarity, DotProduct, MinHashSig, MinShingleMd5, ShingleHashes, SimHash, TopKPairs, TopKRewriteRule, VectorSum}
+import org.apache.spark.sql.graft.{AvroEncode, CosineSimilarity, DotProduct, DotProductI8, MinHashSig, MinShingleMd5, QuantizeI8, ShingleHashes, SimHash, TopKPairs, TopKRewriteRule, VectorSum}
 
 /** Public extension injector: enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions` to get the
@@ -45,6 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinShingleMd5].getName,
         "graft_min_shingle_md5"),
       (args: Seq[Expression]) => MinShingleMd5(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, "graft_quantize_i8"),
+      (args: Seq[Expression]) => QuantizeI8(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_i8"),
+      new ExpressionInfo(classOf[DotProductI8].getName, "graft_dot_i8"),
+      (args: Seq[Expression]) => DotProductI8(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_vecsum"),
       new ExpressionInfo(classOf[VectorSum].getName, "graft_vecsum"),

@@ -85,6 +85,43 @@ object SimilarityQueries extends QueryPack {
         |SELECT query_id, rank, cand_id, round(cos, 4) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Int8-quantized exact top-k: 8-bit symmetric codes (8× less scan
+    // bandwidth, integer dot kernel). Quantization is floor-based and
+    // integer dots are associative-exact, so DuckDB reproduces every
+    // bit — a FULL hash oracle over a quantized similarity search.
+    Q("sim_quantized_topk",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        Similarity.quantizedTopK(vecs, vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | mx AS (
+        |  SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) AS m
+        |  FROM base),
+        | q8 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> least(127.0, greatest(-127.0,
+        |                floor(x / (m / 127.0) + 0.5)))) END AS qv
+        |  FROM mx),
+        | n8 AS (
+        |  SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm
+        |  FROM q8),
+        | sc AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    list_dot_product(q.qv, c.qv) / (q.nrm * c.nrm) AS cos
+        |  FROM n8 q, n8 c
+        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        | r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY round(cos, 6) DESC, cand_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, rank, cand_id, round(cos, 4) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // LSH-bucketed ANN (the 100 TB path) — plane hashes are
     // engine-specific, rows-only; recall asserted in ScalaTest.
     Q("sim_ann_lsh",

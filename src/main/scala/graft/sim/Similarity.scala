@@ -243,6 +243,42 @@ object Similarity {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** Exact top-k over int8-QUANTIZED vectors — the memory-bandwidth
+    * scale path: per-vector symmetric codes (scale = max|x|/127) are 8×
+    * smaller than doubles, so the corpus scan moves 8× fewer bytes and
+    * the pair kernel is an integer multiply-add
+    * ([[org.apache.spark.sql.graft.DotProductI8]]). Integer dots are
+    * EXACT (no fp reassociation), so ranking is bit-deterministic in
+    * any engine quantizing with the same ⌊x/scale + 0.5⌋ rule — this
+    * query oracles, unlike fp-sensitive sketch paths. Norms are
+    * quantized-space norms; the per-vector scales cancel in the cosine.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    import org.apache.spark.sql.graft.Native
+    def coded(df: DataFrame, id: String, vec: String, nrm: String)
+        : DataFrame = {
+      val q8 = Native.quantizeI8(col(vecCol))
+      df.select(col(idCol).as(id), q8.as(vec))
+        .withColumn(nrm, sqrt(Native.dotI8(col(vec), col(vec))
+          .cast("double")))
+    }
+    val q = broadcast(coded(queries, "query_id", "q_vec", "q_norm"))
+    val c = coded(corpus, "cand_id", "c_vec", "c_norm")
+    val scored = q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        Native.dotI8(col("q_vec"), col("c_vec")).cast("double") /
+          (col("q_norm") * col("c_norm")))
+      .withColumn("cos_r", round(col("cos"), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among pairs
     * sharing a coarse partition (label here; a cluster id from k-means
     * in production — the IVF idea). Keeps the pair count far below n².

@@ -57,6 +57,12 @@ object Native {
   def vecsum(vec: Column): Column =
     c(VectorSum(e(vec)).toAggregateExpression())
 
+  /** Per-vector symmetric int8 quantization (8-bit embedding codes). */
+  def quantizeI8(vec: Column): Column = c(QuantizeI8(e(vec)))
+
+  /** Exact integer dot product over int8 codes. */
+  def dotI8(a: Column, b: Column): Column = c(DotProductI8(e(a), e(b)))
+
   /** Min MD5-hex over 3-shingles of a token array (1-perm MinHash). */
   def minShingleMd5(tokens: Column): Column = c(MinShingleMd5(e(tokens)))
 
@@ -105,5 +111,13 @@ object Native {
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
       (args: Seq[Expression]) => ShingleHashes(args.head,
         args(1).eval().asInstanceOf[Number].intValue()))
+    reg.registerFunction(
+      FunctionIdentifier("graft_quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, "graft_quantize_i8"),
+      (args: Seq[Expression]) => QuantizeI8(args.head))
+    reg.registerFunction(
+      FunctionIdentifier("graft_dot_i8"),
+      new ExpressionInfo(classOf[DotProductI8].getName, "graft_dot_i8"),
+      (args: Seq[Expression]) => DotProductI8(args.head, args(1)))
   }
 }

@@ -1,9 +1,9 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the vector kernels (SURVEY.md §4:
   * "optional `Expression`s for similarity kernels if `aggregate`/
@@ -108,6 +108,128 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-vector symmetric int8 quantization: `array<double>` →
+  * `array<byte>` with scale = max|xᵢ| / 127 and
+  * qᵢ = clamp(⌊xᵢ/scale + 0.5⌋, -127, 127) — the 8-bit embedding code
+  * every large-scale vector store uses (8× less memory bandwidth than
+  * doubles, integer dot kernels downstream). The zero vector quantizes
+  * to all zeros.
+  *
+  * Determinism contract: every step (abs-max compare, one IEEE double
+  * divide, +0.5, floor, clamp) is reproducible bit-for-bit in any
+  * engine computing the same expression over doubles — which is what
+  * makes a DuckDB oracle over the quantized codes possible at all.
+  * Round-HALF-UP via ⌊x+0.5⌋ is chosen over `math.round`'s semantics
+  * precisely because `floor` is the portable primitive.
+  */
+case class QuantizeI8(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "graft_quantize_i8"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getDouble(i)); if (v > mx) mx = v; i += 1
+    }
+    val out = new Array[Byte](n)
+    if (mx != 0.0) {
+      val scale = mx / 127.0
+      i = 0
+      while (i < n) {
+        val q = math.floor(x.getDouble(i) / scale + 0.5)
+        out(i) = math.min(127.0, math.max(-127.0, q)).toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val mx = ctx.freshName("mx"); val v = ctx.freshName("v")
+      val out = ctx.freshName("out"); val scale = ctx.freshName("scale")
+      val q = ctx.freshName("q")
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = java.lang.Math.abs($a.getDouble($i));
+         |  if ($v > $mx) $mx = $v;
+         |}
+         |byte[] $out = new byte[$n];
+         |if ($mx != 0.0) {
+         |  double $scale = $mx / 127.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $q =
+         |      java.lang.Math.floor($a.getDouble($i) / $scale + 0.5);
+         |    $out[$i] =
+         |      (byte) java.lang.Math.min(127.0, java.lang.Math.max(-127.0, $q));
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : QuantizeI8 = copy(child = newChild)
+}
+
+/** Exact integer dot product over int8 codes: `array<byte> × array<byte>
+  * → bigint`. At dim ≤ 2⁴⁰ the sum cannot overflow a long, and (unlike
+  * the double fold) integer addition is associative — partial order
+  * never matters. This is the hot kernel of the quantized scale path:
+  * byte loads, integer multiply-add, fully inside whole-stage codegen.
+  */
+case class DotProductI8(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ByteType), ArrayType(ByteType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_i8"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getByte(i) * y.getByte(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, s) =
+        (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("s"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((long) $a.getByte($i)) * $b.getByte($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductI8 =
     copy(left = newLeft, right = newRight)
 }
 
