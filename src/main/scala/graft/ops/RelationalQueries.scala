@@ -90,6 +90,28 @@ object RelationalQueries extends QueryPack {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Bloom semi-join reduction: a selective dim filter prunes the fact
+    // side BEFORE the exchange (no false negatives; FPs die in the
+    // join) — the oracle is the plain join, asserting value equality.
+    Q("join_bloom_pruned",
+      (s, d) => {
+        val dim = Tables.supplier(s, d)
+          .filter(col("s_nationkey") === 3)
+          .select("s_suppkey", "s_name")
+        BloomPrune.bloomPrunedJoin(
+            Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice"),
+            dim, "l_suppkey", "s_suppkey")
+          .groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            dsum("l_extendedprice").as("total_price"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)),
+
     // A5 delete-by-name semantics (SURVEY §2.A): customers with no
     // order before 1996 (full-table anti is empty at sf≥0.01).
     Q("join_left_anti",

@@ -143,6 +143,22 @@ object SimilarityQueries extends QueryPack {
       },
       None),
 
+    // IVF with SAMPLE-TRAINED centroids: hash-sample → driver-side
+    // Gonzalez seeding + Lloyd on the sample → broadcast literals — how
+    // a coarse quantizer is actually built at 100 TB (never k-means over
+    // the full corpus). Centroids are engine-specific → rows-only;
+    // recall/quality asserted in IvfSpec.
+    Q("sim_ann_ivf_trained",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        val cents = Similarity.trainCentroids(vecs, nlist = 16,
+          sampleN = 2000, iters = 4)
+        Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 8), 5,
+            centroids = Some(cents))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // Embedding-cosine near-dup pairs within a coarse partition (IVF
     // shape), over planted perturbed copies.
     Q("dedup_embedding_cosine",

@@ -183,11 +183,111 @@ object Similarity {
     cur
   }
 
+  /** Train IVF centroids on a BOUNDED deterministic sample — the way a
+    * real vector store builds its coarse quantizer at 100 TB: you never
+    * run k-means over the full corpus, you train on ~10⁴–10⁶ sampled
+    * vectors and broadcast the result.
+    *
+    *  - Sample: hash-select ≈`sampleN` rows (`xxhash64(id) mod 10⁶ <
+    *    p·10⁶`) — deterministic, no RNG to coordinate, no global sort;
+    *    the filter scans once and collects sampleN × dim doubles to the
+    *    driver, a size independent of corpus scale.
+    *  - Seeding: Gonzalez farthest-point (maxmin) — the deterministic
+    *    k-means++ variant: start from the sampled vector with the
+    *    smallest id, repeatedly add the sample point with the lowest
+    *    best-cosine to the chosen set.
+    *  - Refinement: Lloyd iterations ON THE SAMPLE, driver-side (the
+    *    sample is thousands of points — sub-millisecond per iteration;
+    *    contrast [[refineCentroids]], which runs Lloyd distributed over
+    *    the FULL corpus when maximum quality is worth one nlist-key
+    *    shuffle per iteration).
+    */
+  def trainCentroids(corpus: DataFrame, nlist: Int, sampleN: Int,
+                     iters: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding")
+      : Array[(Int, Array[Double])] = {
+    val n = math.max(1L, corpus.count())
+    val num = math.min(1000000L, math.max(1L, sampleN * 1000000L / n))
+    val sample: Array[(Long, Array[Double])] = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < num)
+      .select(col(idCol), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray))
+      .sortBy(_._1)
+    require(sample.nonEmpty, "centroid training sample is empty")
+    val pts = sample.map(_._2)
+    val k = math.min(nlist, pts.length)
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < a.length) {
+        xy += a(i) * b(i); xx += a(i) * a(i); yy += b(i) * b(i); i += 1
+      }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+
+    // Gonzalez maxmin seeding: bestSim(i) = max cosine to any chosen
+    // seed; next seed = argmin bestSim (ties → lower sample index).
+    val chosen = new Array[Int](k)
+    chosen(0) = 0
+    val bestSim = pts.map(p => cos(p, pts(0)))
+    var c = 1
+    while (c < k) {
+      var arg = -1; var best = Double.MaxValue
+      var i = 0
+      while (i < pts.length) {
+        if (bestSim(i) < best) { best = bestSim(i); arg = i }
+        i += 1
+      }
+      chosen(c) = arg
+      i = 0
+      while (i < pts.length) {
+        val s = cos(pts(i), pts(arg))
+        if (s > bestSim(i)) bestSim(i) = s
+        i += 1
+      }
+      c += 1
+    }
+    var cents: Array[Array[Double]] = chosen.map(pts(_).clone())
+
+    // Lloyd on the sample: assign by max cosine (ties → lower cell id,
+    // matching nearestCellStructs' tie-break), mean-update, empty cell
+    // keeps its previous centroid.
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](pts.head.length))
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        var arg = 0; var best = Double.MinValue; var j = 0
+        while (j < k) {
+          val s = cos(p, cents(j))
+          if (s > best) { best = s; arg = j }
+          j += 1
+        }
+        counts(arg) += 1
+        var d = 0
+        while (d < p.length) { sums(arg)(d) += p(d); d += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        if (counts(j) == 0) old
+        else sums(j).map(_ / counts(j))
+      }
+    }
+    cents.zipWithIndex.map { case (v, i) => (i, v) }
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 3,
               refineIters: Int = 0,
+              centroids: Option[Array[(Int, Array[Double])]] = None,
               idCol: String = "vec_id", vecCol: String = "embedding")
-      : DataFrame = {
+      : DataFrame = centroids match {
+    case Some(cs) => ivfTopKWith(corpus, queries, k, cs, nprobe,
+      idCol, vecCol)
+    case None => {
     // deterministic coarse quantizer: id-strided seed vectors — no
     // global sort/window (which wouldn't scale); one count() for the
     // stride, then a pushed-down filter picks the seeds. The nlist seed
@@ -211,7 +311,16 @@ object Similarity {
     val cents =
       if (refineIters > 0) refineCentroids(corpus, seeds, refineIters, vecCol)
       else seeds
+    ivfTopKWith(corpus, queries, k, cents, nprobe, idCol, vecCol)
+  }
+  }
 
+  /** IVF probe-and-rank over an explicit centroid table (from the
+    * strided seeds, [[refineCentroids]], or [[trainCentroids]]).
+    */
+  private def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                          cents: Array[(Int, Array[Double])], nprobe: Int,
+                          idCol: String, vecCol: String): DataFrame = {
     // sort_array + slice picks the nprobe nearest cells per-row, inside
     // whole-stage codegen (ordering identical to the former row_number
     // window: sim desc, centroid_id asc).

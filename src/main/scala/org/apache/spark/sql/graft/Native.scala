@@ -57,6 +57,28 @@ object Native {
   def vecsum(vec: Column): Column =
     c(VectorSum(e(vec)).toAggregateExpression())
 
+  /** Bloom-filter build aggregate over `xxhash64(key)` — binary
+    * result, mergeable partials (Spark's own runtime-filter aggregate,
+    * surfaced as an explicit API for application-level semi-join
+    * reduction).
+    */
+  def bloomAgg(key: Column, expectedItems: Long): Column =
+    c(new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(
+            Seq(e(key))),
+          expectedItems)
+      .toAggregateExpression())
+
+  /** `might_contain(filter, xxhash64(key))` pruning predicate over a
+    * pre-built filter's bytes.
+    */
+  def bloomMightContain(filterBytes: Array[Byte], key: Column): Column =
+    c(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        filterBytes, org.apache.spark.sql.types.BinaryType),
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(e(key)))))
+
   /** Per-vector symmetric int8 quantization (8-bit embedding codes). */
   def quantizeI8(vec: Column): Column = c(QuantizeI8(e(vec)))
 

@@ -65,6 +65,48 @@ class IvfSpec extends SparkSpec {
     assert(hits.count() >= (queries.count() * 0.9).toLong)
   }
 
+  test("sample-trained centroids beat strided seeds on cell fit, " +
+       "keep planted-dup recall") {
+    val corpus = vecs
+    val n = corpus.count()
+    val stride = math.max(1L, n / 16)
+    val seeds = corpus
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * 16)
+      .select(expr(s"cast(vec_id div $stride as int)"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val trained = Similarity.trainCentroids(corpus, nlist = 16,
+      sampleN = 2000, iters = 4)
+    assert(trained.length == 16)
+
+    def meanBestSim(cents: Array[(Int, Array[Double])]): Double = {
+      val best = cents.map { case (_, v) =>
+        Similarity.cosine(col("embedding"), typedlit(v))
+      }.reduce((a, b) => greatest(a, b))
+      corpus.agg(avg(best)).head().getDouble(0)
+    }
+    // maxmin seeding + Lloyd on a 2000-point sample should fit the
+    // corpus at least as well as arbitrary id-strided corpus vectors
+    assert(meanBestSim(trained) > meanBestSim(seeds) - 1e-9,
+      "trained centroids fit worse than strided seeds")
+
+    val queries = planted.filter(col("vec_id") >= 100000L)
+    val top = Similarity.ivfTopK(planted, queries, 1, nprobe = 3,
+      centroids = Some(Similarity.trainCentroids(planted, 16, 2000, 4)))
+    val hits = top.filter(col("cand_id") === col("query_id") - 100000L)
+    assert(hits.count() >= (queries.count() * 0.9).toLong,
+      "trained-IVF recall below planted-dup bar")
+  }
+
+  test("trainCentroids is deterministic across invocations") {
+    val a = Similarity.trainCentroids(vecs, 8, 500, 2)
+    val b = Similarity.trainCentroids(vecs, 8, 500, 2)
+    assert(a.length == b.length &&
+      a.zip(b).forall { case ((i1, v1), (i2, v2)) =>
+        i1 == i2 && java.util.Arrays.equals(v1, v2) })
+  }
+
   test("IVF probes bound the scanned fraction of the corpus") {
     val queries = vecs.filter(col("vec_id") < 8)
     val top = Similarity.ivfTopK(vecs, queries, 1000, nlist = 16, nprobe = 2)
