@@ -106,6 +106,27 @@ object TextQueries extends QueryPack {
         |      FROM documents)
         |GROUP BY tok ORDER BY freq DESC, tok LIMIT 100""".stripMargin)),
 
+    // Exact heavy hitters via the two-pass Misra-Gries pattern: sketch
+    // (O(capacity) state, no full-cardinality shuffle) → exact verify
+    // of the ≤capacity candidates. Result provably ≡ the plain
+    // GROUP BY/HAVING the oracle runs, at any scale and merge order.
+    Q("agg_heavy_hitters",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        HeavyHitters.heavyHitters(toks, col("tok"),
+            minFraction = 0.002, capacity = 1024)
+          .select(col("item").as("tok"), col("cnt"))
+          .orderBy(col("cnt").desc, col("tok"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT tok, count(*) AS cnt FROM toks
+        |GROUP BY tok
+        |HAVING count(*) >=
+        |  CAST(ceil(0.002 * (SELECT count(*) FROM toks)) AS BIGINT)
+        |ORDER BY cnt DESC, tok""".stripMargin)),
+
     // Composite training-data pipeline: quality gate → exact dedup →
     // per-language corpus stats — the end-to-end shape a 100 TB corpus
     // build runs. Every stage is deterministic, so the whole pipeline

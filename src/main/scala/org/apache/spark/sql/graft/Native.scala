@@ -79,6 +79,10 @@ object Native {
         filterBytes, org.apache.spark.sql.types.BinaryType),
       new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(e(key)))))
 
+  /** Bounded Misra-Gries frequent-items sketch (O(capacity) state). */
+  def freqSketch(item: Column, capacity: Int): Column =
+    c(FreqSketch(e(item), capacity).toAggregateExpression())
+
   /** Per-vector symmetric int8 quantization (8-bit embedding codes). */
   def quantizeI8(vec: Column): Column = c(QuantizeI8(e(vec)))
 
@@ -141,5 +145,11 @@ object Native {
       FunctionIdentifier("graft_dot_i8"),
       new ExpressionInfo(classOf[DotProductI8].getName, "graft_dot_i8"),
       (args: Seq[Expression]) => DotProductI8(args.head, args(1)))
+    reg.registerFunction(
+      FunctionIdentifier("graft_freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "graft_freq_sketch"),
+      (args: Seq[Expression]) => FreqSketch(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression())
   }
 }
