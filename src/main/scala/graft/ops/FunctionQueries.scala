@@ -214,6 +214,49 @@ object FunctionQueries extends QueryPack {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
-        |GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin)),
+
+    // Stream-stream interval join (click→purchase attribution) in its
+    // batch-verifiable form — the IDENTICAL logical definition runs
+    // watermarked on two real streams in StreamJoinSpec; the interval
+    // bound is what keeps streaming state finite.
+    Q("stream_interval_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.streaming.StreamJoin.clickAttribution(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"), "1 hour")
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            min(unix_micros(col("click_ts"))).as("first_click_us"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+        |  min(epoch_us(c.ts)) AS first_click_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin)),
+
+    // Deterministic hash split — the train/holdout assignment a
+    // training-data pipeline needs: stable across runs, engines and
+    // cluster layouts (md5 of the key, no RNG), so the holdout set is
+    // reproducible anywhere. Split on the first hex nibble (1/16).
+    Q("sample_hash_split",
+      (s, d) => Tables.events(s, d)
+        .withColumn("split",
+          when(substring(md5(col("event_id").cast("string")), 1, 1)
+            === "0", lit("holdout")).otherwise(lit("train")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy(col("split")),
+      Some("""SELECT CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+        |            = '0' THEN 'holdout' ELSE 'train' END AS split,
+        |  count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1 ORDER BY split""".stripMargin))
   )
 }
