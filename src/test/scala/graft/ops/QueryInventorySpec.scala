@@ -26,7 +26,8 @@ class QueryInventorySpec extends SparkSpec {
     // rows-only checks allowed ONLY for engine-specific hash/sketch ops
     val allowed = Set("agg_approx_distinct", "agg_hll_sketch",
       "agg_approx_percentile", "text_langid",
-      "dedup_minhash", "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf")
+      "dedup_minhash", "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf",
+      "sim_ann_ivf_trained")
     assert(noOracle === (allowed intersect noOracle))
     assert((allowed -- SparkEntry.queries.keySet).isEmpty,
       "allowed list mentions queries that don't exist")
@@ -90,6 +91,35 @@ class QueryInventorySpec extends SparkSpec {
     assert(!between.exists(l => l.contains("Exchange") &&
       !l.contains("BroadcastExchange")),
       s"corpus shuffled before candidate ranking:\n${between.mkString("\n")}")
+  }
+
+  test("join_bloom_pruned: the might_contain filter sits on the fact " +
+       "side before the join") {
+    val p = plan("join_bloom_pruned")
+    assert(p.contains("might_contain"), p)
+    // the filter must sit directly on the lineitem (fact) scan branch,
+    // so pruning happens before rows move anywhere. The fact branch
+    // prints first; its might_contain Filter precedes its FileScan.
+    // (Catalyst also infers a copy onto the dim side via the join
+    // constraint — harmless, the dim is tiny.)
+    val lines = p.linesIterator.toSeq
+    val factScan = lines.indexWhere(_.contains("lineitem.parquet"))
+    val filterIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(filterIdx >= 0 && factScan > filterIdx,
+      s"bloom filter not between fact scan and join:\n$p")
+  }
+
+  test("sim_quantized_topk: corpus streams through one scan into a " +
+       "broadcast join — no pre-join shuffle") {
+    val p = plan("sim_quantized_topk")
+    val lines = p.linesIterator.toSeq
+    val scanIdx = lines.lastIndexWhere(_.contains("embeddings.parquet"))
+    val joinIdx = lines.lastIndexWhere(_.contains("BroadcastNestedLoopJoin"))
+    assert(joinIdx >= 0 && scanIdx > joinIdx, p)
+    val between = lines.slice(joinIdx, scanIdx)
+    assert(!between.exists(l => l.contains("Exchange") &&
+      !l.contains("BroadcastExchange")),
+      s"corpus shuffled before quantized scoring:\n${between.mkString("\n")}")
   }
 
   test("top_k_payload runs as a partial-combinable graft_topk_rows") {
