@@ -79,6 +79,10 @@ object Native {
         filterBytes, org.apache.spark.sql.types.BinaryType),
       new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(e(key)))))
 
+  /** Morton bit-interleave of two normalized coordinates (Z-order). */
+  def morton(a: Column, b: Column, bits: Int): Column =
+    c(MortonInterleave(e(a), e(b), bits))
+
   /** Bounded Misra-Gries frequent-items sketch (O(capacity) state). */
   def freqSketch(item: Column, capacity: Int): Column =
     c(FreqSketch(e(item), capacity).toAggregateExpression())
