@@ -257,6 +257,34 @@ object FunctionQueries extends QueryPack {
       Some("""SELECT CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
         |            = '0' THEN 'holdout' ELSE 'train' END AS split,
         |  count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
-        |FROM events GROUP BY 1 ORDER BY split""".stripMargin))
+        |FROM events GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // Stratified deterministic downsampling: per-class keep rates via
+    // md5-nibble membership (purchases kept whole, clicks 1/16, the
+    // rest 1/8) — how a corpus rebalances classes reproducibly, with no
+    // RNG to coordinate across engines or cluster layouts.
+    Q("sample_stratified",
+      (s, d) => {
+        val nib = substring(md5(col("event_id").cast("string")), 1, 1)
+        Tables.events(s, d)
+          .filter((col("event_type") === "purchase") ||
+            (col("event_type") === "click" && nib === "0") ||
+            (col("event_type") =!= "purchase" &&
+             col("event_type") =!= "click" && nib.isin("0", "1")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_kept"),
+            min(col("event_id")).as("min_id"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n_kept,
+        |  min(event_id) AS min_id
+        |FROM (SELECT event_type, event_id,
+        |        substr(md5(CAST(event_id AS VARCHAR)), 1, 1) AS nib
+        |      FROM events)
+        |WHERE event_type = 'purchase'
+        |   OR (event_type = 'click' AND nib = '0')
+        |   OR (event_type NOT IN ('purchase', 'click')
+        |       AND nib IN ('0', '1'))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

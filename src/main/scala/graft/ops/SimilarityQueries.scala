@@ -159,6 +159,21 @@ object SimilarityQueries extends QueryPack {
       },
       None),
 
+    // Persisted IVF index: build-once (cells partitioned on disk by
+    // centroid), probe-many — the probe reads ONLY its cells via
+    // static partition pruning (PartitionFilters asserted in
+    // IvfIndexSpec). Rows-only: centroids are engine-specific.
+    Q("sim_ann_ivf_indexed",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        val dir = "/tmp/graft_ivf_index/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        Similarity.buildIvfIndex(vecs, dir)
+        Similarity.ivfProbeIndexed(dir, vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // Embedding-cosine near-dup pairs within a coarse partition (IVF
     // shape), over planted perturbed copies.
     Q("dedup_embedding_cosine",

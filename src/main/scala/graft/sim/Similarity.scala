@@ -315,30 +315,30 @@ object Similarity {
   }
   }
 
-  /** IVF probe-and-rank over an explicit centroid table (from the
-    * strided seeds, [[refineCentroids]], or [[trainCentroids]]).
+  /** nprobe nearest cells per row (sort_array + slice — whole-stage
+    * codegen; ordering: sim desc, centroid_id asc).
     */
-  private def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
-                          cents: Array[(Int, Array[Double])], nprobe: Int,
-                          idCol: String, vecCol: String): DataFrame = {
-    // sort_array + slice picks the nprobe nearest cells per-row, inside
-    // whole-stage codegen (ordering identical to the former row_number
-    // window: sim desc, centroid_id asc).
-    def nearestCells(vec: Column, probes: Int): Column =
-      slice(nearestCellStructs(vec, cents), 1, probes)
+  private def assignCells(df: DataFrame,
+                          cents: Array[(Int, Array[Double])],
+                          id: String, vec: String, probes: Int,
+                          idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(slice(nearestCellStructs(col(vecCol), cents), 1, probes))
+          .as("__cell"))
+      .select(col(id), col(vec),
+        col("__cell.centroid_id").as("centroid_id"))
 
-    def assign(df: DataFrame, id: String, vec: String, probes: Int)
-        : DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-          explode(nearestCells(col(vecCol), probes)).as("__cell"))
-        .select(col(id), col(vec),
-          col("__cell.centroid_id").as("centroid_id"))
-
-    // corpus cell assignment is unique (probes=1) and each query probes
-    // nprobe DISTINCT cells, so a (query, cand) pair joins at most once —
-    // no dedup pass needed before ranking.
-    val cells = assign(corpus, "cand_id", "c_vec2", probes = 1)
-    val probed = broadcast(assign(queries, "query_id", "q_vec", nprobe))
+  /** Probe-join-rank over cell-assigned corpus rows
+    * (`cand_id, c_vec2, centroid_id`). Corpus cell assignment is unique
+    * and each query probes nprobe DISTINCT cells, so a (query, cand)
+    * pair joins at most once — no dedup pass needed before ranking.
+    */
+  private def rankProbed(cells: DataFrame, queries: DataFrame, k: Int,
+                         cents: Array[(Int, Array[Double])], nprobe: Int,
+                         idCol: String, vecCol: String): DataFrame = {
+    val probed = broadcast(
+      assignCells(queries, cents, "query_id", "q_vec", nprobe,
+        idCol, vecCol))
     val scored = probed.join(cells, Seq("centroid_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
@@ -350,6 +350,70 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"),
         round(col("cos"), 4).as("cosine"))
+  }
+
+  /** IVF probe-and-rank over an explicit centroid table (from the
+    * strided seeds, [[refineCentroids]], or [[trainCentroids]]).
+    */
+  private def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                          cents: Array[(Int, Array[Double])], nprobe: Int,
+                          idCol: String, vecCol: String): DataFrame = {
+    val cells = assignCells(corpus, cents, "cand_id", "c_vec2",
+      probes = 1, idCol, vecCol)
+    rankProbed(cells, queries, k, cents, nprobe, idCol, vecCol)
+  }
+
+  /** Build a PERSISTED IVF index: the corpus written partitioned on
+    * disk by nearest-centroid cell (`centroid_id=` hive dirs) plus the
+    * trained centroid table. The index is built once; every probe then
+    * reads ONLY its probed cells via static partition pruning — file
+    * I/O ∝ nprobe/nlist of the corpus, the build-once/probe-many shape
+    * every production vector store uses (and the property
+    * IvfIndexSpec pins via `PartitionFilters` in the scan plan).
+    */
+  def buildIvfIndex(corpus: DataFrame, dir: String,
+                    nlist: Int = 16, sampleN: Int = 2000, iters: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : Unit = {
+    val spark = corpus.sparkSession
+    val cents = trainCentroids(corpus, nlist, sampleN, iters,
+      idCol, vecCol)
+    import spark.implicits._
+    cents.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    assignCells(corpus, cents, idCol, vecCol, probes = 1, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/cells")
+  }
+
+  /** Probe a persisted index: the probed cell set (≤ queries × nprobe
+    * ids, computed from the small query side) becomes a STATIC `isin`
+    * partition filter, so the cells scan touches only those
+    * directories. Results are identical to [[ivfTopK]] with the same
+    * trained centroids.
+    */
+  def ivfProbeIndexed(dir: String, queries: DataFrame, k: Int,
+                      nprobe: Int = 3,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val cents: Array[(Int, Array[Double])] = spark.read
+      .parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val probedCells = queries
+      .select(explode(slice(nearestCellStructs(col(vecCol), cents),
+        1, nprobe)).as("__c"))
+      .select(col("__c.centroid_id")).distinct()
+      .collect().map(_.getInt(0))
+    val cells = spark.read.parquet(s"$dir/cells")
+      .filter(col("centroid_id").isin(probedCells.map(Int.box): _*))
+      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec2"),
+        col("centroid_id"))
+    rankProbed(cells, queries, k, cents, nprobe, idCol, vecCol)
   }
 
   /** Exact top-k over int8-QUANTIZED vectors — the memory-bandwidth

@@ -27,7 +27,7 @@ class QueryInventorySpec extends SparkSpec {
     val allowed = Set("agg_approx_distinct", "agg_hll_sketch",
       "agg_approx_percentile", "text_langid",
       "dedup_minhash", "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf",
-      "sim_ann_ivf_trained")
+      "sim_ann_ivf_trained", "sim_ann_ivf_indexed")
     assert(noOracle === (allowed intersect noOracle))
     assert((allowed -- SparkEntry.queries.keySet).isEmpty,
       "allowed list mentions queries that don't exist")
