@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{AvroEncode, CosineSimilarity, DotProduct, DotProductI8, FreqSketch, MinHashSig, MinShingleMd5, QuantizeI8, ShingleHashes, SimHash, TopKPairs, TopKRewriteRule, VectorSum}
+import org.apache.spark.sql.graft.{AvroEncode, CosineSimilarity, DotProduct, DotProductI8, FreqSketch, MinHashSig, MinShingleMd5, MortonInterleave, QuantizeI8, ShingleHashes, SimHash, TopKPairs, TopKRewriteRule, VectorSum}
 
 /** Public extension injector: enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions` to get the
@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_i8"),
       new ExpressionInfo(classOf[DotProductI8].getName, "graft_dot_i8"),
       (args: Seq[Expression]) => DotProductI8(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[MortonInterleave].getName, "graft_zorder"),
+      (args: Seq[Expression]) => MortonInterleave(args(0), args(1),
+        args(2).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
       FunctionIdentifier("graft_freq_sketch"),
       new ExpressionInfo(classOf[FreqSketch].getName, "graft_freq_sketch"),

@@ -150,6 +150,11 @@ object Native {
       new ExpressionInfo(classOf[DotProductI8].getName, "graft_dot_i8"),
       (args: Seq[Expression]) => DotProductI8(args.head, args(1)))
     reg.registerFunction(
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[MortonInterleave].getName, "graft_zorder"),
+      (args: Seq[Expression]) => MortonInterleave(args.head, args(1),
+        args(2).eval().asInstanceOf[Number].intValue()))
+    reg.registerFunction(
       FunctionIdentifier("graft_freq_sketch"),
       new ExpressionInfo(classOf[FreqSketch].getName, "graft_freq_sketch"),
       (args: Seq[Expression]) => FreqSketch(args.head,
