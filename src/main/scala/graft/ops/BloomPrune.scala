@@ -26,21 +26,22 @@ object BloomPrune {
 
   /** Inner equi-join with the fact side Bloom-pruned pre-shuffle.
     *
-    * The filter build is one tiny job over `dim` (mergeable partial
+    * The filter build is ONE job over `dim` (mergeable partial
     * sketches; bytes ∝ expectedItems, independent of fact size); the
     * bytes ride to executors as a task literal, the same movement as
-    * Spark's own runtime-filter subquery. `expectedItems ≤ 0` ⇒ sized
-    * by a `dim.count()` pre-job.
+    * Spark's own runtime-filter subquery. `expectedItems ≤ 0` ⇒ Spark's
+    * runtime-filter default sizing — deliberately NOT a `dim.count()`
+    * pre-job, which would add a full extra pass over the dim subtree
+    * every call. Callers that know their dim cardinality pass it for a
+    * tighter filter.
     */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
                       expectedItems: Long = 0L): DataFrame = {
-    val items =
-      if (expectedItems > 0) expectedItems
-      else math.max(1L, dim.count())
-    val bytes = dim
-      .select(Native.bloomAgg(col(dimKey), items).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val build =
+      if (expectedItems > 0) Native.bloomAgg(col(dimKey), expectedItems)
+      else Native.bloomAggDefault(col(dimKey))
+    val bytes = dim.select(build.as("bf")).head().getAs[Array[Byte]](0)
     fact.filter(Native.bloomMightContain(bytes, col(factKey)))
       .join(dim, col(factKey) === col(dimKey))
   }

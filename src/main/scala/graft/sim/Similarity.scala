@@ -222,12 +222,17 @@ object Similarity {
     val pts = sample.map(_._2)
     val k = math.min(nlist, pts.length)
 
+    // cosine with a defined value (0) for zero-norm vectors: a NaN here
+    // would poison every maxmin comparison below (NaN < x is always
+    // false), leaving the argmin unset — an all-zero sampled vector is
+    // legal input and must not crash training
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
       while (i < a.length) {
         xy += a(i) * b(i); xx += a(i) * a(i); yy += b(i) * b(i); i += 1
       }
-      xy / (math.sqrt(xx) * math.sqrt(yy))
+      if (xx == 0.0 || yy == 0.0) 0.0
+      else xy / (math.sqrt(xx) * math.sqrt(yy))
     }
 
     // Gonzalez maxmin seeding: bestSim(i) = max cosine to any chosen
@@ -237,7 +242,7 @@ object Similarity {
     val bestSim = pts.map(p => cos(p, pts(0)))
     var c = 1
     while (c < k) {
-      var arg = -1; var best = Double.MaxValue
+      var arg = 0; var best = Double.MaxValue
       var i = 0
       while (i < pts.length) {
         if (bestSim(i) < best) { best = bestSim(i); arg = i }
@@ -378,14 +383,46 @@ object Similarity {
     val spark = corpus.sparkSession
     val cents = trainCentroids(corpus, nlist, sampleN, iters,
       idCol, vecCol)
+    // crash-safe rebuild, same protocol as the CDC sink: centroids and
+    // cells land together in an immutable fresh version dir; a single
+    // atomic overwrite-rename flips `_CURRENT` to it. A crash mid-build
+    // leaves _CURRENT on the old, internally-consistent version —
+    // probes can never pair new centroids with old cell assignments.
+    val version = "v-" + java.util.UUID.randomUUID().toString.take(12)
     import spark.implicits._
     cents.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("centroid_id", "centroid")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+      .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
     assignCells(corpus, cents, idCol, vecCol, probes = 1, idCol, vecCol)
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$dir/cells")
+      .write.mode("errorifexists").partitionBy("centroid_id")
+      .parquet(s"$dir/$version/cells")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(base, s"_CURRENT.$version.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, fs.getConf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(base, "_CURRENT"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // GC superseded versions (crash before GC only leaks disk)
+    fs.listStatus(base).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("v-") && name != version)
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** The version dir `_CURRENT` points at (the one consistent
+    * (centroids, cells) pair).
+    */
+  private def currentIndexVersion(spark: org.apache.spark.sql
+      .SparkSession, dir: String): String = {
+    val cur = new org.apache.hadoop.fs.Path(dir, "_CURRENT")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(cur)
+    try scala.io.Source.fromInputStream(in).mkString.trim
+    finally in.close()
   }
 
   /** Probe a persisted index: the probed cell set (≤ queries × nprobe
@@ -399,8 +436,9 @@ object Similarity {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
+    val ver = currentIndexVersion(spark, dir)
     val cents: Array[(Int, Array[Double])] = spark.read
-      .parquet(s"$dir/centroids")
+      .parquet(s"$dir/$ver/centroids")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
@@ -409,7 +447,7 @@ object Similarity {
         1, nprobe)).as("__c"))
       .select(col("__c.centroid_id")).distinct()
       .collect().map(_.getInt(0))
-    val cells = spark.read.parquet(s"$dir/cells")
+    val cells = spark.read.parquet(s"$dir/$ver/cells")
       .filter(col("centroid_id").isin(probedCells.map(Int.box): _*))
       .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec2"),
         col("centroid_id"))

@@ -61,6 +61,12 @@ object Layout {
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double"))
       .head()
+    // empty input / all-null column ⇒ no ranges to normalize: degrade
+    // to a plain write instead of NPE-ing on the null min/max
+    if (mm.isNullAt(0) || mm.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(dir)
+      return
+    }
     val scaleMax = (1L << bits) - 1
     def norm(c: String, lo: Double, hi: Double) =
       if (!(hi > lo)) lit(0L)

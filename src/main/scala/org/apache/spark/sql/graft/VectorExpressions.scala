@@ -134,21 +134,37 @@ case class QuantizeI8(child: Expression)
     ArrayType(ByteType, containsNull = false)
   override def prettyName: String = "graft_quantize_i8"
 
+  // Dirty-input contract, pinned to the DOUBLE-typed SQL formulation
+  // (DuckDB's: list_max/least/greatest order NaN above every number and
+  // floor preserves NaN): any NaN component makes the abs-max NaN, so
+  // EVERY element becomes least(127, greatest(-127, NaN)) = 127; an
+  // Inf component gives scale = Inf, quantizing itself to 127 (Inf/Inf
+  // = NaN → clamp 127) and finite elements to floor(0.5) = 0. NOTE:
+  // re-expressing this in Spark SQL would NOT reproduce it — Spark's
+  // `floor` returns LONG and casts NaN to 0 — which is exactly why the
+  // kernel pins DuckDB's double-typed semantics (QuantizeI8Spec).
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     var mx = 0.0
+    var nan = false
     var i = 0
     while (i < n) {
-      val v = math.abs(x.getDouble(i)); if (v > mx) mx = v; i += 1
+      val v = math.abs(x.getDouble(i))
+      if (v.isNaN) nan = true else if (v > mx) mx = v
+      i += 1
     }
     val out = new Array[Byte](n)
-    if (mx != 0.0) {
+    if (nan) {
+      java.util.Arrays.fill(out, 127.toByte)
+    } else if (mx != 0.0) {
       val scale = mx / 127.0
       i = 0
       while (i < n) {
         val q = math.floor(x.getDouble(i) / scale + 0.5)
-        out(i) = math.min(127.0, math.max(-127.0, q)).toByte
+        out(i) =
+          if (q.isNaN) 127.toByte
+          else math.min(127.0, math.max(-127.0, q)).toByte
         i += 1
       }
     }
@@ -163,21 +179,27 @@ case class QuantizeI8(child: Expression)
       val mx = ctx.freshName("mx"); val v = ctx.freshName("v")
       val out = ctx.freshName("out"); val scale = ctx.freshName("scale")
       val q = ctx.freshName("q")
+      val nan = ctx.freshName("nan")
       s"""
          |int $n = $a.numElements();
          |double $mx = 0.0;
+         |boolean $nan = false;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $v = java.lang.Math.abs($a.getDouble($i));
-         |  if ($v > $mx) $mx = $v;
+         |  if (java.lang.Double.isNaN($v)) $nan = true;
+         |  else if ($v > $mx) $mx = $v;
          |}
          |byte[] $out = new byte[$n];
-         |if ($mx != 0.0) {
+         |if ($nan) {
+         |  java.util.Arrays.fill($out, (byte) 127);
+         |} else if ($mx != 0.0) {
          |  double $scale = $mx / 127.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    double $q =
          |      java.lang.Math.floor($a.getDouble($i) / $scale + 0.5);
-         |    $out[$i] =
-         |      (byte) java.lang.Math.min(127.0, java.lang.Math.max(-127.0, $q));
+         |    $out[$i] = java.lang.Double.isNaN($q) ? (byte) 127
+         |      : (byte) java.lang.Math.min(127.0,
+         |          java.lang.Math.max(-127.0, $q));
          |  }
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions

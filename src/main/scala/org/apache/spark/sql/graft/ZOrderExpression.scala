@@ -21,7 +21,11 @@ case class MortonInterleave(left: Expression, right: Expression,
                             bits: Int)
     extends BinaryExpression with ExpectsInputTypes {
 
-  require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
+  // bits ≤ 31: at 32 the left input's top bit would land on long bit
+  // 63 — the SIGN bit — and signed sorting by z would order the upper
+  // half of the left range before the lower (z-curve broken exactly at
+  // the documented domain edge)
+  require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType

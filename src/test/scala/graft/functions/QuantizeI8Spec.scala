@@ -62,6 +62,23 @@ class QuantizeI8Spec extends SparkSpec {
       s"quantized recall too low: $inter/$total")
   }
 
+  test("dirty input pins DuckDB's double-typed semantics: NaN ⇒ all " +
+       "127, Inf ⇒ itself 127 / finites 0") {
+    // Spark SQL can't express this (its `floor` returns LONG, casting
+    // NaN to 0) — the native kernel matches the ORACLE's double-typed
+    // list_max/floor/least/greatest chain instead
+    val df = spark.range(1).select(
+      typedlit(Seq(0.5, Double.NaN, -1.0)).as("withNan"),
+      typedlit(Seq(0.5, Double.PositiveInfinity, -1.0)).as("withInf"))
+    val row = df.select(
+      transform(Native.quantizeI8(col("withNan")),
+        b => b.cast("double")).as("qn"),
+      transform(Native.quantizeI8(col("withInf")),
+        b => b.cast("double")).as("qi")).head()
+    assert(row.getSeq[Double](0) == Seq(127.0, 127.0, 127.0))
+    assert(row.getSeq[Double](1) == Seq(0.0, 127.0, 0.0))
+  }
+
   test("zero vector quantizes to all zeros; null stays null") {
     val df = spark.range(1).select(
       typedlit(Array.fill(4)(0.0)).as("z"),

@@ -38,9 +38,40 @@ class IvfIndexSpec extends SparkSpec {
       .getOrElse("")
     assert(scanLine.matches(".*PartitionFilters: \\[.*centroid_id.*\\].*"),
       s"no partition filter on the cells scan:\n$plan")
-    // ≤ 8 queries × 2 probes distinct cells, strictly under nlist
-    val cellsTouched = probe.sparkSession.read
-      .parquet(s"$dir/cells").select("centroid_id").distinct().count()
-    assert(cellsTouched == 16, "index did not materialize all cells")
+    // the index materialized a real multi-cell partitioning (empty
+    // cells are LEGAL — training keeps a seed for cells that attract
+    // no vectors — so this asserts structure, not exactly nlist dirs)
+    val cellsTouched = spark.read
+      .parquet(s"$dir/${currentVersion()}/cells")
+      .select("centroid_id").distinct().count()
+    assert(cellsTouched > 2 && cellsTouched <= 16,
+      s"unexpected cell count $cellsTouched")
+  }
+
+  test("a rebuild flips _CURRENT atomically and GCs the old version") {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(p)) fsys.delete(p, true)
+    Similarity.buildIvfIndex(vecs, dir, nlist = 8)
+    val v1 = currentVersion()
+    Similarity.buildIvfIndex(vecs, dir, nlist = 8)
+    val v2 = currentVersion()
+    assert(v1 != v2, "rebuild reused a version dir")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(versions == Set(v2), s"old versions not GCed: $versions")
+    // and the probe still works against the new current
+    assert(Similarity.ivfProbeIndexed(dir,
+      vecs.filter(col("vec_id") < 4), 3).count() > 0)
+  }
+
+  private def currentVersion(): String = {
+    val cur = new org.apache.hadoop.fs.Path(dir, "_CURRENT")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(cur)
+    try scala.io.Source.fromInputStream(in).mkString.trim
+    finally in.close()
   }
 }

@@ -99,6 +99,17 @@ class IvfSpec extends SparkSpec {
       "trained-IVF recall below planted-dup bar")
   }
 
+  test("trainCentroids survives zero vectors in the sample") {
+    // an all-zero corpus guarantees the FIRST sampled vector is zero —
+    // the case where an undefined (NaN) cosine would poison every
+    // maxmin comparison and crash seeding with arg = -1
+    val zeros = spark.range(0, 200).select(col("id").as("vec_id"),
+      typedlit(Array.fill(16)(0.0)).as("embedding"))
+    val cents = Similarity.trainCentroids(zeros, 4, 100, 2)
+    assert(cents.length == 4)
+    assert(cents.forall(_._2.forall(d => !d.isNaN)))
+  }
+
   test("trainCentroids is deterministic across invocations") {
     val a = Similarity.trainCentroids(vecs, 8, 500, 2)
     val b = Similarity.trainCentroids(vecs, 8, 500, 2)
