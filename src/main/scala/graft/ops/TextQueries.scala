@@ -127,6 +127,48 @@ object TextQueries extends QueryPack {
         |  CAST(ceil(0.002 * (SELECT count(*) FROM toks)) AS BIGINT)
         |ORDER BY cnt DESC, tok""".stripMargin)),
 
+    // PII scrubbing — the redaction pass a training corpus runs before
+    // anything else: RE2-compatible patterns (portable across engines)
+    // for emails and long digit runs, applied as per-row codegen'd
+    // regexp_replace chains. Zero shuffle; scales with bytes scanned.
+    Q("text_redact_pii",
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val digits = "[0-9]{6,}"
+        val redacted = regexp_replace(
+          regexp_replace(col("text"), email, "<EMAIL>"),
+          digits, "<NUM>")
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(redacted).as("redacted_md5"),
+            (length(col("text")) - length(redacted)).as("len_delta"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g'))
+        |    AS redacted_md5,
+        |  length(text) - length(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g'))
+        |    AS len_delta
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Bucketed histogram — corpus length distribution as a single
+    // map-side-partial agg over floor-bucketed lengths (the shape of
+    // any numeric histogram at scale: bucket count, not row count,
+    // crosses the exchange).
+    Q("text_histogram",
+      (s, d) => Tables.documents(s, d)
+        .select((floor(length(col("text")) / lit(200)) * 200)
+          .cast("long").as("len_bucket"))
+        .groupBy(col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("len_bucket")),
+      Some("""SELECT CAST(floor(length(text) / 200) * 200 AS BIGINT)
+        |    AS len_bucket, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY len_bucket""".stripMargin)),
+
     // Composite training-data pipeline: quality gate → exact dedup →
     // per-language corpus stats — the end-to-end shape a 100 TB corpus
     // build runs. Every stage is deterministic, so the whole pipeline
