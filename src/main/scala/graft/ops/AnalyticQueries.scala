@@ -31,6 +31,52 @@ object AnalyticQueries extends QueryPack {
 
   def queries: Seq[Q] = Seq(
 
+    // Flagship composite star query (TPC-H Q5 shape): a six-table
+    // snowflake join with a selective region/date slice feeding a
+    // decimal-exact revenue rollup. This is the query the whole stack
+    // exists for — Catalyst broadcast-plans every dim, pushes the date
+    // window into the orders scan and the region name into its scan,
+    // and only the lineitem⋈orders equi-join shuffles. Revenue goes
+    // decimal(18,2)×decimal(18,2) → exact sum → one final double cast,
+    // so the hash oracle holds across engines.
+    Q("q_star_revenue",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= "1996-01-01" &&
+              col("o_orderdate") < "1997-01-01"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d))
+            .filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)"))
+          .cast("double").as("discount_revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name")),
+      Some("""SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS discount_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     // Gap-based sessionization with Spark's native session_window —
     // the same operator Structured Streaming uses for stateful session
     // aggregation, here in batch mode. One shuffle on user_id; session

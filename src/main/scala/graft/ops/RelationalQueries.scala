@@ -100,7 +100,7 @@ object RelationalQueries extends QueryPack {
           .select("s_suppkey", "s_name")
         BloomPrune.bloomPrunedJoin(
             Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice"),
-            dim, "l_suppkey", "s_suppkey")
+            dim, "l_suppkey", "s_suppkey", expectedItems = 4096)
           .groupBy(col("s_suppkey"))
           .agg(count(lit(1)).as("n_lines"),
             dsum("l_extendedprice").as("total_price"))

@@ -93,6 +93,17 @@ class QueryInventorySpec extends SparkSpec {
       s"corpus shuffled before candidate ranking:\n${between.mkString("\n")}")
   }
 
+  test("q_star_revenue: dims broadcast; date and region slices reach " +
+       "their scans") {
+    val p = plan("q_star_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scans.exists(l => l.contains("orders.parquet") &&
+      l.contains("o_orderdate")), "date window not pushed to orders scan")
+    assert(scans.exists(l => l.contains("region.parquet") &&
+      l.contains("r_name")), "region slice not pushed to region scan")
+  }
+
   test("join_bloom_pruned: the might_contain filter sits on the fact " +
        "side before the join") {
     val p = plan("join_bloom_pruned")
