@@ -57,6 +57,47 @@ object CdcQueries extends QueryPack {
 
   def queries: Seq[Q] = Seq(
 
+    // End-to-end CDC-consumer composite (the reference's downstream:
+    // README.md:22's Hudi consumer feeding analytics): materialize the
+    // latest non-deleted row per key, join it to the key's full change
+    // history rolled up decimal-exact — "current state + lifetime
+    // activity" in one oracled query. Two shuffles total (the
+    // latest-wins window and the history agg share the key), then a
+    // key-equi join of two already-key-partitioned sides.
+    Q("pipeline_cdc_metrics",
+      (s, d) => {
+        val state = Materialize.currentState(
+            flatFeed(s, d), Seq("key"), Seq(col("ts_us"), col("event_id")))
+          .select(col("key"), col("value").as("last_value"),
+            col("ts_us").as("last_ts_us"))
+        val activity = flatFeed(s, d)
+          .groupBy(col("key"))
+          .agg(count(lit(1)).as("n_changes"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("total_value"))
+        state.join(activity, Seq("key"))
+          .orderBy(col("key"))
+      },
+      Some(s"""$feedCte,
+        | ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM feed),
+        | state AS (
+        |  SELECT key, value AS last_value, ts_us AS last_ts_us
+        |  FROM ranked WHERE rn = 1 AND op <> 'd'),
+        | act AS (
+        |  -- delete events carry no after-image (value NULL in the
+        |  -- envelope), so the rollup sums non-delete changes only
+        |  SELECT key, count(*) AS n_changes,
+        |    CAST(sum(CASE WHEN op <> 'd'
+        |             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+        |      AS total_value
+        |  FROM feed GROUP BY key)
+        |SELECT key, last_value, last_ts_us, n_changes, total_value
+        |FROM state JOIN act USING (key)
+        |ORDER BY key""".stripMargin)),
+
     // S1/P4-P7 — build the Debezium-style envelope and project it flat.
     Q("cdc_envelope",
       (s, d) => ChangeFeed.envelope(Tables.events(s, d)).select(
