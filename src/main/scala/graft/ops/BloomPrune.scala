@@ -29,19 +29,20 @@ object BloomPrune {
     * The filter build is ONE job over `dim` (mergeable partial
     * sketches; bytes ∝ expectedItems, independent of fact size); the
     * bytes ride to executors as a task literal, the same movement as
-    * Spark's own runtime-filter subquery. `expectedItems ≤ 0` ⇒ Spark's
-    * runtime-filter default sizing — deliberately NOT a `dim.count()`
-    * pre-job, which would add a full extra pass over the dim subtree
-    * every call. Callers that know their dim cardinality pass it for a
-    * tighter filter.
+    * Spark's own runtime-filter subquery. `expectedItems ≤ 0` ⇒ a
+    * 64 Ki-item default (~77 KB filter) — deliberately NOT a
+    * `dim.count()` pre-job, which would add a full extra pass over the
+    * dim subtree every call. An undersized filter only raises the
+    * false-positive rate (less pruning, never a wrong result); callers
+    * that know their dim cardinality pass it for an exactly-sized
+    * filter.
     */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
                       expectedItems: Long = 0L): DataFrame = {
-    val build =
-      if (expectedItems > 0) Native.bloomAgg(col(dimKey), expectedItems)
-      else Native.bloomAggDefault(col(dimKey))
-    val bytes = dim.select(build.as("bf")).head().getAs[Array[Byte]](0)
+    val items = if (expectedItems > 0) expectedItems else 65536L
+    val bytes = dim.select(Native.bloomAgg(col(dimKey), items).as("bf"))
+      .head().getAs[Array[Byte]](0)
     fact.filter(Native.bloomMightContain(bytes, col(factKey)))
       .join(dim, col(factKey) === col(dimKey))
   }

@@ -237,16 +237,38 @@ object Similarity {
 
     // Gonzalez maxmin seeding: bestSim(i) = max cosine to any chosen
     // seed; next seed = argmin bestSim (ties → lower sample index).
+    // Zero-norm vectors are degenerate for cosine geometry (similarity
+    // 0 to EVERYTHING — as a starting seed they tie every candidate and
+    // index order would pick all the zeros first): they are ineligible
+    // as seeds unless the whole sample is zero, and each pick is marked
+    // ineligible explicitly (a zero seed's cos(self) is 0, not 1).
+    val norm2 = pts.map { p =>
+      var s = 0.0; var j = 0
+      while (j < p.length) { s += p(j) * p(j); j += 1 }
+      s
+    }
+    val first = { val i = norm2.indexWhere(_ > 0.0); if (i < 0) 0 else i }
     val chosen = new Array[Int](k)
-    chosen(0) = 0
-    val bestSim = pts.map(p => cos(p, pts(0)))
+    chosen(0) = first
+    val bestSim = pts.map(p => cos(p, pts(first)))
+    bestSim(first) = Double.MaxValue
     var c = 1
     while (c < k) {
-      var arg = 0; var best = Double.MaxValue
+      var arg = -1; var best = Double.MaxValue
       var i = 0
       while (i < pts.length) {
-        if (bestSim(i) < best) { best = bestSim(i); arg = i }
+        if (norm2(i) > 0.0 && bestSim(i) < best) {
+          best = bestSim(i); arg = i
+        }
         i += 1
+      }
+      if (arg < 0) { // only zero vectors (or already-chosen) remain
+        i = 0
+        while (i < pts.length && arg < 0) {
+          if (bestSim(i) < Double.MaxValue) arg = i
+          i += 1
+        }
+        if (arg < 0) arg = first
       }
       chosen(c) = arg
       i = 0
@@ -255,6 +277,7 @@ object Similarity {
         if (s > bestSim(i)) bestSim(i) = s
         i += 1
       }
+      bestSim(arg) = Double.MaxValue
       c += 1
     }
     var cents: Array[Array[Double]] = chosen.map(pts(_).clone())
@@ -383,12 +406,19 @@ object Similarity {
     val spark = corpus.sparkSession
     val cents = trainCentroids(corpus, nlist, sampleN, iters,
       idCol, vecCol)
-    // crash-safe rebuild, same protocol as the CDC sink: centroids and
-    // cells land together in an immutable fresh version dir; a single
-    // atomic overwrite-rename flips `_CURRENT` to it. A crash mid-build
+    // crash-safe rebuild, same protocol as the CDC sink (shared
+    // primitive: graft.sources.PointerFile): centroids and cells land
+    // together in an immutable fresh version dir; a single atomic
+    // overwrite-rename flips `_CURRENT` to it. A crash mid-build
     // leaves _CURRENT on the old, internally-consistent version —
     // probes can never pair new centroids with old cell assignments.
-    val version = "v-" + java.util.UUID.randomUUID().toString.take(12)
+    // Version names embed a millisecond stamp so GC can keep the 2
+    // NEWEST versions: the superseded-but-recent one stays readable for
+    // in-flight/lazy probes that resolved _CURRENT before the flip, and
+    // a concurrent builder's fresher flip is never deleted out from
+    // under its pointer. (Crash before GC only leaks disk.)
+    val version = f"v-${System.currentTimeMillis()}%013d-${
+      java.util.UUID.randomUUID().toString.take(8)}"
     import spark.implicits._
     cents.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("centroid_id", "centroid")
@@ -399,30 +429,24 @@ object Similarity {
       .parquet(s"$dir/$version/cells")
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(base, s"_CURRENT.$version.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(version.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, fs.getConf)
-      .rename(tmp, new org.apache.hadoop.fs.Path(base, "_CURRENT"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // GC superseded versions (crash before GC only leaks disk)
-    fs.listStatus(base).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("v-") && name != version)
-        fs.delete(st.getPath, true)
-    }
+    val cur = new org.apache.hadoop.fs.Path(base, "_CURRENT")
+    graft.sources.PointerFile.write(fs, cur, version)
+    graft.sources.PointerFile.cleanStaleTmp(fs, cur)
+    val versions = fs.listStatus(base)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
+      .map(_.getPath).sortBy(_.getName).reverse
+    versions.drop(2).foreach(fs.delete(_, true))
   }
 
   /** The version dir `_CURRENT` points at (the one consistent
-    * (centroids, cells) pair).
+    * (centroids, cells) pair). Public so tests and tooling can reason
+    * about the commit protocol.
     */
-  private def currentIndexVersion(spark: org.apache.spark.sql
-      .SparkSession, dir: String): String = {
+  def indexVersion(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): String = {
     val cur = new org.apache.hadoop.fs.Path(dir, "_CURRENT")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(cur)
-    try scala.io.Source.fromInputStream(in).mkString.trim
-    finally in.close()
+    graft.sources.PointerFile.read(fs, cur)
   }
 
   /** Probe a persisted index: the probed cell set (≤ queries × nprobe
@@ -436,7 +460,7 @@ object Similarity {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
-    val ver = currentIndexVersion(spark, dir)
+    val ver = indexVersion(spark, dir)
     val cents: Array[(Int, Array[Double])] = spark.read
       .parquet(s"$dir/$ver/centroids")
       .collect()

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+/** Tiny atomic pointer files — the shared primitive under every
+  * crash-safe commit protocol in the engine (the CDC sink's per-bucket
+  * pointers, the persisted IVF index's `_CURRENT`): write a
+  * uniquely-named tmp sibling, then ONE `FileContext` rename with
+  * `Options.Rename.OVERWRITE`. A delete-then-rename pair would leave a
+  * no-pointer window that a crash could turn into data loss; the
+  * unique tmp suffix means concurrent writers never collide on the tmp
+  * path — last rename wins, and the loser's flip is simply superseded.
+  */
+object PointerFile {
+
+  def write(fs: FileSystem, dst: Path, value: String): Unit = {
+    val tmp = new Path(dst.getParent, dst.getName + "." +
+      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(tmp.toUri, fs.getConf)
+      .rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  def read(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in).mkString.trim
+    finally in.close()
+  }
+
+  /** Crash leftovers of [[write]] targeting `dst`: tmp siblings never
+    * renamed. Age-gated (default 1 h) so a CONCURRENT writer's
+    * seconds-old in-flight tmp is never deleted out from under its
+    * rename — only genuinely orphaned files go.
+    */
+  def cleanStaleTmp(fs: FileSystem, dst: Path,
+                    maxAgeMs: Long = 3600000L): Unit =
+    if (fs.exists(dst.getParent)) {
+      val cutoff = System.currentTimeMillis() - maxAgeMs
+      fs.listStatus(dst.getParent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(dst.getName + ".") && n.endsWith(".tmp") &&
+            st.getModificationTime < cutoff)
+          fs.delete(st.getPath, false)
+      }
+    }
+}

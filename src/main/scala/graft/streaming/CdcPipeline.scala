@@ -230,28 +230,22 @@ object CdcPipeline {
     else fs.listStatus(dir).toSeq
       .filter(s => !s.getPath.getName.endsWith(".tmp"))
       .map { st =>
-        val in = fs.open(st.getPath)
-        val v = try scala.io.Source.fromInputStream(in).mkString.trim
-        finally in.close()
-        st.getPath.getName.toInt -> v
+        st.getPath.getName.toInt ->
+          graft.sources.PointerFile.read(fs, st.getPath)
       }.toMap
   }
 
-  /** Atomic per-bucket pointer flip: write tmp, OVERWRITE-rename over
-    * (FileContext rename with Options.Rename.OVERWRITE — one atomic
-    * op; a delete-then-rename pair would leave a no-pointer window a
-    * crash could turn into GC deleting the bucket's only data).
+  /** Atomic per-bucket pointer flip — the shared
+    * [[graft.sources.PointerFile]] primitive (write a unique tmp,
+    * ONE OVERWRITE-rename; a delete-then-rename pair would leave a
+    * no-pointer window a crash could turn into GC deleting the
+    * bucket's only data).
     */
   private def writePointer(fs: org.apache.hadoop.fs.FileSystem,
                            statePath: String, bucket: Int,
-                           batchDir: String): Unit = {
-    val dst = new Path(s"$statePath/ptr/$bucket")
-    val tmp = new Path(s"$statePath/ptr/$bucket.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(batchDir.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, fs.getConf)
-      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+                           batchDir: String): Unit =
+    graft.sources.PointerFile.write(fs,
+      new Path(s"$statePath/ptr/$bucket"), batchDir)
 
   /** Never-reused output dir name: id + monotonic attempt stamp. */
   private def uniqueDir(prefix: String, batchId: Long): String =

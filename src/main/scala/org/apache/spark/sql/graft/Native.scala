@@ -70,16 +70,6 @@ object Native {
           expectedItems)
       .toAggregateExpression())
 
-  /** [[bloomAgg]] sized by Spark's runtime-filter defaults (no count
-    * pre-job — the filter build stays a single pass over the dim).
-    */
-  def bloomAggDefault(key: Column): Column =
-    c(new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(
-          new org.apache.spark.sql.catalyst.expressions.XxHash64(
-            Seq(e(key))))
-      .toAggregateExpression())
-
   /** `might_contain(filter, xxhash64(key))` pruning predicate over a
     * pre-built filter's bytes.
     */

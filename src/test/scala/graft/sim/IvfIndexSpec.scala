@@ -42,36 +42,32 @@ class IvfIndexSpec extends SparkSpec {
     // cells are LEGAL — training keeps a seed for cells that attract
     // no vectors — so this asserts structure, not exactly nlist dirs)
     val cellsTouched = spark.read
-      .parquet(s"$dir/${currentVersion()}/cells")
+      .parquet(s"$dir/${Similarity.indexVersion(spark, dir)}/cells")
       .select("centroid_id").distinct().count()
     assert(cellsTouched > 2 && cellsTouched <= 16,
       s"unexpected cell count $cellsTouched")
   }
 
-  test("a rebuild flips _CURRENT atomically and GCs the old version") {
+  test("rebuilds flip _CURRENT atomically; GC keeps the previous " +
+       "version readable and drops older ones") {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fsys.exists(p)) fsys.delete(p, true)
-    Similarity.buildIvfIndex(vecs, dir, nlist = 8)
-    val v1 = currentVersion()
-    Similarity.buildIvfIndex(vecs, dir, nlist = 8)
-    val v2 = currentVersion()
-    assert(v1 != v2, "rebuild reused a version dir")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+    def versions(): Set[String] = fsys.listStatus(p)
       .filter(_.isDirectory).map(_.getPath.getName).toSet
-    assert(versions == Set(v2), s"old versions not GCed: $versions")
-    // and the probe still works against the new current
+    Similarity.buildIvfIndex(vecs, dir, nlist = 8)
+    val v1 = Similarity.indexVersion(spark, dir)
+    Similarity.buildIvfIndex(vecs, dir, nlist = 8)
+    val v2 = Similarity.indexVersion(spark, dir)
+    assert(v1 != v2, "rebuild reused a version dir")
+    // keep-2: the superseded version stays for in-flight readers
+    assert(versions() == Set(v1, v2), s"expected {v1,v2}: ${versions()}")
+    Similarity.buildIvfIndex(vecs, dir, nlist = 8)
+    val v3 = Similarity.indexVersion(spark, dir)
+    assert(versions() == Set(v2, v3),
+      s"GC should keep exactly the 2 newest: ${versions()}")
+    // and the probe works against the new current
     assert(Similarity.ivfProbeIndexed(dir,
       vecs.filter(col("vec_id") < 4), 3).count() > 0)
-  }
-
-  private def currentVersion(): String = {
-    val cur = new org.apache.hadoop.fs.Path(dir, "_CURRENT")
-    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(cur)
-    try scala.io.Source.fromInputStream(in).mkString.trim
-    finally in.close()
   }
 }

@@ -108,6 +108,18 @@ class IvfSpec extends SparkSpec {
     val cents = Similarity.trainCentroids(zeros, 4, 100, 2)
     assert(cents.length == 4)
     assert(cents.forall(_._2.forall(d => !d.isNaN)))
+
+    // mixed corpus where the FIRST sampled vector is (almost surely) a
+    // zero: seeding must still spread over the real vectors instead of
+    // collapsing every seed onto the zero index (cos(zero,·) = 0 would
+    // stay the argmin forever without explicit seed marking)
+    val mixed = zeros.limit(10).unionByName(
+      vecs.select(col("vec_id") + 1000L, slice(col("embedding"), 1, 16))
+        .toDF("vec_id", "embedding"))
+    val trained = Similarity.trainCentroids(mixed, 8, 2000, 0)
+    val distinct = trained.map(_._2.toSeq).distinct.length
+    assert(distinct >= 4,
+      s"seeding collapsed: only $distinct distinct centroids")
   }
 
   test("trainCentroids is deterministic across invocations") {
