@@ -169,6 +169,46 @@ object TextQueries extends QueryPack {
         |    AS len_bucket, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY len_bucket""".stripMargin)),
 
+    // Benchmark DECONTAMINATION — the corpus-hygiene pass every LLM
+    // training build runs: drop training docs that share any 5-token
+    // shingle with the eval set (stand-in: every 5th doc). Shingles are
+    // md5-of-joined-tokens, portable across engines, so the whole op
+    // hash-oracles. Scale shape: the eval side is always SMALL (an eval
+    // suite, not a corpus) → its distinct-shingle set broadcasts; the
+    // training side streams through one shingle-explode into the
+    // broadcast semi-join — no corpus-side shuffle before the per-doc
+    // hit count.
+    Q("pipeline_decontaminate",
+      (s, d) => {
+        def shingled(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("toks")) - 4),
+              i => md5(array_join(slice(col("toks"), i, lit(5)), " "))))
+              .as("sh"))
+        val docs = Tables.documents(s, d)
+        val bench = shingled(docs.filter(col("doc_id") % 5 === 0))
+          .select("sh").distinct()
+        shingled(docs.filter(col("doc_id") % 5 =!= 0))
+          .join(broadcast(bench), Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("sh")).as("n_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(1, len(toks)-3)),
+        |      i -> md5(array_to_string(toks[i:i+4], ' ')))) AS sh
+        |  FROM docs),
+        | bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 5 = 0)
+        |SELECT s.doc_id, count(DISTINCT s.sh) AS n_hits
+        |FROM sh s JOIN bench b USING (sh)
+        |WHERE s.doc_id % 5 <> 0
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin)),
+
     // Composite training-data pipeline: quality gate → exact dedup →
     // per-language corpus stats — the end-to-end shape a 100 TB corpus
     // build runs. Every stage is deterministic, so the whole pipeline
