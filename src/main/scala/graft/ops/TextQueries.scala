@@ -169,6 +169,35 @@ object TextQueries extends QueryPack {
         |    AS len_bucket, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY len_bucket""".stripMargin)),
 
+    // Repetition scoring (the Gopher-style quality signal): fraction
+    // of a doc's 3-gram occurrences that are repeats — high values
+    // flag boilerplate/spam. Entirely PER-ROW array math (shingle
+    // list vs its distinct count): zero shuffle, scales with bytes.
+    Q("text_repetition",
+      (s, d) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val grams = transform(sequence(lit(1), size(toks) - 2),
+          i => array_join(slice(toks, i, lit(3)), " "))
+        Tables.documents(s, d)
+          .filter(size(toks) >= 3)
+          .select(col("doc_id"),
+            size(grams).as("n_grams"),
+            round(lit(1.0) - size(array_distinct(grams)).cast("double") /
+              size(grams).cast("double"), 6).as("rep_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(1, len(toks)-1)),
+        |      i -> array_to_string(toks[i:i+2], ' ')) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3)
+        |SELECT doc_id, len(grams) AS n_grams,
+        |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) /
+        |        len(grams), 6) AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin)),
+
     // Benchmark DECONTAMINATION — the corpus-hygiene pass every LLM
     // training build runs: drop training docs that share any 5-token
     // shingle with the eval set (stand-in: every 5th doc). Shingles are
