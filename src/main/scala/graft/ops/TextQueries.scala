@@ -175,21 +175,24 @@ object TextQueries extends QueryPack {
     // list vs its distinct count): zero shuffle, scales with bytes.
     Q("text_repetition",
       (s, d) => {
-        // the gram list is built ONCE per row (n_grams is just
-        // size(toks)-2 arithmetic): HOF lambdas evaluate interpreted,
-        // so a repeated `grams` expression would re-materialize ~10³
-        // strings per row per use — measured 3× slower
+        // the gram list (TextAnalysis.shingles — the dedup family's
+        // positional k-gram builder) is materialized ONCE per row:
+        // HOF lambdas evaluate interpreted, so a repeated expression
+        // would re-build ~10³ strings per row per use (measured 3×
+        // slower). The ratio ships UNROUNDED: the raw division is
+        // bit-identical across engines, while round()'s tie behavior
+        // on exactly-representable k/n values is not (Spark BigDecimal
+        // half-up vs DuckDB x·10⁶ std::round diverge at n_grams=640).
         Tables.documents(s, d)
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
           .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"), (size(col("toks")) - 2).as("n_grams"),
-            transform(sequence(lit(1), size(col("toks")) - 2),
-              i => array_join(slice(col("toks"), i, lit(3)), " "))
-              .as("grams"))
+          .select(col("doc_id"),
+            (size(col("toks")) - 2).cast("long").as("n_grams"),
+            TextAnalysis.shingles(col("toks"), 3).as("grams"))
           .select(col("doc_id"), col("n_grams"),
-            round(lit(1.0) -
+            (lit(1.0) -
               size(array_distinct(col("grams"))).cast("double") /
-              col("n_grams").cast("double"), 6).as("rep_ratio"))
+              col("n_grams").cast("double")).as("rep_ratio"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH g AS (
@@ -200,32 +203,33 @@ object TextQueries extends QueryPack {
         |        FROM documents)
         |  WHERE len(toks) >= 3)
         |SELECT doc_id, len(grams) AS n_grams,
-        |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) /
-        |        len(grams), 6) AS rep_ratio
+        |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) /
+        |        len(grams) AS rep_ratio
         |FROM g ORDER BY doc_id""".stripMargin)),
 
     // Benchmark DECONTAMINATION — the corpus-hygiene pass every LLM
     // training build runs: drop training docs that share any 5-token
-    // shingle with the eval set (stand-in: every 5th doc). Shingles are
-    // md5-of-joined-tokens, portable across engines, so the whole op
-    // hash-oracles. Scale shape: the eval side is always SMALL (an eval
-    // suite, not a corpus) → its distinct-shingle set broadcasts; the
-    // training side streams through one shingle-explode into the
-    // broadcast semi-join — no corpus-side shuffle before the per-doc
-    // hit count.
+    // shingle with the eval set. The stand-in eval set is FIXED-SIZE
+    // (doc_id < 25), which is what justifies the explicit broadcast:
+    // a real eval suite is bounded (thousands of docs) no matter how
+    // big the training corpus grows, so its distinct-shingle set
+    // broadcasts and the corpus side streams one shingle-explode into
+    // the broadcast semi-join — no corpus-side shuffle before the
+    // per-doc hit count. Shingles are md5-of-joined-tokens
+    // (TextAnalysis.shingles), portable across engines, so the whole
+    // op hash-oracles.
     Q("pipeline_decontaminate",
       (s, d) => {
         def shingled(df: org.apache.spark.sql.DataFrame) = df
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
           .filter(size(col("toks")) >= 5)
           .select(col("doc_id"),
-            explode(transform(sequence(lit(1), size(col("toks")) - 4),
-              i => md5(array_join(slice(col("toks"), i, lit(5)), " "))))
-              .as("sh"))
+            explode(transform(TextAnalysis.shingles(col("toks"), 5),
+              g => md5(g))).as("sh"))
         val docs = Tables.documents(s, d)
-        val bench = shingled(docs.filter(col("doc_id") % 5 === 0))
+        val bench = shingled(docs.filter(col("doc_id") < 25))
           .select("sh").distinct()
-        shingled(docs.filter(col("doc_id") % 5 =!= 0))
+        shingled(docs.filter(col("doc_id") >= 25))
           .join(broadcast(bench), Seq("sh"))
           .groupBy(col("doc_id"))
           .agg(countDistinct(col("sh")).as("n_hits"))
@@ -238,10 +242,10 @@ object TextQueries extends QueryPack {
         |    unnest(list_transform(range(1, greatest(1, len(toks)-3)),
         |      i -> md5(array_to_string(toks[i:i+4], ' ')))) AS sh
         |  FROM docs),
-        | bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 5 = 0)
+        | bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25)
         |SELECT s.doc_id, count(DISTINCT s.sh) AS n_hits
         |FROM sh s JOIN bench b USING (sh)
-        |WHERE s.doc_id % 5 <> 0
+        |WHERE s.doc_id >= 25
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin)),
 
     // Composite training-data pipeline: quality gate → exact dedup →
