@@ -13,6 +13,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * exact decimal arithmetic before a final cast to double; timestamps are
   * surfaced as epoch-microsecond longs; column names are aliased
   * identically on both sides.
+  *
+  * `round(x, n)` caveat: Spark (BigDecimal half-up over the shortest
+  * decimal representation) and DuckDB (`std::round(x·10ⁿ)/10ⁿ`) agree on
+  * every double EXCEPT exact decimal ties — reachable when x is a ratio
+  * of small integers (confirmed divergent at 1 − 307/640 with n=6), all
+  * but unreachable for log/sqrt/cosine-family values. Rule: never round
+  * an integer-ratio column (ship the raw division — it is bit-identical
+  * across engines); rounding irrational-family values for display/rank
+  * stability is fine.
   */
 final case class Q(
     name: String,
