@@ -39,6 +39,30 @@ object Layout {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Small-file compaction — the lake-maintenance pass that keeps scan
+    * parallelism healthy: a directory accumulated as thousands of tiny
+    * files (streaming micro-batches, per-batch bucket writes) is
+    * rewritten as ⌈totalBytes / targetFileBytes⌉ right-sized files.
+    * Sizing comes from a FILESYSTEM LISTING (no data read); the single
+    * data pass is read → round-robin repartition → write. The caller
+    * swaps the directory in (or points readers at `outDir`) — pairing
+    * with an atomic pointer flip ([[PointerFile]]) where readers need
+    * isolation, as the CDC sink and IVF index do.
+    */
+  def compactFiles(spark: SparkSession, srcDir: String, outDir: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(src)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) /
+      targetFileBytes).toInt
+    spark.read.parquet(srcDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Z-ordered parquet layout: range-normalize two columns to
     * `[0, 2^bits)`, Morton-interleave them, and range-partition + sort
     * the files by the z-value. Every file's min/max is then narrow in

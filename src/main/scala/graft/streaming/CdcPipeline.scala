@@ -128,11 +128,18 @@ object CdcPipeline {
     val merged =
       if (statePaths.nonEmpty) {
         // state's bucket is recomputed from the key (deterministic) —
-        // files never store it; I/O scoping is pure path selection
-        val state = spark.read.parquet(statePaths.toSeq: _*)
+        // files never store it; I/O scoping is pure path selection.
+        // mergeSchema: pointed-at bucket dirs can span batches written
+        // under DIFFERENT schemas after a drift — read the union.
+        val state = spark.read.option("mergeSchema", "true")
+          .parquet(statePaths.toSeq: _*)
           .withColumn("__bucket", bucketOf(cfg))
+        // allowMissingColumns = SCHEMA DRIFT TOLERANCE: a batch that
+        // ADDS a column keeps it (state rows read null until touched,
+        // Debezium's missing-field semantics); a batch that DROPS one
+        // nulls it on its own rows instead of failing the merge.
         Materialize.latest(
-          state.unionByName(latest.select(state.columns.map(col): _*)),
+          state.unionByName(latest, allowMissingColumns = true),
           cfg.keyCols, order)
       } else latest
     // COMMIT PROTOCOL (crash-safe, single-writer):
@@ -168,7 +175,8 @@ object CdcPipeline {
       val paths = ptrs.toSeq.sortBy(_._1).map { case (b, v) =>
         bucketPath(statePath, v, b)
       }
-      val df = spark.read.parquet(paths: _*)
+      // bucket dirs may span batches with drifted schemas — union them
+      val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
       Some(if (df.columns.contains(opCol)) df.filter(col(opCol) =!= "d")
            else df)
     }
@@ -200,7 +208,8 @@ object CdcPipeline {
     // ts) must be kept — a three-valued `op != d || ts >= horizon`
     // would evaluate NULL and silently drop it, re-enabling the
     // resurrection this retention exists to prevent
-    val compacted = spark.read.parquet(paths: _*)
+    val compacted = spark.read.option("mergeSchema", "true")
+      .parquet(paths: _*)
       .filter(!(col(cfg.opCol) <=> "d" &&
         coalesce(tsCol < horizonUs, lit(false))))
       .withColumn("__bucket", bucketOf(cfg))

@@ -167,6 +167,51 @@ class CdcPipelineSpec extends SparkSpec {
       === expectedTs)
   }
 
+  test("schema drift: an added column merges (nulls for untouched " +
+       "rows), a dropped column nulls instead of failing") {
+    val base = Files.createTempDirectory("cdcdrift").toString
+    val state = s"$base/state"
+    val cfg = CdcPipeline.Config(numBuckets = 8)
+    val b1 = feed.filter(col("ts_us") < cutoffUs).drop("ts")
+    CdcPipeline.mergeBatch(b1, state, cfg, batchId = 0)
+
+    // batch 2 ADDS source_region for a subset of keys
+    val driftKeys = feed.filter(col("ts_us") >= cutoffUs)
+    val b2 = driftKeys.drop("ts")
+      .withColumn("source_region", lit("eu-central"))
+    CdcPipeline.mergeBatch(b2, state, cfg, batchId = 1)
+    val s2 = CdcPipeline.currentState(spark, state).get
+    assert(s2.columns.contains("source_region"),
+      "added column lost in merge")
+    val touched = Materialize.latest(feed.drop("ts"), Seq("key"),
+      Seq(col("ts_us"), col("event_id")))
+      .filter(col("ts_us") >= cutoffUs && col("op") =!= "d")
+      .select("key").collect().map(_.getString(0)).toSet
+    val regionByKey = s2.select("key", "source_region").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // EXACTLY the keys whose latest row came from the drifted batch
+    // carry the value; everything else reads null
+    assert(regionByKey.forall { case (k, region) =>
+      if (touched.contains(k)) region.contains("eu-central")
+      else region.isEmpty
+    }, "source_region not aligned with which batch last touched the key")
+
+    // batch 3 DROPS props entirely — merge must not fail, its rows
+    // read null props
+    val lateUs = feed.agg(max(col("ts_us"))).head().getLong(0) + 1000L
+    val b3 = b1.limit(5)
+      .withColumn("ts_us", lit(lateUs))
+      .withColumn("op", lit("u"))
+      .drop("props")
+    CdcPipeline.mergeBatch(b3, state, cfg, batchId = 2)
+    val s3 = CdcPipeline.currentState(spark, state).get
+    val b3keys = b3.select("key").collect().map(_.getString(0)).toSet
+    val nullProps = s3.filter(col("key").isin(b3keys.toSeq: _*))
+      .filter(col("props").isNull).count()
+    assert(nullProps == b3keys.size,
+      "dropped-column batch rows should read null props")
+  }
+
   test("replaying an older batch after a newer one is a no-op") {
     val base = Files.createTempDirectory("cdcooo").toString
     val state = s"$base/state"
