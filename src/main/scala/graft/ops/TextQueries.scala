@@ -217,7 +217,9 @@ object TextQueries extends QueryPack {
     // the broadcast semi-join — no corpus-side shuffle before the
     // per-doc hit count. Shingles are md5-of-joined-tokens
     // (TextAnalysis.shingles), portable across engines, so the whole
-    // op hash-oracles.
+    // op hash-oracles; a production run swaps md5 for the codegen'd
+    // 64-bit graft_shingles kernel (same candidate semantics, ~8×
+    // cheaper hash) — md5 here buys cross-engine verifiability.
     Q("pipeline_decontaminate",
       (s, d) => {
         def shingled(df: org.apache.spark.sql.DataFrame) = df
