@@ -250,6 +250,37 @@ object TextQueries extends QueryPack {
         |WHERE s.doc_id >= 25
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Sequence PACKING — bin documents into fixed-capacity token
+    // windows (one bin = one training sequence) by greedy first-fit
+    // over the deterministic doc_id order, per language. Runs as a
+    // typed flatMapGroups scan (two longs of state per group); the
+    // recursive-CTE oracle replays the identical greedy rule row by
+    // row, so the packing hash-matches across engines.
+    Q("pipeline_pack_sequences",
+      (s, d) => graft.text.Packing
+        .packSequences(Tables.documents(s, d), capacity = 512)
+        .select(col("group").as("lang"), col("doc_id"), col("n_tok"),
+          col("seq_id"))
+        .orderBy(col("lang"), col("doc_id")),
+      Some("""WITH RECURSIVE d AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY doc_id) AS rn
+        |  FROM documents),
+        | packed AS (
+        |  SELECT lang, doc_id, n_tok, rn, CAST(0 AS BIGINT) AS seq_id,
+        |         n_tok AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.doc_id, d.n_tok, d.rn,
+        |    CASE WHEN p.fill + d.n_tok > 512 THEN p.seq_id + 1
+        |         ELSE p.seq_id END,
+        |    CASE WHEN p.fill + d.n_tok > 512 THEN d.n_tok
+        |         ELSE p.fill + d.n_tok END
+        |  FROM d JOIN packed p ON d.lang = p.lang AND d.rn = p.rn + 1)
+        |SELECT lang, doc_id, n_tok, seq_id
+        |FROM packed ORDER BY lang, doc_id""".stripMargin)),
+
     // Composite training-data pipeline: quality gate → exact dedup →
     // per-language corpus stats — the end-to-end shape a 100 TB corpus
     // build runs. Every stage is deterministic, so the whole pipeline
