@@ -40,24 +40,31 @@ object Layout {
     spark.table(table)
 
   /** Small-file compaction — the lake-maintenance pass that keeps scan
-    * parallelism healthy: a directory accumulated as thousands of tiny
-    * files (streaming micro-batches, per-batch bucket writes) is
-    * rewritten as ⌈totalBytes / targetFileBytes⌉ right-sized files.
-    * Sizing comes from a FILESYSTEM LISTING (no data read); the single
-    * data pass is read → round-robin repartition → write. The caller
-    * swaps the directory in (or points readers at `outDir`) — pairing
-    * with an atomic pointer flip ([[PointerFile]]) where readers need
+    * parallelism healthy: a FLAT parquet directory accumulated as
+    * thousands of tiny files (streaming micro-batches) is rewritten as
+    * ⌈totalBytes / targetFileBytes⌉ right-sized files. Sizing comes
+    * from a filesystem content summary (no data read; marker-file
+    * bytes are noise relative to any sane target); the single data
+    * pass is read → round-robin repartition → write. The caller swaps
+    * the directory in (or points readers at `outDir`) — pairing with
+    * an atomic pointer flip ([[PointerFile]]) where readers need
     * isolation, as the CDC sink and IVF index do.
+    *
+    * Hive-partitioned layouts compact PER PARTITION DIRECTORY (call
+    * once per leaf dir — bounded jobs, layout preserved); compacting
+    * the root would flatten the partition columns into data.
     */
   def compactFiles(spark: SparkSession, srcDir: String, outDir: String,
                    targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0")
     val src = new org.apache.hadoop.fs.Path(srcDir)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(src)
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-      .map(_.getLen).sum
-    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) /
-      targetFileBytes).toInt
+    val bytes = fs.getContentSummary(src).getLength
+    // bounded toInt: a tiny target over a huge directory must not wrap
+    // negative through Int overflow
+    val nFiles = math.min(
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes),
+      1L << 28).toInt
     spark.read.parquet(srcDir)
       .repartition(nFiles)
       .write.mode("overwrite").parquet(outDir)

@@ -109,6 +109,14 @@ object CdcPipeline {
     */
   def mergeBatch(batch: DataFrame, statePath: String, cfg: Config,
                  batchId: Long): Unit = {
+    // drift tolerance (below) is for PAYLOAD columns only: losing a
+    // key, ordering, or op column must fail loudly here — nulled keys
+    // would collapse a whole batch into one row and nulled order
+    // columns would silently lose every update to existing state
+    val required = cfg.keyCols ++ cfg.orderCols :+ cfg.opCol
+    val missing = required.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"batch is missing required CDC columns: ${missing.mkString(", ")}")
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val order = cfg.orderCols.map(col)
@@ -177,7 +185,11 @@ object CdcPipeline {
       }
       // bucket dirs may span batches with drifted schemas — union them
       val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
-      Some(if (df.columns.contains(opCol)) df.filter(col(opCol) =!= "d")
+      // null-safe: a null op (possible after payload drift or mixed
+      // old-schema buckets) is NOT a delete — `=!=` would three-value
+      // to NULL and silently hide the row (same trap compact() avoids)
+      Some(if (df.columns.contains(opCol))
+             df.filter(!(col(opCol) <=> "d"))
            else df)
     }
   }

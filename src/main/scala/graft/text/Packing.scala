@@ -42,9 +42,16 @@ object Packing {
       if (shards == 1) col(groupCol).cast("string")
       else concat_ws("#", col(groupCol).cast("string"),
         pmod(xxhash64(col(idCol)), lit(shards)))
-    docs.select(groupExpr.as("group"),
+    docs
+      // dirty-corpus hygiene: a null id cannot be packed
+      // deterministically (drop it); null text packs as an empty doc —
+      // both would otherwise surface as an opaque executor-side
+      // "null in non-nullable field" encoder crash
+      .filter(col(idCol).isNotNull)
+      .select(groupExpr.as("group"),
         col(idCol).cast("long").as("doc_id"),
-        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tok"))
+        coalesce(size(TextAnalysis.tokens(col(textCol))), lit(0))
+          .cast("long").as("n_tok"))
       .as[DocLen]
       .groupByKey(_.group)
       .flatMapGroups { (g, it) =>

@@ -210,6 +210,15 @@ class CdcPipelineSpec extends SparkSpec {
       .filter(col("props").isNull).count()
     assert(nullProps == b3keys.size,
       "dropped-column batch rows should read null props")
+
+    // drift tolerance is payload-only: losing a key/order/op column
+    // must fail loudly, not null-collapse the batch
+    intercept[IllegalArgumentException] {
+      CdcPipeline.mergeBatch(b1.drop("key"), state, cfg, batchId = 3)
+    }
+    intercept[IllegalArgumentException] {
+      CdcPipeline.mergeBatch(b1.drop("op"), state, cfg, batchId = 4)
+    }
   }
 
   test("replaying an older batch after a newer one is a no-op") {

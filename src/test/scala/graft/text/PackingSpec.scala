@@ -35,6 +35,20 @@ class PackingSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("null text packs as an empty doc; null id rows are dropped") {
+    import spark.implicits._
+    val dirty = Seq(
+      ("en", Some(1L), Option("a b c")),
+      ("en", Some(2L), None),
+      ("en", None, Option("x y"))
+    ).toDF("lang", "doc_id", "text")
+    val packed = Packing.packSequences(dirty, capacity = 10)
+      .orderBy("doc_id").collect()
+    assert(packed.length == 2)
+    assert(packed.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(packed(1).getLong(2) == 0L, "null text should count 0 tokens")
+  }
+
   test("an oversized doc gets a bin of its own") {
     import spark.implicits._
     val tiny = Seq(
