@@ -389,7 +389,48 @@ object TextQueries extends QueryPack {
       (s, d) => TextAnalysis.languageId(Tables.documents(s, d))
         .select("doc_id", "pred_lang", "pred_score")
         .orderBy(col("doc_id")),
-      None),
+      // the heuristic is pure ratio arithmetic + a fixed-order
+      // strict-greater argmax — DuckDB replays it bit-for-bit (scores
+      // are integer ratios, shipped unrounded per the round() rule)
+      Some("""WITH t AS (
+        |  SELECT doc_id, text,
+        |         string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        | s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> x IN
+        |      ('the','and','of','to','is','you','that','it'))) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x IN
+        |      ('der','die','das','und','ist','nicht','ich','ein'))) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x IN
+        |      ('el','la','los','las','es','una','que','por'))) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS s_es,
+        |    CAST(len(list_filter(toks, x -> x IN
+        |      ('le','la','les','est','une','des','que','dans'))) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS s_fr,
+        |    CAST(length(text) -
+        |         length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '',
+        |                               'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS s_zh
+        |  FROM t),
+        | f1 AS (SELECT *,
+        |   CASE WHEN s_de > s_en THEN s_de ELSE s_en END AS b1s,
+        |   CASE WHEN s_de > s_en THEN 'de' ELSE 'en' END AS b1l FROM s),
+        | f2 AS (SELECT *,
+        |   CASE WHEN s_es > b1s THEN s_es ELSE b1s END AS b2s,
+        |   CASE WHEN s_es > b1s THEN 'es' ELSE b1l END AS b2l FROM f1),
+        | f3 AS (SELECT *,
+        |   CASE WHEN s_fr > b2s THEN s_fr ELSE b2s END AS b3s,
+        |   CASE WHEN s_fr > b2s THEN 'fr' ELSE b2l END AS b3l FROM f2),
+        | f4 AS (SELECT *,
+        |   CASE WHEN s_zh > b3s THEN s_zh ELSE b3s END AS b4s,
+        |   CASE WHEN s_zh > b3s THEN 'zh' ELSE b3l END AS b4l FROM f3)
+        |SELECT doc_id,
+        |  CASE WHEN b4s > 0.0 THEN b4l ELSE 'unknown' END AS pred_lang,
+        |  b4s AS pred_score
+        |FROM f4 ORDER BY doc_id""".stripMargin)),
 
     // Exact dedup over planted exact copies.
     Q("dedup_exact",
