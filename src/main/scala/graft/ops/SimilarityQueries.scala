@@ -132,16 +132,55 @@ object SimilarityQueries extends QueryPack {
       },
       None),
 
-    // IVF ANN: id-strided coarse quantizer, nprobe-cell search —
-    // centroid choice is engine-specific, rows-only; recall + score
-    // agreement asserted in ScalaTest (IvfSpec).
+    // IVF ANN: id-strided coarse quantizer, nprobe-cell search. The
+    // whole index construction is deterministic arithmetic (strided
+    // seeds, cosine argmax assignment, probe-join-rank), so DuckDB
+    // replays it END TO END — a hash-verified ANN index. (The trained/
+    // persisted variants stay rows-only: their centroids come from
+    // sampled k-means.) Recall + score agreement also in IvfSpec.
     Q("sim_ann_ivf",
       (s, d) => {
         val vecs = doubleVecs(s, d)
         Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 8), 5)
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some("""WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | p AS (SELECT greatest(1, (SELECT count(*) FROM v) // 16)
+        |         AS stride),
+        | seeds AS (
+        |   SELECT CAST(vec_id // p.stride AS INT) AS cid, vec FROM v, p
+        |   WHERE vec_id % p.stride = 0 AND vec_id < p.stride * 16),
+        | asgn AS (
+        |   SELECT vec_id, vec, cid FROM (
+        |     SELECT v.vec_id, v.vec, s.cid,
+        |       row_number() OVER (PARTITION BY v.vec_id
+        |         ORDER BY list_dot_product(v.vec, s.vec) /
+        |           (sqrt(list_dot_product(v.vec, v.vec)) *
+        |            sqrt(list_dot_product(s.vec, s.vec))) DESC,
+        |           s.cid) AS rn
+        |     FROM v CROSS JOIN seeds s) WHERE rn = 1),
+        | probes AS (
+        |   SELECT vec_id AS query_id, vec AS qv, cid FROM (
+        |     SELECT v.vec_id, v.vec, s.cid,
+        |       row_number() OVER (PARTITION BY v.vec_id
+        |         ORDER BY list_dot_product(v.vec, s.vec) /
+        |           (sqrt(list_dot_product(v.vec, v.vec)) *
+        |            sqrt(list_dot_product(s.vec, s.vec))) DESC,
+        |           s.cid) AS rn
+        |     FROM v CROSS JOIN seeds s WHERE v.vec_id < 8)
+        |   WHERE rn <= 3),
+        | sc AS (
+        |   SELECT p.query_id, a.vec_id AS cand_id,
+        |     list_dot_product(p.qv, a.vec) /
+        |       (sqrt(list_dot_product(p.qv, p.qv)) *
+        |        sqrt(list_dot_product(a.vec, a.vec))) AS cos
+        |   FROM probes p JOIN asgn a USING (cid)
+        |   WHERE p.query_id <> a.vec_id),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY round(cos, 6) DESC, cand_id) AS rank FROM sc)
+        |SELECT query_id, rank, cand_id, round(cos, 4) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // IVF with SAMPLE-TRAINED centroids: hash-sample → driver-side
     // Gonzalez seeding + Lloyd on the sample → broadcast literals — how

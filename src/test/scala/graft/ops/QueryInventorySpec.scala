@@ -26,7 +26,7 @@ class QueryInventorySpec extends SparkSpec {
     // rows-only checks allowed ONLY for engine-specific hash/sketch ops
     val allowed = Set("agg_approx_distinct", "agg_hll_sketch",
       "agg_approx_percentile",
-      "dedup_minhash", "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf",
+      "dedup_minhash", "dedup_simhash", "sim_ann_lsh",
       "sim_ann_ivf_trained", "sim_ann_ivf_indexed")
     assert(noOracle === (allowed intersect noOracle))
     assert((allowed -- SparkEntry.queries.keySet).isEmpty,
