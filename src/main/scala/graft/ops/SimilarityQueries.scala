@@ -151,25 +151,22 @@ object SimilarityQueries extends QueryPack {
         | seeds AS (
         |   SELECT CAST(vec_id // p.stride AS INT) AS cid, vec FROM v, p
         |   WHERE vec_id % p.stride = 0 AND vec_id < p.stride * 16),
-        | asgn AS (
-        |   SELECT vec_id, vec, cid FROM (
-        |     SELECT v.vec_id, v.vec, s.cid,
-        |       row_number() OVER (PARTITION BY v.vec_id
-        |         ORDER BY list_dot_product(v.vec, s.vec) /
-        |           (sqrt(list_dot_product(v.vec, v.vec)) *
-        |            sqrt(list_dot_product(s.vec, s.vec))) DESC,
-        |           s.cid) AS rn
-        |     FROM v CROSS JOIN seeds s) WHERE rn = 1),
-        | probes AS (
-        |   SELECT vec_id AS query_id, vec AS qv, cid FROM (
-        |     SELECT v.vec_id, v.vec, s.cid,
-        |       row_number() OVER (PARTITION BY v.vec_id
-        |         ORDER BY list_dot_product(v.vec, s.vec) /
-        |           (sqrt(list_dot_product(v.vec, v.vec)) *
-        |            sqrt(list_dot_product(s.vec, s.vec))) DESC,
-        |           s.cid) AS rn
-        |     FROM v CROSS JOIN seeds s WHERE v.vec_id < 8)
-        |   WHERE rn <= 3),
+        | cells AS (
+        |   SELECT v.vec_id, v.vec, s.cid,
+        |     list_dot_product(v.vec, s.vec) /
+        |       (sqrt(list_dot_product(v.vec, v.vec)) *
+        |        sqrt(list_dot_product(s.vec, s.vec))) AS simc
+        |   FROM v CROSS JOIN seeds s),
+        | -- isnan() first: a zero-norm seed's NaN similarity ranks
+        | -- LAST, matching Spark's ascending struct(-sim, cid) sort
+        | -- (NaN greatest) — plain DESC would rank it first here
+        | ranked AS (
+        |   SELECT *, row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY isnan(simc), simc DESC, cid) AS rn
+        |   FROM cells),
+        | asgn AS (SELECT vec_id, vec, cid FROM ranked WHERE rn = 1),
+        | probes AS (SELECT vec_id AS query_id, vec AS qv, cid
+        |            FROM ranked WHERE rn <= 3 AND vec_id < 8),
         | sc AS (
         |   SELECT p.query_id, a.vec_id AS cand_id,
         |     list_dot_product(p.qv, a.vec) /
