@@ -20,13 +20,19 @@ object TextAnalysis {
   def subwordPieces(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
 
-  /** Word k-shingles: positional k-grams over the token array. */
+  /** Word k-shingles: positional k-grams over the token array. A doc
+    * shorter than k yields an EMPTY array — without the guard,
+    * `sequence(0, size-k)` with a negative stop DESCENDS ([0, -1, …])
+    * and the transform would hit the invalid index 0 of element_at.
+    */
   def shingles(toks: Column, k: Int): Column = {
     // transform over an index sequence keeps this inside codegen; the
     // array is bounded by document length so no skew concern.
     val idx = sequence(lit(0), size(toks) - k)
-    transform(idx, i =>
-      concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= k,
+      transform(idx, i =>
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
   }
 
   val EnglishStopwords: Seq[String] =

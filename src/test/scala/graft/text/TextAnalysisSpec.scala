@@ -46,6 +46,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sh === Seq("a b c", "b c d", "c d e"))
   }
 
+  test("shingles of a doc shorter than k are empty, not a crash") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, ""), (3L, "x y z")).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), TextAnalysis.shingles(
+        TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .orderBy("doc_id").collect()
+    assert(sh(0).getSeq[String](1).isEmpty)   // 2 tokens < k
+    assert(sh(1).getSeq[String](1).isEmpty)   // split("") = [""], 1 token
+    assert(sh(2).getSeq[String](1) === Seq("x y z"))
+  }
+
   test("subword pieces split letters, digits and marks") {
     import spark.implicits._
     val df = Seq((1L, "hello world42 x-y!")).toDF("doc_id", "text")
