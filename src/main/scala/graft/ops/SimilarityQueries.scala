@@ -114,7 +114,8 @@ object SimilarityQueries extends QueryPack {
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
         |    list_dot_product(q.qv, c.qv) / (q.nrm * c.nrm) AS cos
         |  FROM n8 q, n8 c
-        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+        |    AND q.nrm > 0 AND c.nrm > 0),
         | r AS (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |            ORDER BY round(cos, 6) DESC, cand_id) AS rank

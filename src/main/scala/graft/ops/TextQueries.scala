@@ -319,7 +319,8 @@ object TextQueries extends QueryPack {
         |  WHERE d.n_chars BETWEEN 50 AND 5000
         |    AND CAST(a.n_stop AS DOUBLE) / a.n_tok <= 0.6),
         | reps AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text))
-        |SELECT lang, count(*) AS n_docs, sum(n_tok) AS n_tokens
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM q JOIN reps USING (doc_id)
         |GROUP BY lang ORDER BY lang""".stripMargin)),
 

@@ -499,8 +499,15 @@ object Similarity {
         .withColumn(nrm, sqrt(Native.dotI8(col(vec), col(vec))
           .cast("double")))
     }
-    val q = broadcast(coded(queries, "query_id", "q_vec", "q_norm"))
+    // zero-norm codes (all-zero vectors, or vectors that quantize to
+    // zero) are ineligible on BOTH sides: 0/0 = NaN, and NaN sorts
+    // GREATEST under the descending rank below, so one degenerate
+    // candidate would surface as the top match for every query — the
+    // same zero-norm rule trainCentroids applies to its seed geometry.
+    val q = broadcast(coded(queries, "query_id", "q_vec", "q_norm")
+      .filter(col("q_norm") > 0))
     val c = coded(corpus, "cand_id", "c_vec", "c_norm")
+      .filter(col("c_norm") > 0)
     val scored = q.join(c, col("query_id") =!= col("cand_id"))
       .withColumn("cos",
         Native.dotI8(col("q_vec"), col("c_vec")).cast("double") /

@@ -36,7 +36,10 @@ import graft.cdc.Materialize
   * per-bucket pointer files with an atomic overwrite-rename; committed
   * state can never be lost mid-commit, only be a mix of per-bucket
   * versions that the idempotent latest-wins replay converges.
-  * Unreferenced dirs are GC'd after the flips. This is a minimal
+  * Unreferenced dirs are GC'd after the flips, keeping each bucket's
+  * most recently superseded version readable for concurrent readers
+  * whose lazy scans resolved pointers just before the flip. This is a
+  * minimal
   * per-file-group commit timeline — the same protocol shape a table
   * format provides at lake scale.
   */
@@ -92,6 +95,26 @@ object CdcPipeline {
       .start()
   }
 
+  /** Guard the bucket layout: `numBuckets` is the modulus every bucket
+    * path was derived under — merging with a different value would
+    * recompute `bucketOf` under the new modulus while untouched buckets
+    * keep the old layout, leaving a key live in two bucket dirs that
+    * latest-wins never reconciles. The first commit persists the value
+    * in a tiny metadata pointer; every later merge/compact must match.
+    */
+  private def checkBucketLayout(fs: org.apache.hadoop.fs.FileSystem,
+                                statePath: String, cfg: Config): Unit = {
+    val meta = new Path(s"$statePath/meta/numBuckets")
+    if (fs.exists(meta)) {
+      val persisted = graft.sources.PointerFile.read(fs, meta).toInt
+      require(persisted == cfg.numBuckets,
+        s"state at $statePath was laid out with numBuckets=$persisted; " +
+          s"merging with numBuckets=${cfg.numBuckets} would split keys " +
+          "across incompatible bucket layouts")
+    } else graft.sources.PointerFile.write(fs, meta,
+      cfg.numBuckets.toString)
+  }
+
   /** One micro-batch, partition-scoped: reduce the batch to
     * latest-per-key, read ONLY the state buckets the batch's keys hash
     * into (pure path selection), merge LATEST-WINS BY EVENT TIME, and
@@ -127,6 +150,7 @@ object CdcPipeline {
       .localCheckpoint()
     val fs = new Path(statePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    checkBucketLayout(fs, statePath, cfg)
     // touched-bucket list: ≤ numBuckets ints, driver-side by design
     val touched = latest.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted
@@ -209,6 +233,7 @@ object CdcPipeline {
       spark.sparkContext.hadoopConfiguration)
     val ptrs = readPointers(fs, statePath)
     if (ptrs.isEmpty) return
+    checkBucketLayout(fs, statePath, cfg)
     val paths = ptrs.toSeq.sortBy(_._1).map { case (b, v) =>
       bucketPath(statePath, v, b)
     }
@@ -278,24 +303,59 @@ object CdcPipeline {
                          bucket: Int): String =
     s"$statePath/batches/$version/__bucket=$bucket"
 
-  /** Delete bucket dirs (and then-empty batch dirs) no pointer uses. */
+  /** Write-time millis embedded in a [[uniqueDir]] name (`p<id>-<ms>-
+    * <uuid>`); 0 for anything unparseable so unknown dirs sort oldest.
+    */
+  private def dirMillis(name: String): Long = {
+    val parts = name.split("-")
+    if (parts.length >= 2)
+      try parts(1).toLong catch { case _: NumberFormatException => 0L }
+    else 0L
+  }
+
+  /** Delete bucket dirs no pointer uses — KEEPING, per bucket, the one
+    * most recently superseded version alongside the current one (the
+    * keep-2 policy [[graft.sim.Similarity.buildIvfIndex]] uses for the
+    * same race): [[currentState]] resolves pointers eagerly but scans
+    * lazily, so a reader that resolved just before a concurrent
+    * merge/compact commit must still find the dirs its plan references.
+    * Anything older than one generation goes; then-empty batch dirs go
+    * with it.
+    */
   private def gcUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
                              statePath: String): Unit = {
     val ptrs = readPointers(fs, statePath)
     val batchesDir = new Path(s"$statePath/batches")
     if (!fs.exists(batchesDir)) return
-    fs.listStatus(batchesDir).foreach { bd =>
+    val batchDirs = fs.listStatus(batchesDir)
+    // bucket → every (batch dir, sub path) holding a version of it
+    val byBucket = scala.collection.mutable.Map
+      .empty[Int, List[(String, Path)]]
+    batchDirs.foreach { bd =>
       val batchName = bd.getPath.getName
       fs.listStatus(bd.getPath)
         .filter(_.getPath.getName.startsWith("__bucket="))
         .foreach { sub =>
           val b = sub.getPath.getName.stripPrefix("__bucket=").toInt
-          if (!ptrs.get(b).contains(batchName))
-            fs.delete(sub.getPath, true)
+          byBucket(b) = (batchName, sub.getPath) ::
+            byBucket.getOrElse(b, Nil)
         }
-      // empty = no bucket dirs remain (NB: "__bucket=" also starts
-      // with '_', so a bare underscore test would match data dirs too)
-      if (!fs.listStatus(bd.getPath)
+    }
+    byBucket.foreach { case (b, dirs) =>
+      val current = ptrs.get(b)
+      val superseded = dirs.filterNot(d => current.contains(d._1))
+      val keepPrev =
+        if (superseded.isEmpty) None
+        else Some(superseded.maxBy(d => (dirMillis(d._1), d._1))._1)
+      dirs.foreach { case (name, path) =>
+        if (!current.contains(name) && !keepPrev.contains(name))
+          fs.delete(path, true)
+      }
+    }
+    // empty = no bucket dirs remain (NB: "__bucket=" also starts
+    // with '_', so a bare underscore test would match data dirs too)
+    batchDirs.foreach { bd =>
+      if (fs.exists(bd.getPath) && !fs.listStatus(bd.getPath)
           .exists(_.getPath.getName.startsWith("__bucket=")))
         fs.delete(bd.getPath, true)
     }

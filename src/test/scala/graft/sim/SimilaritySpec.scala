@@ -42,6 +42,27 @@ class SimilaritySpec extends SparkSpec {
       "ANN returned a (query,cand,cos) triple brute force disagrees with")
   }
 
+  test("quantized top-k: zero-norm vectors never rank (no NaN greatest)") {
+    import spark.implicits._
+    // a zero vector quantizes to an all-zero code → norm 0 → 0/0 = NaN,
+    // which sorts GREATEST descending; the guard must keep it out of
+    // both the candidate set and the query set
+    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
+    val zero = Seq((999999L, Seq.fill(dim)(0.0)))
+      .toDF("vec_id", "embedding")
+    val corpus = vecs.select("vec_id", "embedding").limit(50)
+      .unionByName(zero)
+    val top = Similarity.quantizedTopK(corpus,
+      corpus.filter(col("vec_id") < 4 || col("vec_id") === 999999L), 5)
+      .cache()
+    assert(top.filter(col("cand_id") === 999999L).isEmpty,
+      "zero-norm vector surfaced as a candidate")
+    assert(top.filter(col("query_id") === 999999L).isEmpty,
+      "zero-norm query produced (NaN-ranked) results")
+    assert(top.filter(col("cosine").isNaN).isEmpty)
+    assert(top.count() > 0)
+  }
+
   test("near-dup pairs are exactly the planted perturbed copies") {
     val pairs = Similarity.cosineNearDupPairs(planted, 0.99).cache()
     val expected = vecs.filter(col("vec_id") % 20 === 0)

@@ -298,6 +298,65 @@ class CdcPipelineSpec extends SparkSpec {
       === liveBefore.size)
   }
 
+  test("merging with a different numBuckets than the state layout fails " +
+       "loudly") {
+    val base = Files.createTempDirectory("cdcbuckets").toString
+    val state = s"$base/state"
+    val full = feed.drop("ts")
+    CdcPipeline.mergeBatch(full, state, CdcPipeline.Config(numBuckets = 8),
+      0L)
+    // a different modulus would recompute bucketOf against the old
+    // layout → keys live in two bucket dirs; must be rejected up front
+    val e = intercept[IllegalArgumentException] {
+      CdcPipeline.mergeBatch(full, state,
+        CdcPipeline.Config(numBuckets = 16), 1L)
+    }
+    assert(e.getMessage.contains("numBuckets"))
+    intercept[IllegalArgumentException] {
+      CdcPipeline.compact(spark, state,
+        CdcPipeline.Config(numBuckets = 16), Long.MaxValue, 2L)
+    }
+    // the original layout still merges fine
+    CdcPipeline.mergeBatch(full, state, CdcPipeline.Config(numBuckets = 8),
+      3L)
+  }
+
+  test("GC keeps each bucket's most recently superseded version for " +
+       "in-flight readers") {
+    val base = Files.createTempDirectory("cdcgc").toString
+    val state = s"$base/state"
+    val cfg = CdcPipeline.Config(numBuckets = 4)
+    val full = feed.drop("ts")
+    CdcPipeline.mergeBatch(full, state, cfg, 0L)
+
+    // a reader resolves pointers NOW but scans lazily (currentState's
+    // documented contract) …
+    val lazyReader = CdcPipeline.currentState(spark, state).get
+    val expectBefore = lazyReader.count()
+
+    // … while two more merges land and flip every touched bucket twice
+    val bump1 = full.withColumn("ts_us", col("ts_us") + 1000000L)
+      .withColumn("op", when(col("op") === "d", "d").otherwise("u"))
+    CdcPipeline.mergeBatch(bump1, state, cfg, 1L)
+    val bump2 = bump1.withColumn("ts_us", col("ts_us") + 1000000L)
+    CdcPipeline.mergeBatch(bump2, state, cfg, 2L)
+
+    // the generation the reader resolved (batch 1's dirs) was superseded
+    // by batch 2 AND batch 3 — keep-previous preserves only one
+    // generation back, so the count() below exercises exactly the
+    // just-superseded window: re-resolve after each commit in real use.
+    // Here we assert the SECOND merge's reader survives the third:
+    val midReader = CdcPipeline.currentState(spark, state).get
+    CdcPipeline.mergeBatch(
+      bump2.withColumn("ts_us", col("ts_us") + 1000000L), state, cfg, 3L)
+    assert(midReader.count() === expectBefore,
+      "reader that resolved pointers before the last commit must still " +
+        "scan its generation")
+    assert(expectBefore ===
+      CdcPipeline.currentState(spark, state).get.count())
+    assert(midReader.count() > 0)
+  }
+
   test("tombstoned keys are absent from the materialized state") {
     val base = Files.createTempDirectory("cdctomb").toString
     val (in, state, cp) = (s"$base/in", s"$base/state", s"$base/cp")
