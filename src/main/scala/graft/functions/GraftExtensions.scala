@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{AvroEncode, CosineSimilarity, DotProduct, DotProductI8, FreqSketch, MinHashSig, MinShingleMd5, MortonInterleave, QuantizeI8, ShingleHashes, SimHash, TopKPairs, TopKRewriteRule, VectorSum}
+import org.apache.spark.sql.graft.{AvroEncode, CosineSimilarity, DotProduct, DotProductI8, FreqSketch, MinHashMd5, MinHashSig, MinShingleMd5, MortonInterleave, QuantizeI8, ShingleHashes, SimHash, SimHashMd5, TopKPairs, TopKRewriteRule, VectorSum}
 
 /** Public extension injector: enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions` to get the
@@ -40,6 +40,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
       (args: Seq[Expression]) => ShingleHashes(args(0),
         args(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_md5"),
+      new ExpressionInfo(classOf[MinHashMd5].getName, "graft_minhash_md5"),
+      (args: Seq[Expression]) => MinHashMd5(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash_md5"),
+      new ExpressionInfo(classOf[SimHashMd5].getName, "graft_simhash_md5"),
+      (args: Seq[Expression]) => SimHashMd5(args(0))))
     ext.injectFunction((
       FunctionIdentifier("graft_min_shingle_md5"),
       new ExpressionInfo(classOf[MinShingleMd5].getName,

@@ -470,19 +470,78 @@ object TextQueries extends QueryPack {
         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin)),
 
-    // MinHash + LSH banding — hash-function-specific, rows-only for the
-    // driver; recall on planted dups asserted in ScalaTest.
+    // MinHash + LSH banding, FULL ORACLE: md5-seeded permutations make
+    // every signature value, band bucket, and estimated jaccard
+    // replayable in portable SQL (the production xxhash64 path stays in
+    // Dedup.minHashLshPairs, pinned equivalent by MinHashExpressionSpec
+    // and recall-asserted in DedupSpec).
     Q("dedup_minhash",
-      (s, d) => Dedup.minHashLshPairs(plantedDocs(s, d),
+      (s, d) => Dedup.minHashLshPairsMd5(plantedDocs(s, d),
           numHashes = 16, bands = 4, k = 3, threshold = 0.7)
         .orderBy(col("a_id"), col("b_id")),
-      None),
+      Some(s"""$plantedCte,
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+        | sh AS (SELECT DISTINCT doc_id,
+        |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                  FOR i IN generate_series(1, len(t) - 2)]) AS s
+        |        FROM toks WHERE len(t) >= 3),
+        | slist AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id),
+        | sigs AS (SELECT doc_id,
+        |            [list_min(list_transform(ss, x ->
+        |               md5(CAST(i AS VARCHAR) || ':' || x)))
+        |             FOR i IN generate_series(0, 15)] AS sig
+        |          FROM slist),
+        | banded AS (SELECT doc_id, sig, band,
+        |              md5(array_to_string(sig[band*4+1:band*4+4], ','))
+        |                AS bucket
+        |            FROM sigs, generate_series(0, 3) g(band)),
+        | cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |            a.sig AS sa, b.sig AS sb
+        |          FROM banded a JOIN banded b
+        |            ON a.band = b.band AND a.bucket = b.bucket
+        |           AND a.doc_id < b.doc_id),
+        | est AS (SELECT a_id, b_id,
+        |           CAST(len(list_filter(generate_series(1, 16),
+        |             i -> sa[i] = sb[i])) AS DOUBLE) / 16 AS est_jaccard
+        |         FROM cand)
+        |SELECT a_id, b_id, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.7 ORDER BY a_id, b_id""".stripMargin)),
 
-    // SimHash banding + Hamming verify — rows-only (xxhash64-specific).
+    // SimHash banding + Hamming verify, FULL ORACLE: md5 token hashes
+    // with the digest as a '0'/'1' bit string — DuckDB replays bit
+    // extraction via get_bit(unhex(md5(t))::BIT, b). The xxhash64
+    // one-long digest stays the production path (SimHashExpressionSpec
+    // + DedupSpec recall).
     Q("dedup_simhash",
-      (s, d) => Dedup.simHashPairs(plantedDocs(s, d), maxHamming = 3)
+      (s, d) => Dedup.simHashPairsMd5(plantedDocs(s, d), maxHamming = 3)
         .orderBy(col("a_id"), col("b_id")),
-      None),
+      Some(s"""$plantedCte,
+        | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |         FROM docs),
+        | bits AS (SELECT doc_id, b,
+        |            sum(CASE WHEN get_bit(unhex(md5(t))::BIT,
+        |                             CAST(b AS INTEGER)) = 1
+        |                THEN 1 ELSE -1 END) AS s
+        |          FROM tok, generate_series(0, 63) g(b)
+        |          GROUP BY doc_id, b),
+        | sig AS (SELECT doc_id,
+        |           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+        |                      ORDER BY b) AS h
+        |         FROM bits GROUP BY doc_id),
+        | banded AS (SELECT doc_id, h, band,
+        |              substr(h, band*16 + 1, 16) AS bucket
+        |            FROM sig, generate_series(0, 3) g(band)),
+        | cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |            a.h AS ha, b.h AS hb
+        |          FROM banded a JOIN banded b
+        |            ON a.band = b.band AND a.bucket = b.bucket
+        |           AND a.doc_id < b.doc_id),
+        | ham AS (SELECT a_id, b_id,
+        |           CAST(len(list_filter(generate_series(1, 64),
+        |             i -> ha[i] <> hb[i])) AS BIGINT) AS hamming
+        |         FROM cand)
+        |SELECT a_id, b_id, hamming FROM ham
+        |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin)),
 
     // Duplicate-CLUSTER formation: connected components over the
     // jaccard pair list (min reachable id = cluster id) via iterative

@@ -310,6 +310,55 @@ object Dedup {
       .select("a_id", "b_id", "est_jaccard")
   }
 
+  /** PORTABLE-hash MinHash signatures: md5-seeded permutations over
+    * string k-shingles (`graft_minhash_md5` kernel) — bit-reproducible
+    * by any engine with md5, so the whole LSH dedup pipeline becomes
+    * externally hash-verifiable. [[minHashSignatures]] (xxhash64, 8-byte
+    * signature values) stays the production path: 4× smaller signatures
+    * and a ~10× cheaper hash; this variant trades that for portability.
+    */
+  def minHashSignaturesMd5(docs: DataFrame, numHashes: Int = 16, k: Int = 3,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    docs.where(expr(s"size(split($textCol, chr(32))) >= $k"))
+      .select(col(idCol).as("doc_id"),
+        org.apache.spark.sql.graft.Native
+          .minhashMd5(split(col(textCol), " "), numHashes, k).as("sig"))
+
+  /** [[minHashLshPairs]] over md5-seeded signatures, with md5 band
+    * buckets — identical banding/verify shape, every value replayable
+    * in portable SQL (bucket = md5 of the band's comma-joined sig
+    * slice; est_jaccard = matching positions / numHashes).
+    */
+  def minHashLshPairsMd5(docs: DataFrame, numHashes: Int = 16,
+                         bands: Int = 4, k: Int = 3,
+                         threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minHashSignaturesMd5(docs, numHashes, k).cache()
+    val bucketCols = (0 until bands).map { b =>
+      md5(concat_ws(",",
+        (0 until r).map(j => element_at(col("sig"), b * r + j + 1)): _*))
+    }
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(array(bucketCols: _*)))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"),
+        col("col").as("bucket"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cands.withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, v) => acc + v) / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select("a_id", "b_id", "est_jaccard")
+  }
+
   /** SimHash: 64-bit locality-sensitive digest — bit b of the digest is
     * the sign of Σ±1 over token hashes' bit b. Near-dup ⇔ small Hamming
     * distance. Banded on 4×16-bit chunks for candidate generation, then
@@ -339,6 +388,42 @@ object Dedup {
     tokHash.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** PORTABLE-hash SimHash: md5 token hashes, digest as a 64-char
+    * '0'/'1' string (`graft_simhash_md5`) — reproducible by any engine
+    * with md5 + bit extraction. [[simHash]] (xxhash64 → one long) stays
+    * the production path; a string digest costs 8× the bytes but no
+    * two engines have to agree on 2⁶³ long-overflow semantics.
+    */
+  def simHashMd5(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.graft.Native.simhashMd5(tokens(col(textCol)))
+        .as("simhash_bits"))
+
+  /** [[simHashPairs]] over the md5 bit-string digest: candidates share
+    * one of four 16-char bands; Hamming distance = differing positions.
+    */
+  def simHashPairsMd5(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simHashMd5(docs).cache()
+    val banded = sh.select(col("doc_id"), col("simhash_bits"),
+        posexplode(array((0 until 4).map(b =>
+          substring(col("simhash_bits"), b * 16 + 1, 16)): _*)))
+      .select(col("doc_id"), col("simhash_bits"), col("pos").as("band"),
+        col("col").as("bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash_bits").as("ha"), col("b.simhash_bits").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        expr("cast(size(filter(sequence(1, 64), " +
+          "i -> substring(ha, i, 1) != substring(hb, i, 1))) as bigint)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
   }
 
   /** SimHash near-dup pairs: candidates share one of four 16-bit bands,

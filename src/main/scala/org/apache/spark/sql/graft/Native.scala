@@ -96,6 +96,13 @@ object Native {
   /** Min MD5-hex over 3-shingles of a token array (1-perm MinHash). */
   def minShingleMd5(tokens: Column): Column = c(MinShingleMd5(e(tokens)))
 
+  /** md5-seeded MinHash signature (portable-hash twin of [[minhash]]). */
+  def minhashMd5(tokens: Column, numHashes: Int, k: Int): Column =
+    c(MinHashMd5(e(tokens), numHashes, k))
+
+  /** md5 SimHash bit string (portable-hash twin of [[simhash]]). */
+  def simhashMd5(tokens: Column): Column = c(SimHashMd5(e(tokens)))
+
   /** struct → binary Avro (registry-converter wire value). */
   def toAvro(value: Column): Column = c(AvroEncode(e(value)))
 

@@ -185,6 +185,164 @@ case class ShingleHashes(child: Expression, k: Int)
       : ShingleHashes = copy(child = newChild)
 }
 
+/** Per-row md5-seeded MinHash kernel (the PORTABLE-hash variant). */
+object MinHashMd5Kernel {
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** MinHash signature over string k-shingles with md5-seeded
+    * permutations: sig[i] = min over shingles s of the hex digest
+    * md5("<i>:" || s), where s = "t_p t_{p+1} … t_{p+k-1}". Exactly the
+    * SQL `list_min(list_transform(shingles, s -> md5(i || ':' || s)))`
+    * any engine with md5 can replay — hex min == unsigned digest min
+    * because per-byte hex encoding is order-preserving. One
+    * MessageDigest per row; the shingle bytes are fed incrementally
+    * (concat_ws ' ' semantics: null tokens skipped, separator only
+    * between non-nulls). Returns null for docs shorter than k tokens.
+    */
+  def compute(arr: ArrayData, numHashes: Int, k: Int): Any = {
+    val n = arr.numElements()
+    if (n < k) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val prefixes = Array.tabulate(numHashes)(i =>
+      (i.toString + ":").getBytes("UTF-8"))
+    val mins = new Array[Array[Byte]](numHashes)
+    var p = 0
+    while (p <= n - k) {
+      var i = 0
+      while (i < numHashes) {
+        md.reset()
+        md.update(prefixes(i))
+        var written = false
+        var j = 0
+        while (j < k) {
+          val t = arr.getUTF8String(p + j)
+          if (t != null) {
+            if (written) md.update(' '.toByte)
+            md.update(t.getBytes)
+            written = true
+          }
+          j += 1
+        }
+        val d = md.digest()
+        if (mins(i) == null ||
+            java.util.Arrays.compareUnsigned(d, mins(i)) < 0)
+          mins(i) = d
+        i += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(mins.map { d =>
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexChars((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = HexChars(d(b) & 0xf)
+        b += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
+    })
+  }
+}
+
+/** Native md5-seeded MinHash: `array<string>` tokens → `array<string>`
+  * of numHashes min-md5-hex values — the portable-hash twin of
+  * [[MinHashSig]] whose signatures ANY engine with md5 reproduces
+  * (the xxhash64 kernel is the production path; this one exists so the
+  * LSH dedup pipeline is externally hash-verifiable end to end).
+  */
+case class MinHashMd5(child: Expression, numHashes: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(numHashes > 0, s"minhash needs numHashes > 0, got $numHashes")
+  require(k > 0, s"shingling needs k > 0, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_md5"
+
+  override protected def nullSafeEval(v: Any): Any =
+    MinHashMd5Kernel.compute(v.asInstanceOf[ArrayData], numHashes, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val resTerm = ctx.freshName("minhashMd5")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |Object $resTerm = org.apache.spark.sql.graft.MinHashMd5Kernel.compute($a, $numHashes, $k);
+      |if ($resTerm == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $resTerm;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashMd5 = copy(child = newChild)
+}
+
+/** Per-row md5-based SimHash kernel (the PORTABLE-hash variant). */
+object SimHashMd5Kernel {
+  /** 64-bit SimHash over md5 token hashes, returned as a 64-char
+    * '0'/'1' string (MSB of the digest first): position b is '1' iff
+    * Σ_tokens (±1 by bit b of md5(token)) is positive, where bit b is
+    * `get_bit(unhex(md5(t))::BIT, b)` — MSB-first over the digest
+    * bytes, exactly the SQL formulation DuckDB evaluates. A string
+    * (not a long) so no engine has to agree on 2⁶³ overflow semantics.
+    */
+  def compute(arr: ArrayData): Any = {
+    val counts = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        md.reset()
+        val d = md.digest(t.getBytes)
+        var b = 0
+        while (b < 64) {
+          val bit = (d(b >>> 3) >>> (7 - (b & 7))) & 1
+          counts(b) += (if (bit == 1) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Char](64)
+    var b = 0
+    while (b < 64) { out(b) = if (counts(b) > 0) '1' else '0'; b += 1 }
+    org.apache.spark.unsafe.types.UTF8String.fromString(new String(out))
+  }
+}
+
+/** Native md5 SimHash: `array<string>` tokens → 64-char bit string —
+  * the portable-hash twin of [[SimHash]] (which is the xxhash64
+  * production path), reproducible by any engine with md5 + get_bit.
+  */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_simhash_md5"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SimHashMd5Kernel.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"(org.apache.spark.unsafe.types.UTF8String) " +
+        s"org.apache.spark.sql.graft.SimHashMd5Kernel.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHashMd5 = copy(child = newChild)
+}
+
 object MinShingleKernel {
   /** Lexicographic-min MD5 hex digest over the k-shingle strings of a
     * token array — the 1-permutation MinHash fingerprint. Equals
