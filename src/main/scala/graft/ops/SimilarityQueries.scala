@@ -123,15 +123,54 @@ object SimilarityQueries extends QueryPack {
         |SELECT query_id, rank, cand_id, round(cos, 4) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
-    // LSH-bucketed ANN (the 100 TB path) — plane hashes are
-    // engine-specific, rows-only; recall asserted in ScalaTest.
+    // LSH-bucketed ANN (the 100 TB path), FULL ORACLE: hyperplanes are
+    // md5-derived portable arithmetic (Similarity.planeComponent), so
+    // DuckDB reconstructs every plane, bucket bit, candidate set, and
+    // ranked cosine — a hash-verified random-hyperplane index. Recall
+    // on planted near-dups stays asserted in ScalaTest.
     Q("sim_ann_lsh",
       (s, d) => {
         val vecs = doubleVecs(s, d)
         Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 8), 5)
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some("""WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | planes AS (
+        |  SELECT t, p,
+        |    [(((list_sum(list_transform(generate_series(1, 8), m ->
+        |         (strpos('0123456789abcdef',
+        |            md5(t||':'||p||':'||j)[m]) - 1)::BIGINT
+        |           * (1::BIGINT << (4 * (8 - m)))))
+        |       % 200000) - 100000) / 100000.0)
+        |     FOR j IN generate_series(0, 63)] AS plane
+        |  FROM generate_series(0, 7) g1(t), generate_series(0, 5) g2(p)),
+        | bits AS (
+        |  SELECT b.vec_id, pl.t AS tbl,
+        |    CASE WHEN list_dot_product(b.v, pl.plane) >= 0
+        |      THEN (1::BIGINT << pl.p) ELSE 0 END AS bit
+        |  FROM base b, planes pl),
+        | buckets AS (
+        |  SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
+        |  FROM bits GROUP BY vec_id, tbl),
+        | cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+        |  FROM buckets q JOIN buckets c
+        |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        | n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |       FROM base),
+        | sc AS (
+        |  SELECT cand.query_id, cand.cand_id,
+        |    list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm) AS cos
+        |  FROM cand JOIN n qn ON qn.vec_id = cand.query_id
+        |            JOIN n cn ON cn.vec_id = cand.cand_id),
+        | r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY round(cos, 6) DESC, cand_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, rank, cand_id, round(cos, 4) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // IVF ANN: id-strided coarse quantizer, nprobe-cell search. The
     // whole index construction is deterministic arithmetic (strided

@@ -69,14 +69,21 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component (table t, plane p,
-    * dim j) in [-1, 1): derived from a 64-bit mix so every executor
-    * computes identical planes with no driver-side randomness to ship.
+    * dim j) in [-1, 1), derived from md5("t:p:j") with PORTABLE
+    * arithmetic any engine replays exactly: value = first 8 hex digits
+    * of the digest as an unsigned integer; component =
+    * ((value mod 200000) - 100000) / 100000. Every executor computes
+    * identical planes with no driver-side randomness to ship, and an
+    * external oracle reconstructs them from md5 alone (the conversion
+    * that made the LSH ANN query hash-verifiable).
     */
-  private def planeComponent(t: Int, p: Int, j: Int): Double = {
-    var h = (t.toLong * 1315423911L) ^ (p.toLong * 2654435761L) ^
-      (j.toLong * 0x9E3779B97F4A7C15L)
-    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
-    ((h % 100000L) / 100000.0)
+  private[sim] def planeComponent(t: Int, p: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$t:$p:$j".getBytes("UTF-8"))
+    // first 8 hex chars == first 4 digest bytes, big-endian unsigned
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    ((v % 200000L) - 100000L) / 100000.0
   }
 
   /** Bucket id for one LSH table: `numPlanes` sign bits of plane dots.
