@@ -103,13 +103,15 @@ object EnvelopeCodec {
   /** [[decodeEvolved]] for a binary-Avro topic history: identical
     * version dispatch, Avro serde per slice — the registry-consumer
     * resolution path (writer version looked up, then decoded).
+    * `passthrough` columns ride alongside each slice untouched.
     */
   def decodeEvolvedAvro(records: DataFrame, registry: SchemaRegistry,
                         subject: String,
-                        versionCol: String = "schema_version")
+                        versionCol: String = "schema_version",
+                        passthrough: Seq[String] = Nil)
       : DataFrame =
     decodeEvolvedWith(records, registry, subject, versionCol,
-      decodeAvro(_, _))
+      decodeAvro(_, _, passthrough))
 
   private def decodeEvolvedWith(records: DataFrame,
                                 registry: SchemaRegistry, subject: String,

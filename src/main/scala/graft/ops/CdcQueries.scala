@@ -160,6 +160,87 @@ object CdcQueries extends QueryPack {
         |FROM feed
         |ORDER BY user_id, ts_us, op, after_value, before_value""".stripMargin)),
 
+    // T4/S7/P1 end-to-end — replay a topic history whose WRITER SCHEMA
+    // EVOLVED mid-stream, the reference's flagship semantic
+    // (/root/reference/README.md:466-479): rows before the cutoff were
+    // produced under v1 (user_id, value — no props column yet); the
+    // registry then accepts v2 = v1 + nullable props (case 2) and
+    // REJECTS v3 = v2 + a NOT NULL column (case 3) — so later rows are
+    // written under v2, never v3. Each slice round-trips binary Avro
+    // with its writer schema, decodes per registered version, and
+    // normalizes into the merged read schema (v1 rows surface
+    // props = NULL) before latest-wins materialization. The oracle
+    // replays the consumer-visible outcome with no Avro at all.
+    Q("cdc_evolved_history",
+      (s, d) => {
+        import org.apache.spark.sql.Column
+        import org.apache.spark.sql.types._
+        import graft.cdc.{EnvelopeCodec, SchemaRegistry}
+        val subject = "osci.db.mysql-server-1.cdc_test_db.person-value"
+        val v1 = StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("value", DoubleType)))
+        val v2 = StructType(v1.fields :+ StructField("props", StringType))
+        val v3 = StructType(v2.fields :+
+          StructField("priority", IntegerType, nullable = false))
+        val registry = new SchemaRegistry()
+        require(registry.register(subject, v1) == Right(1), "v1 register")
+        require(registry.register(subject, v2) == Right(2),
+          "case 2 (add nullable column) must be accepted")
+        require(registry.register(subject, v3).isLeft,
+          "case 3 (add NOT NULL column) must be rejected")
+
+        val feed = ChangeFeed.envelope(Tables.events(s, d))
+        // a v1 producer never emitted props: narrow both images to the
+        // v1 writer schema before encoding that slice
+        def narrow(c: String): Column =
+          when(col(c).isNull, lit(null)).otherwise(
+            struct(col(s"$c.user_id").as("user_id"),
+              col(s"$c.value").as("value"))).as(c)
+        val v1Wire = graft.cdc.EnvelopeCodec.encodeAvro(
+          feed.filter(col("ts_us") < cutoffUs)
+            .withColumn("before", narrow("before"))
+            .withColumn("after", narrow("after")),
+          passthrough = Seq("event_id"))
+          .withColumn("schema_version", lit(1))
+        val v2Wire = EnvelopeCodec.encodeAvro(
+          feed.filter(col("ts_us") >= cutoffUs),
+          passthrough = Seq("event_id"))
+          .withColumn("schema_version", lit(2))
+        val decoded = EnvelopeCodec.decodeEvolvedAvro(
+          v1Wire.unionByName(v2Wire), registry, subject,
+          passthrough = Seq("event_id"))
+        val flat = decoded.select(col("key"), col("event_id"),
+          col("ts_us"), col("op"),
+          col("after.value").as("value"),
+          col("after.props").as("props"),
+          col("schema_version"))
+        Materialize.currentState(flat, Seq("key"),
+            Seq(col("ts_us"), col("event_id")))
+          .select(col("key"), col("value"), col("props"),
+            col("schema_version"))
+          .orderBy(col("key"))
+      },
+      Some(s"""WITH feed AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, event_id,
+        |         epoch_us(ts) AS ts_us, value, props,
+        |         CASE WHEN event_type = 'signup' THEN 'c'
+        |              WHEN event_type = 'error'  THEN 'd'
+        |              ELSE 'u' END AS op,
+        |         CASE WHEN epoch_us(ts) < 1705276800000000
+        |              THEN 1 ELSE 2 END AS schema_version
+        |  FROM events),
+        | ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM feed)
+        |SELECT key, value,
+        |       CASE WHEN schema_version = 1 THEN NULL ELSE props END
+        |         AS props,
+        |       schema_version
+        |FROM ranked WHERE rn = 1 AND op <> 'd'
+        |ORDER BY key""".stripMargin)),
+
     // A1+A2 — latest non-deleted row per key (flagship; SURVEY §7.1 M0).
     Q("cdc_latest_state",
       (s, d) => Materialize.currentState(

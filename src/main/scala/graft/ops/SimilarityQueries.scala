@@ -85,6 +85,65 @@ object SimilarityQueries extends QueryPack {
         |SELECT query_id, rank, cand_id, round(cos, 4) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // SQL-STRING ENTRY POINT: the whole query is one spark.sql(...)
+    // text — a user's first touch of the engine. graft_cosine resolves
+    // from the session function registry (Native.install: the same
+    // builders GraftExtensions injects at session build) and the
+    // window top-k is rewritten into the graft_topk_rows partial
+    // aggregate by TopKRewriteRule (plan-asserted in SqlEntrySpec —
+    // ORDER BY a plain double attr DESC + bigint id ASC, plain-attr
+    // projection: exactly the rule's lossless shape).
+    Q("sql_entry_topk",
+      (s0, d) => {
+        // a CHILD session (fresh function registry, temp views, and
+        // experimental optimizations — what a user session enabling the
+        // engine looks like) so the rule/view never leak into the
+        // caller's session state
+        val s = s0.newSession()
+        org.apache.spark.sql.graft.Native.install(s)
+        org.apache.spark.sql.graft.TopKRewrite.enable(s)
+        doubleVecs(s, d).createOrReplaceTempView("graft_embeddings")
+        s.sql("""
+          |WITH q AS (
+          |  SELECT vec_id AS query_id, embedding AS qv
+          |  FROM graft_embeddings WHERE vec_id < 8),
+          | sc AS (
+          |  SELECT query_id, e.vec_id AS cand_id,
+          |         round(graft_cosine(qv, e.embedding), 6) AS ord,
+          |         round(graft_cosine(qv, e.embedding), 4) AS cosine
+          |  FROM q JOIN graft_embeddings e ON e.vec_id <> q.query_id),
+          | r AS (
+          |  SELECT query_id, cand_id, cosine,
+          |         row_number() OVER (PARTITION BY query_id
+          |           ORDER BY ord DESC, cand_id) AS rank
+          |  FROM sc)
+          |SELECT query_id, rank, cand_id, cosine
+          |FROM r WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin)
+      },
+      Some("""WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        | sc AS (
+        |  SELECT query_id, e.vec_id AS cand_id,
+        |    round(list_dot_product(qv, e.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(qv, qv)) *
+        |       sqrt(list_dot_product(e.embedding::DOUBLE[],
+        |                             e.embedding::DOUBLE[]))), 6) AS ord,
+        |    round(list_dot_product(qv, e.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(qv, qv)) *
+        |       sqrt(list_dot_product(e.embedding::DOUBLE[],
+        |                             e.embedding::DOUBLE[]))), 4) AS cosine
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+        | r AS (
+        |  SELECT query_id, cand_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY ord DESC, cand_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, rank, cand_id, cosine
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
     // Int8-quantized exact top-k: 8-bit symmetric codes (8× less scan
     // bandwidth, integer dot kernel). Quantization is floor-based and
     // integer dots are associative-exact, so DuckDB reproduces every
