@@ -45,7 +45,79 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failed,"sf":"$sfDir"}""")
+    val extras = benchExtras(spark, sfDir)
+    val ex = extras.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failed,"extras":$ex,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Measurements the query inventory can't express (BASELINE.md §5):
+    * the IVF index's build-once vs probe-many split (the inventory's
+    * sim_ann_ivf_indexed charges build+probe to one number) and the
+    * CDC sink's micro-batch merge throughput (K3's perf signal — the
+    * inventory only covers its semantics via CdcPipelineSpec).
+    */
+  private def benchExtras(spark: SparkSession, sfDir: String)
+      : Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val extras = scala.collection.mutable.LinkedHashMap[String, Double]()
+    try {
+      val vecs = ops.SimilarityQueries.doubleVecs(spark, sfDir)
+      val idxDir = "/tmp/graft_bench_ivf"
+      val tb0 = System.nanoTime()
+      sim.Similarity.buildIvfIndex(vecs, idxDir)
+      extras("ivf_index_build_sec") = (System.nanoTime() - tb0) / 1e9
+      val probes = vecs.filter(col("vec_id") < 8)
+      def probeOnce(): Double = {
+        val t0 = System.nanoTime()
+        sim.Similarity.ivfProbeIndexed(idxDir, probes, 5)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val p1 = probeOnce()
+      extras("ivf_index_probe_sec") = math.min(p1, probeOnce())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ivf extras FAILED: ${e.getMessage}")
+    }
+    try {
+      // replay the sf feed as time-ordered micro-batches through the
+      // upsert sink, in two regimes: many small batches (commit-bound —
+      // each merge pays ~6 Spark jobs of scheduling plus pointer/GC
+      // filesystem round trips regardless of rows) and few large ones
+      // (data-bound). The spread IS the per-commit overhead; real
+      // deployments size micro-batches into the amortized regime.
+      val feed = ops.CdcQueries.flatFeed(spark, sfDir).localCheckpoint()
+      val n = feed.count()
+      val bounds = feed.agg(min("ts_us"), max("ts_us")).collect()(0)
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val cfg = streaming.CdcPipeline.Config(
+        keyCols = Seq("key"), orderCols = Seq("ts_us", "event_id"),
+        opCol = "op")
+      def replay(nb: Int): Double = {
+        val statePath = s"/tmp/graft_bench_cdc_state_$nb"
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+        val t0 = System.nanoTime()
+        (0 until nb).foreach { i =>
+          val from = lo + (hi - lo + 1) * i / nb
+          val until = lo + (hi - lo + 1) * (i + 1) / nb
+          streaming.CdcPipeline.mergeBatch(
+            feed.filter(col("ts_us") >= from && col("ts_us") < until),
+            statePath, cfg, i)
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sSmall = replay(10)
+      val sLarge = replay(2)
+      extras("cdc_merge_10batch_events_per_sec") = n / sSmall
+      extras("cdc_merge_2batch_events_per_sec") = n / sLarge
+      extras("cdc_merge_commit_overhead_sec") =
+        (sSmall - sLarge) / (10 - 2)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] cdc extras FAILED: ${e.getMessage}")
+    }
+    extras.toSeq
   }
 }

@@ -72,6 +72,15 @@ object FunctionQueries extends QueryPack {
         |ORDER BY event_id""".stripMargin)),
 
     // P10/P12 + string kit: lower/upper/split/concat/regexp/length.
+    // Bench note (profiled r3): ~1.1 s at sf0.1 decomposes as ~0.5 s
+    // ORDER BY (range-partitioner sampling re-evaluates the projection,
+    // regex included, before the sort) + ~0.5 s serial execution —
+    // events.parquet at sf0.1 is ONE 2 MB row group = one input split,
+    // so every per-row kernel runs on a single thread. Neither is a
+    // plan defect: the projection is one WholeStageCodegen span with
+    // zero pre-sort shuffles, and at real scale the scan has thousands
+    // of splits while the sort is the query's stated total-order
+    // contract.
     Q("fn_string",
       (s, d) => Tables.events(s, d)
         .select(

@@ -186,7 +186,13 @@ object CdcPipeline {
     //  3. GC bucket dirs no pointer references (crash before GC only
     //     leaves orphans, collected by the next merge).
     val outDir = uniqueDir("b", batchId)
-    merged.write
+    // co-locate each bucket before the partitioned write: without this,
+    // every shuffle partition holds rows of every touched bucket and
+    // partitionBy fans out up to (partitions × buckets) small files per
+    // batch — the classic small-file explosion. One exchange on the
+    // write column keeps it to one file group per touched bucket with
+    // full-size row groups.
+    merged.repartition(col("__bucket")).write
       .partitionBy("__bucket")
       .mode("overwrite")
       .parquet(s"$statePath/batches/$outDir")
