@@ -448,6 +448,68 @@ object AnalyticQueries extends QueryPack {
         |  round(ln(l_extendedprice), 6) AS ln6,
         |  pow(l_quantity, 2) AS qsq
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ORDERED EVENT FUNNEL (view → click → purchase): per-step user
+    // counts where each step's event must occur AT OR AFTER the user's
+    // previous step. Three conditional min-aggregations, each shuffling
+    // on user_id (co-partitioned: the step joins reuse the same key
+    // layout, AQE-broadcast as the funnel narrows) — never a
+    // sort-the-whole-history sessionization. avg step latency ships as
+    // a raw sum/count division (integer-ratio: rounding would diverge
+    // between engines — QueryPack scaladoc).
+    Q("pipeline_event_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("t1"))
+        val t2 = ev.filter(col("event_type") === "click")
+          .join(t1, "user_id").filter(col("ts_us") >= col("t1"))
+          .groupBy("user_id")
+          .agg(min("ts_us").as("t2"), min("t1").as("t1"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2, "user_id").filter(col("ts_us") >= col("t2"))
+          .groupBy("user_id")
+          .agg(min("ts_us").as("t3"), min("t2").as("t2"))
+        def step(name: String, df: org.apache.spark.sql.DataFrame,
+                 fromCol: String, toCol: String) =
+          df.agg(
+            lit(name).as("step"),
+            count(lit(1)).as("n_users"),
+            (sum(col(toCol) - col(fromCol)).cast("double") /
+              count(lit(1))).as("avg_us_from_prev"))
+        step("1_view", t1, "t1", "t1")
+          .unionByName(step("2_click", t2, "t1", "t2"))
+          .unionByName(step("3_purchase", t3, "t2", "t3"))
+          .select("step", "n_users", "avg_us_from_prev")
+          .orderBy(col("step"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        | s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+        |        WHERE event_type = 'view' GROUP BY user_id),
+        | s2 AS (SELECT e.user_id, min(e.ts_us) AS t2, min(s1.t1) AS t1
+        |        FROM ev e JOIN s1 USING (user_id)
+        |        WHERE e.event_type = 'click' AND e.ts_us >= s1.t1
+        |        GROUP BY e.user_id),
+        | s3 AS (SELECT e.user_id, min(e.ts_us) AS t3, min(s2.t2) AS t2
+        |        FROM ev e JOIN s2 USING (user_id)
+        |        WHERE e.event_type = 'purchase' AND e.ts_us >= s2.t2
+        |        GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT '1_view' AS step, count(*) AS n_users,
+        |         CAST(CAST(sum(t1 - t1) AS BIGINT) AS DOUBLE) / count(*)
+        |           AS avg_us_from_prev
+        |  FROM s1
+        |  UNION ALL
+        |  SELECT '2_click', count(*),
+        |         CAST(CAST(sum(t2 - t1) AS BIGINT) AS DOUBLE) / count(*)
+        |  FROM s2
+        |  UNION ALL
+        |  SELECT '3_purchase', count(*),
+        |         CAST(CAST(sum(t3 - t2) AS BIGINT) AS DOUBLE) / count(*)
+        |  FROM s3)
+        |ORDER BY step""".stripMargin))
   )
 }

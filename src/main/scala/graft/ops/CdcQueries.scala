@@ -43,6 +43,7 @@ object CdcQueries extends QueryPack {
         col("op"))
 
   private val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z in µs
+  private val cutoff2Us = 1705708800000000L // 2024-01-20T00:00:00Z in µs
 
   /** Latest-wins materialized state, the oracle for upsert/snapshot paths. */
   private val materializedStateSql =
@@ -161,16 +162,18 @@ object CdcQueries extends QueryPack {
         |ORDER BY user_id, ts_us, op, after_value, before_value""".stripMargin)),
 
     // T4/S7/P1 end-to-end — replay a topic history whose WRITER SCHEMA
-    // EVOLVED mid-stream, the reference's flagship semantic
-    // (/root/reference/README.md:466-479): rows before the cutoff were
-    // produced under v1 (user_id, value — no props column yet); the
-    // registry then accepts v2 = v1 + nullable props (case 2) and
-    // REJECTS v3 = v2 + a NOT NULL column (case 3) — so later rows are
-    // written under v2, never v3. Each slice round-trips binary Avro
-    // with its writer schema, decodes per registered version, and
-    // normalizes into the merged read schema (v1 rows surface
-    // props = NULL) before latest-wins materialization. The oracle
-    // replays the consumer-visible outcome with no Avro at all.
+    // EVOLVED mid-stream, through ALL THREE of the reference's
+    // acceptance cases (/root/reference/README.md:466-479): rows before
+    // cutoff1 were produced under v1 (user_id, value — no props column
+    // yet); the registry accepts v2 = v1 + nullable props (case 2:
+    // add nullable → pass), then v3 = v2 minus value (case 1: drop a
+    // column → pass) for rows after cutoff2, and REJECTS v4 = v3 + a
+    // NOT NULL column (case 3: fail) — v4 never reaches the wire. Each
+    // slice round-trips binary Avro with its writer schema, decodes per
+    // registered version, and normalizes into the merged read schema
+    // (v1 rows surface props = NULL, v3 rows value = NULL) before
+    // latest-wins materialization. The oracle replays the
+    // consumer-visible outcome with no Avro at all.
     Q("cdc_evolved_history",
       (s, d) => {
         import org.apache.spark.sql.Column
@@ -181,35 +184,41 @@ object CdcQueries extends QueryPack {
           StructField("user_id", LongType),
           StructField("value", DoubleType)))
         val v2 = StructType(v1.fields :+ StructField("props", StringType))
-        val v3 = StructType(v2.fields :+
+        val v3 = StructType(v2.fields.filterNot(_.name == "value"))
+        val v4 = StructType(v3.fields :+
           StructField("priority", IntegerType, nullable = false))
         val registry = new SchemaRegistry()
         require(registry.register(subject, v1) == Right(1), "v1 register")
         require(registry.register(subject, v2) == Right(2),
           "case 2 (add nullable column) must be accepted")
-        require(registry.register(subject, v3).isLeft,
+        require(registry.register(subject, v3) == Right(3),
+          "case 1 (drop a column) must be accepted")
+        require(registry.register(subject, v4).isLeft,
           "case 3 (add NOT NULL column) must be rejected")
 
         val feed = ChangeFeed.envelope(Tables.events(s, d))
-        // a v1 producer never emitted props: narrow both images to the
-        // v1 writer schema before encoding that slice
-        def narrow(c: String): Column =
+        // each slice narrowed to its WRITER schema before encoding —
+        // a v1 producer never emitted props, a v3 one no longer value
+        def narrow(c: String, fields: Seq[String]): Column =
           when(col(c).isNull, lit(null)).otherwise(
-            struct(col(s"$c.user_id").as("user_id"),
-              col(s"$c.value").as("value"))).as(c)
-        val v1Wire = graft.cdc.EnvelopeCodec.encodeAvro(
-          feed.filter(col("ts_us") < cutoffUs)
-            .withColumn("before", narrow("before"))
-            .withColumn("after", narrow("after")),
-          passthrough = Seq("event_id"))
-          .withColumn("schema_version", lit(1))
-        val v2Wire = EnvelopeCodec.encodeAvro(
-          feed.filter(col("ts_us") >= cutoffUs),
-          passthrough = Seq("event_id"))
-          .withColumn("schema_version", lit(2))
+            struct(fields.map(f => col(s"$c.$f").as(f)): _*)).as(c)
+        def slice(cond: Column, fields: Seq[String], v: Int) =
+          EnvelopeCodec.encodeAvro(
+            feed.filter(cond)
+              .withColumn("before", narrow("before", fields))
+              .withColumn("after", narrow("after", fields)),
+            passthrough = Seq("event_id"))
+            .withColumn("schema_version", lit(v))
+        val wire =
+          slice(col("ts_us") < cutoffUs,
+            Seq("user_id", "value"), 1)
+          .unionByName(slice(
+            col("ts_us") >= cutoffUs && col("ts_us") < cutoff2Us,
+            Seq("user_id", "value", "props"), 2))
+          .unionByName(slice(col("ts_us") >= cutoff2Us,
+            Seq("user_id", "props"), 3))
         val decoded = EnvelopeCodec.decodeEvolvedAvro(
-          v1Wire.unionByName(v2Wire), registry, subject,
-          passthrough = Seq("event_id"))
+          wire, registry, subject, passthrough = Seq("event_id"))
         val flat = decoded.select(col("key"), col("event_id"),
           col("ts_us"), col("op"),
           col("after.value").as("value"),
@@ -227,14 +236,17 @@ object CdcQueries extends QueryPack {
         |         CASE WHEN event_type = 'signup' THEN 'c'
         |              WHEN event_type = 'error'  THEN 'd'
         |              ELSE 'u' END AS op,
-        |         CASE WHEN epoch_us(ts) < 1705276800000000
-        |              THEN 1 ELSE 2 END AS schema_version
+        |         CASE WHEN epoch_us(ts) < 1705276800000000 THEN 1
+        |              WHEN epoch_us(ts) < 1705708800000000 THEN 2
+        |              ELSE 3 END AS schema_version
         |  FROM events),
         | ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY key
         |            ORDER BY ts_us DESC, event_id DESC) AS rn
         |  FROM feed)
-        |SELECT key, value,
+        |SELECT key,
+        |       CASE WHEN schema_version = 3 THEN NULL ELSE value END
+        |         AS value,
         |       CASE WHEN schema_version = 1 THEN NULL ELSE props END
         |         AS props,
         |       schema_version

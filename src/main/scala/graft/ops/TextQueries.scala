@@ -325,6 +325,31 @@ object TextQueries extends QueryPack {
         |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // Token counting: whitespace tokens + BPE-ish subword pieces.
+    // NORMALIZATION — the cleanup stage every corpus runs before
+    // tokenize/dedup: lowercase, strip non-retained characters, collapse
+    // whitespace, trim. Pure per-row codegen'd regex work, zero
+    // shuffles; the before/after char counts make shrinkage measurable.
+    Q("text_normalize",
+      (s, d) => {
+        val cleaned = trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 .,!?']", " "), "\\s+", " "))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_raw"),
+            cleaned.as("clean_text"))
+          .withColumn("n_chars_clean",
+            length(col("clean_text")).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, length(text) AS n_chars_raw,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 .,!?'']', ' ', 'g'), '\s+', ' ', 'g'))
+        |    AS clean_text,
+        |  length(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 .,!?'']', ' ', 'g'), '\s+', ' ', 'g')))
+        |    AS n_chars_clean
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("text_tokens",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
@@ -549,6 +574,107 @@ object TextQueries extends QueryPack {
     // into "keep one representative per cluster". The result is
     // algorithm-independent, so the oracle states it as a recursive
     // reachability query.
+    // TRAINING-MIX SAMPLING: select documents per language up to a
+    // token budget, in a deterministic pseudo-random order (md5 of the
+    // doc id — an unbiased shuffle any engine replays). The exact
+    // formulation is a per-language ordered prefix sum; at 100 TB the
+    // same selection runs as two passes with no global per-lang sort:
+    // sample the per-lang tokens-vs-hash CDF, pick each lang's hash
+    // threshold, then filter (one scan, embarrassingly parallel) —
+    // the window form here doubles as that plan's exactness oracle.
+    Q("pipeline_mixture_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(TextAnalysis.tokens(col("text"))).cast("long")
+              .as("n_tok"))
+          .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+          .filter(col("cum_tokens") <= 5000L)
+          .select("lang", "doc_id", "n_tok", "cum_tokens")
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        | ranked AS (
+        |  -- CAST: DuckDB sums BIGINT into HUGEINT; Spark stays BIGINT
+        |  SELECT *, CAST(sum(n_tok) OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_tokens
+        |  FROM toks)
+        |SELECT lang, doc_id, n_tok, cum_tokens FROM ranked
+        |WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""".stripMargin)),
+
+    // DEDUP APPLIED end-to-end: near-dup clusters → keep the min-id
+    // representative per cluster → anti-join the removal list back
+    // onto the corpus → per-source survivor rollup (planted copies
+    // trace to their source document's metadata via the id offset).
+    // This is the step that turns pairwise dedup output into the
+    // actual training corpus; the anti-join is a broadcast (removal
+    // lists are ≪ corpus by construction).
+    Q("pipeline_dedup_apply",
+      (s, d) => {
+        val planted = plantedDocs(s, d)
+        val removed = Dedup.dupClusters(
+            Dedup.ngramJaccardPairs(planted, k = 3,
+              threshold = 0.8, maxPostings = Int.MaxValue))
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("removed_id"))
+        val survivors = planted.join(broadcast(removed),
+          planted("doc_id") === removed("removed_id"), "left_anti")
+        survivors
+          .select((col("doc_id") % 1000000L).as("orig_id"))
+          .join(Tables.documents(s, d).select(
+            col("doc_id").as("orig_id"), col("source"), col("n_chars")),
+            Seq("orig_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("source"))
+      },
+      Some(plantedCte.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+        | sh AS (SELECT DISTINCT doc_id,
+        |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                  FOR i IN generate_series(1, len(t) - 2)]) AS shingle
+        |        FROM toks),
+        | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        | common AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        | pairs AS (
+        |  SELECT a_id, b_id FROM common
+        |  JOIN sizes sa ON sa.doc_id = a_id
+        |  JOIN sizes sb ON sb.doc_id = b_id
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        |        >= 0.8),
+        | edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |           UNION SELECT b_id, a_id FROM pairs),
+        | reach AS (
+        |  SELECT src AS id, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+        | removed AS (
+        |  SELECT id AS doc_id FROM reach
+        |  GROUP BY id HAVING id <> min(lbl)),
+        | survivors AS (
+        |  SELECT d.doc_id FROM docs d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM removed))
+        |-- CAST: DuckDB sums BIGINT into HUGEINT; Spark stays BIGINT
+        |SELECT m.source, count(*) AS n_docs,
+        |       CAST(sum(m.n_chars) AS BIGINT) AS sum_chars
+        |FROM survivors s
+        |JOIN documents m ON m.doc_id = s.doc_id % 1000000
+        |GROUP BY m.source ORDER BY m.source""".stripMargin)),
+
     Q("dedup_clusters",
       (s, d) => Dedup.dupClusters(
           Dedup.ngramJaccardPairs(plantedDocs(s, d), k = 3,
