@@ -303,6 +303,36 @@ object CdcQueries extends QueryPack {
       },
       Some(materializedStateSql)),
 
+    // INCREMENTAL AGGREGATE MAINTENANCE — the CDC-consumer pattern that
+    // avoids full recomputation: a materialized daily rollup (state,
+    // pre-cutoff) merges with the new batch's partial aggregate (delta)
+    // by pure partial-merge algebra — counts add, decimal sums add —
+    // and the oracle asserts merged ≡ aggregating the whole history
+    // from scratch. Works because count/sum are mergeable partials
+    // (the same property Spark exploits map-side); deletes carry no
+    // after-image so their value contribution is null on both sides.
+    Q("pipeline_incremental_agg",
+      (s, d) => {
+        def part(df: DataFrame) = df
+          .groupBy(expr("ts_us div 86400000000").as("day"), col("op"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("sv"))
+        val state = part(flatFeedWindow(s, d, None, Some(cutoffUs)))
+        val delta = part(flatFeedWindow(s, d, Some(cutoffUs), None))
+        state.unionByName(delta)
+          .groupBy(col("day"), col("op"))
+          .agg(sum(col("n")).as("n_events"),
+            sum(col("sv")).cast("double").as("sum_value"))
+          .orderBy(col("day"), col("op"))
+      },
+      Some(s"""$feedCte
+        |SELECT ts_us // 86400000000 AS day, op,
+        |       count(*) AS n_events,
+        |       CAST(sum(CASE WHEN op <> 'd'
+        |                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+        |         AS sum_value
+        |FROM feed GROUP BY 1, 2 ORDER BY day, op""".stripMargin)),
+
     // A4/T3 — at-least-once redelivery collapsed by exact dedup: doubling
     // the feed then deduping yields the original event counts.
     Q("cdc_stream_dedup",

@@ -23,10 +23,11 @@ class QueryInventorySpec extends SparkSpec {
 
   test("every query name has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only checks allowed ONLY for engine-specific hash/sketch ops
+    // rows-only checks allowed ONLY for engine-specific sketch /
+    // sampled-centroid ops (the md5-portable conversions moved the
+    // dedup/LSH family to full oracles in r3)
     val allowed = Set("agg_approx_distinct", "agg_hll_sketch",
       "agg_approx_percentile",
-      "dedup_minhash", "dedup_simhash", "sim_ann_lsh",
       "sim_ann_ivf_trained", "sim_ann_ivf_indexed")
     assert(noOracle === (allowed intersect noOracle))
     assert((allowed -- SparkEntry.queries.keySet).isEmpty,
