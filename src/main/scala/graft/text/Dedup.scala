@@ -115,6 +115,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "n_common", "jaccard")
 
+  /** CROSS-CORPUS near-dup — the continuous-ingestion path: an
+    * incoming shard probes the EXISTING corpus's inverted shingle
+    * index; pairs form only ACROSS the two sides (candidate volume =
+    * Σ_shingle df_existing × df_incoming, never all-pairs within the
+    * union — at 100 TB the existing index is the persisted artifact
+    * and each new shard's probe touches only its own shingles'
+    * postings). Same exact-Jaccard verify as [[ngramJaccardPairs]].
+    */
+  def crossCorpusPairs(existing: DataFrame, incoming: DataFrame,
+                       k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val ex = hashedShingleSet(existing, k).cache()
+    val in = hashedShingleSet(incoming, k).cache()
+    def sizes(sh: DataFrame, as: String) = sh.groupBy("doc_id")
+      .agg(count(lit(1)).as(s"n_$as"))
+      .withColumnRenamed("doc_id", s"${as}_id")
+    val common = ex.select(col("doc_id").as("a_id"), col("shingle"))
+      .join(in.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("shingle"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes(ex, "a"), Seq("a_id"))
+      .join(sizes(in, "b"), Seq("b_id"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "n_common", "jaccard")
+  }
+
   /** n-gram Jaccard with PREFIX FILTERING (PPJoin-style) — the 100 TB
     * path. Under a global canonical shingle order (df asc, hash asc),
     * two sets with J ≥ τ MUST share a shingle within each one's first
