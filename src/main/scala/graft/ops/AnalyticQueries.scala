@@ -450,6 +450,45 @@ object AnalyticQueries extends QueryPack {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // GAPS AND ISLANDS — activity streaks: consecutive active DAYS
+    // collapse into islands via the classic ordinal-difference trick
+    // (day − row_number is constant within a run), then per-user
+    // longest streak + streak count. One distinct shuffle + one
+    // key-partitioned window + one group-by, all on user_id — the
+    // exchanges collapse to a single key layout. All-integer
+    // arithmetic ⇒ bit-exact across engines.
+    Q("win_gaps_islands",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("day"))
+        val days = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val streaks = days
+          .withColumn("grp", col("day") - row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+        streaks.groupBy(col("user_id"))
+          .agg(max(col("len")).as("longest_streak"),
+            count(lit(1)).as("n_streaks"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        | isl AS (
+        |  SELECT user_id, day,
+        |         day - row_number() OVER (PARTITION BY user_id
+        |                                  ORDER BY day) AS grp
+        |  FROM days),
+        | streaks AS (
+        |  SELECT user_id, grp, count(*) AS len
+        |  FROM isl GROUP BY user_id, grp)
+        |SELECT user_id, max(len) AS longest_streak,
+        |       count(*) AS n_streaks
+        |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ORDERED EVENT FUNNEL (view → click → purchase): per-step user
     // counts where each step's event must occur AT OR AFTER the user's
     // previous step. Three conditional min-aggregations, each shuffling
