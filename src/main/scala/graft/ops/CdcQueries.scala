@@ -303,6 +303,45 @@ object CdcQueries extends QueryPack {
       },
       Some(materializedStateSql)),
 
+    // POISON-PILL QUARANTINE — the decode-error path every real topic
+    // eventually exercises: a deterministic slice of the wire records
+    // is corrupted (truncated Avro bytes), the PERMISSIVE decode nulls
+    // them instead of failing the task, and the pipeline surfaces the
+    // quarantine list (op IS NULL ⇒ undecodable) for a dead-letter
+    // store. The oracle knows nothing of Avro — only which event_ids
+    // were corrupted — which is exactly the point: the quarantine set
+    // equals the corruption set, bit for bit, and every healthy record
+    // survives (asserted by the count column).
+    Q("cdc_poison_pills",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val rowSchema = StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+        val wire = graft.cdc.EnvelopeCodec.encodeAvro(
+          ChangeFeed.envelope(Tables.events(s, d)),
+          passthrough = Seq("event_id"))
+        val corrupted = wire.withColumn("value",
+          when(col("event_id") % 97 === 0,
+            expr("substring(value, 1, 3)")).otherwise(col("value")))
+        val decoded = graft.cdc.EnvelopeCodec.decodeAvro(
+          corrupted, rowSchema, passthrough = Seq("event_id"),
+          permissive = true)
+        decoded
+          .select(col("event_id"), col("op").isNull.as("quarantined"))
+          .groupBy(col("quarantined"))
+          .agg(count(lit(1)).as("n"),
+            min(col("event_id")).as("min_event_id"),
+            max(col("event_id")).as("max_event_id"))
+          .orderBy(col("quarantined"))
+      },
+      Some("""SELECT event_id % 97 = 0 AS quarantined,
+        |       count(*) AS n,
+        |       min(event_id) AS min_event_id,
+        |       max(event_id) AS max_event_id
+        |FROM events GROUP BY 1 ORDER BY quarantined""".stripMargin)),
+
     // INCREMENTAL AGGREGATE MAINTENANCE — the CDC-consumer pattern that
     // avoids full recomputation: a materialized daily rollup (state,
     // pre-cutoff) merges with the new batch's partial aggregate (delta)
