@@ -29,6 +29,33 @@ object MultimodalQueries extends QueryPack {
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // BINARY CONTENT DEDUP — the media-side exact dedup every crawl
+    // pipeline runs before any decode: group by content digest (md5
+    // over the raw BYTES), surface duplicate groups with the min-id
+    // representative. One uniform digest-keyed shuffle of (16-byte
+    // digest, id) pairs — payload bytes never cross the network
+    // (digest computed at the scan). Planted copies make real groups;
+    // the oracle hashes the same UTF-8 bytes via md5(text).
+    Q("mm_dedup_binary",
+      (s, d) => Multimodal
+        .asBinary(TextQueries.plantedDocs(s, d))
+        .groupBy(md5(col("bytes")).as("digest"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("keep_id"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("digest")),
+      Some("""WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' qq17' FROM documents
+        |  WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS digest, count(*) AS n_copies,
+        |       min(doc_id) AS keep_id
+        |FROM docs GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY digest""".stripMargin)),
+
     // Frame sampling: every 7th frame of a payload-derived clip length.
     Q("mm_frame_sample",
       (s, d) => Multimodal
