@@ -275,6 +275,84 @@ object RelationalQueries extends QueryPack {
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)),
 
+    // UNPIVOT (melt) — pivot's inverse: wide measure columns become
+    // (metric, value) rows via Spark's native unpivot operator (a
+    // zero-shuffle Expand, rows × #measures). The oracle states it as
+    // the portable UNION ALL of per-measure projections.
+    Q("agg_unpivot",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 50 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+      Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |         'l_quantity' AS metric, l_quantity AS value
+        |  FROM lineitem WHERE l_orderkey % 50 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |         'l_extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 50 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey % 50 = 0) t
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
+    // NULL-SAFE JOIN (<=> / IS NOT DISTINCT FROM): null keys MATCH
+    // each other — the semantic plain equi-joins silently drop.
+    // Sides are pre-aggregated to key cardinality before the join
+    // (never join-then-aggregate across a null bucket: the null key
+    // is one giant hot group by construction — aggregate-first makes
+    // the join input |keys| rows regardless of skew).
+    Q("join_null_safe",
+      (s, d) => {
+        def side(et: String, as: String) = Tables.events(s, d)
+          .filter(col("event_type") === et)
+          .select(nullif(col("user_id") % 10, lit(0)).as("key"))
+          .groupBy("key").agg(count(lit(1)).as(as))
+        val l = side("view", "n_views")
+        val r = side("purchase", "n_purchases")
+        l.join(r, l("key") <=> r("key"), "inner")
+          .select(l("key"), col("n_views"), col("n_purchases"))
+          .orderBy(col("key"))
+      },
+      Some("""WITH l AS (
+        |  SELECT nullif(user_id % 10, 0) AS key, count(*) AS n_views
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        | r AS (
+        |  SELECT nullif(user_id % 10, 0) AS key, count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT l.key, n_views, n_purchases
+        |FROM l JOIN r ON l.key IS NOT DISTINCT FROM r.key
+        |ORDER BY l.key NULLS FIRST""".stripMargin)),
+
+    // BOUNDED moving average (ROWS 6 PRECEDING..CURRENT): the frame
+    // shape win_running_sum (unbounded) and win_range_between (time
+    // RANGE) don't cover. Decimal-exact sum over the frame, divided
+    // as double — bit-identical across engines.
+    Q("win_moving_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-6, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            (sum(col("value").cast("decimal(18,2)")).over(w)
+              .cast("double") /
+              count(col("value")).over(w)).as("ma7"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) /
+        |    count(value) OVER w AS ma7
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)),
+
     // Moment statistics from EXACT decimal sums (Σx, Σx²) so
     // mean/variance/stddev are bit-identical across engines —
     // native stddev partial-merge order would not be.
