@@ -36,12 +36,13 @@ import graft.cdc.Materialize
   * per-bucket pointer files with an atomic overwrite-rename; committed
   * state can never be lost mid-commit, only be a mix of per-bucket
   * versions that the idempotent latest-wins replay converges.
-  * Unreferenced dirs are GC'd after the flips, keeping each bucket's
-  * most recently superseded version readable for concurrent readers
-  * whose lazy scans resolved pointers just before the flip. This is a
-  * minimal
-  * per-file-group commit timeline — the same protocol shape a table
-  * format provides at lake scale.
+  * Every commit also appends a MANIFEST (the full bucket → dir map),
+  * giving the store a commit timeline: [[stateAsOf]] reads any commit
+  * inside the retention window ([[Config.retainVersions]]) and GC
+  * deletes only dirs outside it — which simultaneously keeps the
+  * version a concurrent reader resolved just before a flip. This is a
+  * minimal per-file-group commit timeline with time travel — the same
+  * protocol shape a table format provides at lake scale.
   */
 object CdcPipeline {
 
@@ -51,7 +52,13 @@ object CdcPipeline {
       orderCols: Seq[String] = Seq("ts_us", "event_id"),
       opCol: String = "op",
       watermarkDelay: String = "10 minutes",
-      numBuckets: Int = 32)
+      numBuckets: Int = 32,
+      // how many recent COMMITS stay fully readable: every bucket dir
+      // referenced by the last `retainVersions` manifests survives GC,
+      // giving bounded TIME TRAVEL ([[stateAsOf]]) and the
+      // concurrent-reader guard in one policy (≥ 2 keeps the version a
+      // reader resolved just before a commit)
+      retainVersions: Int = 2)
 
   /** Deterministic bucket of a row's key — the unit of merge I/O. */
   private[streaming] def bucketOf(cfg: Config): org.apache.spark.sql.Column =
@@ -197,7 +204,9 @@ object CdcPipeline {
       .mode("overwrite")
       .parquet(s"$statePath/batches/$outDir")
     touched.foreach(b => writePointer(fs, statePath, b, outDir))
-    gcUnreferenced(fs, statePath)
+    writeManifest(fs, statePath, batchId,
+      ptrs ++ touched.map(_ -> outDir))
+    gcUnreferenced(fs, statePath, cfg.retainVersions)
   }
 
   /** Read the current materialized state (live rows only — retained
@@ -271,7 +280,94 @@ object CdcPipeline {
       if (written.contains(b)) writePointer(fs, statePath, b, outDir)
       else fs.delete(new Path(s"$statePath/ptr/$b"), false)
     }
-    gcUnreferenced(fs, statePath)
+    writeManifest(fs, statePath, batchId,
+      ptrs.keys.filter(written.contains).map(_ -> outDir).toMap)
+    gcUnreferenced(fs, statePath, cfg.retainVersions)
+  }
+
+  /** COMMIT MANIFESTS — the state store's timeline. Every successful
+    * merge/compact appends one manifest: the FULL bucket → dir map as
+    * of that commit, under a zero-padded monotonic sequence (single
+    * writer, same assumption as the pointer protocol). Manifests are
+    * what make [[stateAsOf]] possible and what GC retention is defined
+    * over — the same two jobs a lake table format's commit log does.
+    */
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            statePath: String, batchId: Long,
+                            ptrs: Map[Int, String]): Unit = {
+    val dir = new Path(s"$statePath/manifests")
+    fs.mkdirs(dir)
+    val seq = listManifests(fs, statePath).lastOption
+      .map(_._1 + 1).getOrElse(0L)
+    val content = (s"batchId=$batchId" +:
+      ptrs.toSeq.sortBy(_._1).map { case (b, v) => s"$b $v" })
+      .mkString("\n")
+    graft.sources.PointerFile.write(fs, new Path(dir, f"$seq%09d"),
+      content)
+  }
+
+  /** (seq, manifest path), ascending. */
+  private def listManifests(fs: org.apache.hadoop.fs.FileSystem,
+                            statePath: String): Seq[(Long, Path)] = {
+    val dir = new Path(s"$statePath/manifests")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.forall(_.isDigit))
+      .map(s => s.getPath.getName.toLong -> s.getPath)
+      .sortBy(_._1)
+  }
+
+  private def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            p: Path): (Long, Map[Int, String]) = {
+    val lines = graft.sources.PointerFile.read(fs, p).split("\n")
+    val batchId = lines.head.stripPrefix("batchId=").toLong
+    val ptrs = lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(b, v) = l.split(" ", 2)
+      b.toInt -> v
+    }.toMap
+    (batchId, ptrs)
+  }
+
+  /** The commit timeline: (commit sequence, batch id), oldest first. */
+  def commits(spark: SparkSession, statePath: String): Seq[(Long, Long)] = {
+    val fs = new Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    listManifests(fs, statePath).map { case (seq, p) =>
+      seq -> parseManifest(fs, p)._1
+    }
+  }
+
+  /** TIME TRAVEL: the materialized state as of the commit for
+    * `batchId` (its most recent commit, if ids recur). Readable for
+    * the last `retainVersions` commits; older versions' bucket dirs
+    * are GC'd and the read fails fast with the missing paths rather
+    * than silently returning partial state.
+    */
+  def stateAsOf(spark: SparkSession, statePath: String, batchId: Long,
+                opCol: String = "op"): Option[DataFrame] = {
+    val fs = new Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hit = listManifests(fs, statePath).reverse
+      .map(m => parseManifest(fs, m._2))
+      .find(_._1 == batchId)
+    require(hit.nonEmpty,
+      s"no commit for batchId=$batchId at $statePath " +
+        s"(commits: ${commits(spark, statePath).map(_._2).mkString(",")})")
+    val ptrs = hit.get._2
+    if (ptrs.isEmpty) None
+    else {
+      val paths = ptrs.toSeq.sortBy(_._1).map { case (b, v) =>
+        bucketPath(statePath, v, b)
+      }
+      val missing = paths.filterNot(p => fs.exists(new Path(p)))
+      require(missing.isEmpty,
+        s"state version for batchId=$batchId is beyond the retention " +
+          s"window (retainVersions) — GC removed: ${missing.mkString(", ")}")
+      val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      Some(if (df.columns.contains(opCol))
+             df.filter(!(col(opCol) <=> "d"))
+           else df)
+    }
   }
 
   /** bucket → batch-dir name, from the tiny per-bucket pointer files. */
@@ -319,20 +415,28 @@ object CdcPipeline {
     else 0L
   }
 
-  /** Delete bucket dirs no pointer uses — KEEPING, per bucket, the one
-    * most recently superseded version alongside the current one (the
-    * keep-2 policy [[graft.sim.Similarity.buildIvfIndex]] uses for the
-    * same race): [[currentState]] resolves pointers eagerly but scans
-    * lazily, so a reader that resolved just before a concurrent
-    * merge/compact commit must still find the dirs its plan references.
-    * Anything older than one generation goes; then-empty batch dirs go
-    * with it.
+  /** Delete bucket dirs outside the retention window: every
+    * (bucket, dir) referenced by the LAST `retain` MANIFESTS — plus
+    * current pointers, plus (for states predating manifests) each
+    * bucket's most recently superseded version — survives; everything
+    * older goes, then-empty batch dirs with it. Retention ≥ 2 also
+    * covers the concurrent-reader race ([[currentState]] resolves
+    * pointers eagerly, scans lazily — the version a reader resolved
+    * just before a commit is still referenced by the previous
+    * manifest), the same policy [[graft.sim.Similarity.buildIvfIndex]]
+    * hard-codes as keep-2.
     */
   private def gcUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
-                             statePath: String): Unit = {
+                             statePath: String, retain: Int): Unit = {
     val ptrs = readPointers(fs, statePath)
     val batchesDir = new Path(s"$statePath/batches")
     if (!fs.exists(batchesDir)) return
+    // retained (bucket, dir) references from the last `retain` commits
+    val retained: Set[(Int, String)] = listManifests(fs, statePath)
+      .takeRight(math.max(retain, 1))
+      .flatMap { case (_, p) =>
+        parseManifest(fs, p)._2.toSeq.map { case (b, v) => (b, v) }
+      }.toSet
     val batchDirs = fs.listStatus(batchesDir)
     // bucket → every (batch dir, sub path) holding a version of it
     val byBucket = scala.collection.mutable.Map
@@ -350,11 +454,13 @@ object CdcPipeline {
     byBucket.foreach { case (b, dirs) =>
       val current = ptrs.get(b)
       val superseded = dirs.filterNot(d => current.contains(d._1))
+      // legacy guard for states whose history predates manifests
       val keepPrev =
         if (superseded.isEmpty) None
         else Some(superseded.maxBy(d => (dirMillis(d._1), d._1))._1)
       dirs.foreach { case (name, path) =>
-        if (!current.contains(name) && !keepPrev.contains(name))
+        if (!current.contains(name) && !keepPrev.contains(name) &&
+            !retained((b, name)))
           fs.delete(path, true)
       }
     }
