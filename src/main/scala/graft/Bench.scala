@@ -81,6 +81,37 @@ object Bench {
       System.err.println(s"[bench] ivf extras FAILED: ${e.getMessage}")
     }
     try {
+      // bucketed layout: shuffle-at-write-time vs the per-query join —
+      // the inventory's join_bucketed_colocated charges both to one
+      // number; here the one-off layout write and the exchange-free
+      // join are separate measured claims
+      val t0 = System.nanoTime()
+      sources.Layout.writeBucketed(
+        sources.Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        "bench_orders_colo", Seq("o_orderkey"), numBuckets = 8)
+      sources.Layout.writeBucketed(
+        sources.Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "bench_lineitem_colo", Seq("l_orderkey"), numBuckets = 8)
+      extras("bucketed_layout_write_sec") = (System.nanoTime() - t0) / 1e9
+      def joinOnce(): Double = {
+        val t = System.nanoTime()
+        sources.Layout.readTable(spark, "bench_orders_colo")
+          .join(sources.Layout.readTable(spark, "bench_lineitem_colo"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_items"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t) / 1e9
+      }
+      val j1 = joinOnce()
+      extras("bucketed_join_sec") = math.min(j1, joinOnce())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bucketed extras FAILED: ${e.getMessage}")
+    }
+    try {
       // replay the sf feed as time-ordered micro-batches through the
       // upsert sink, in two regimes: many small batches (commit-bound —
       // each merge pays ~6 Spark jobs of scheduling plus pointer/GC

@@ -303,6 +303,46 @@ object CdcQueries extends QueryPack {
       },
       Some(materializedStateSql)),
 
+    // TIME TRAVEL on the upsert sink (S4's offset-reset semantic on
+    // the SINK side, the lake-format feature the reference's Hudi
+    // downstream provides): three time-ordered micro-batches merge
+    // into a fresh bucketed state, then the query reads the state AS
+    // OF THE SECOND COMMIT via its manifest. Latest-wins convergence
+    // makes that state identical to materializing only the first two
+    // windows of the log — which is exactly what the oracle states,
+    // knowing nothing of manifests, buckets, or commits.
+    Q("cdc_time_travel",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        import graft.streaming.CdcPipeline
+        val statePath = "/tmp/graft_tt_state/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val fs = new Path(statePath).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(statePath), true)
+        val cfg = CdcPipeline.Config(keyCols = Seq("key"),
+          orderCols = Seq("ts_us", "event_id"), opCol = "op",
+          numBuckets = 8)
+        CdcPipeline.mergeBatch(
+          flatFeedWindow(s, d, None, Some(cutoffUs)), statePath, cfg, 0L)
+        CdcPipeline.mergeBatch(
+          flatFeedWindow(s, d, Some(cutoffUs), Some(cutoff2Us)),
+          statePath, cfg, 1L)
+        CdcPipeline.mergeBatch(
+          flatFeedWindow(s, d, Some(cutoff2Us), None), statePath, cfg, 2L)
+        CdcPipeline.stateAsOf(s, statePath, 1L).get
+          .select("key", "value", "props")
+          .orderBy(col("key"))
+      },
+      Some(s"""$feedCte,
+        | ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM feed WHERE ts_us < 1705708800000000)
+        |SELECT key, value, props
+        |FROM ranked WHERE rn = 1 AND op <> 'd'
+        |ORDER BY key""".stripMargin)),
+
     // POISON-PILL QUARANTINE — the decode-error path every real topic
     // eventually exercises: a deterministic slice of the wire records
     // is corrupted (truncated Avro bytes), the PERMISSIVE decode nulls
