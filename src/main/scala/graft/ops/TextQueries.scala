@@ -350,6 +350,47 @@ object TextQueries extends QueryPack {
         |    AS n_chars_clean
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // CORPUS-LM QUALITY SCORE — the perplexity proxy: per-doc mean
+    // unigram surprisal (−ln p(token)) under the corpus's own unigram
+    // distribution. Two aggregations sharing the token layout (corpus
+    // frequencies, then per-doc mean via a broadcast-sized frequency
+    // join — vocab ≪ corpus at any scale). Double-sum order would
+    // break hash parity, so each surprisal term is rounded to 6
+    // decimals and summed as EXACT DECIMAL; only the final mean
+    // divides as double.
+    Q("text_unigram_logprob",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("tok"))
+        val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .cache()
+        // total tokens from the vocab-sized aggregate (no second
+        // corpus scan); driver scalar, bounded by construction
+        val total = freq.agg(sum(col("cnt"))).head().getLong(0)
+        toks.join(broadcast(freq), Seq("tok"))
+          .select(col("doc_id"),
+            round(-log(col("cnt").cast("double") / lit(total.toDouble)),
+              6).cast("decimal(18,6)").as("surprisal"))
+          .groupBy("doc_id")
+          .agg((sum(col("surprisal")).cast("double") /
+            count(lit(1))).as("mean_surprisal"),
+            count(lit(1)).as("n_tok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        | freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        | total AS (SELECT count(*) AS n FROM toks)
+        |SELECT doc_id,
+        |  CAST(sum(CAST(round(-ln(CAST(cnt AS DOUBLE) / n), 6)
+        |           AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |    AS mean_surprisal,
+        |  count(*) AS n_tok
+        |FROM toks JOIN freq USING (tok), total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("text_tokens",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
