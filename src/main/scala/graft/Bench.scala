@@ -38,17 +38,30 @@ object Bench {
         (name, 0.0, 0.0, false)
       }
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    // compact JSON, essentials LAST: the driver's record keeps the
+    // TAIL of the line when it is too long to parse whole (observed in
+    // BENCH_r01/r02: parsed=null, tail=line suffix) — totals,
+    // failures, and extras must sit after the two per-query maps to
+    // survive head-truncation
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val qsCold = results.map { case (k, _, c, _) => s"\"" + k + "\":" + c }
+    val qsCold = results.map { case (k, _, c, _) =>
+        s"\"" + k + "\":" + r3(c) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val extras = benchExtras(spark, sfDir)
-    val ex = extras.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ex = extras.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failed,"extras":$ex,"sf":"$sfDir"}""")
+    val line = s"""{"queries_cold":$qsCold,"queries":$qs,"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"extras":$ex,"sf":"$sfDir"}"""
+    println(line)
+    // full record survives any stdout truncation (driver keeps a tail)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 
