@@ -353,6 +353,59 @@ object RelationalQueries extends QueryPack {
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin)),
 
+    // CORRELATION from exact decimal moments: Σx, Σy, Σxy, Σx², Σy²
+    // accumulate as DECIMAL (order-insensitive, partial-mergeable),
+    // and Pearson r is computed from the five exact sums in one final
+    // double expression — bit-identical across engines where native
+    // corr()'s running-merge would not be. The same trick as
+    // agg_stats, extended to cross-moments.
+    Q("agg_corr_exact",
+      (s, d) => {
+        val x = col("l_quantity").cast("decimal(18,2)")
+        val y = col("l_extendedprice").cast("decimal(18,2)")
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum((x * y).cast("decimal(28,4)")).as("sxy"),
+            sum((x * x).cast("decimal(28,4)")).as("sxx"),
+            sum((y * y).cast("decimal(28,4)")).as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            round(
+              (col("n").cast("double") * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")) /
+              (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+                  col("sx").cast("double") * col("sx").cast("double")) *
+                sqrt(col("n").cast("double") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))),
+              6).as("corr_qty_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))
+        |        AS DECIMAL(28,4))) AS sxy,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(18,2))
+        |        AS DECIMAL(28,4))) AS sxx,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))
+        |        AS DECIMAL(28,4))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |          CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        |    6) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin)),
+
     // Moment statistics from EXACT decimal sums (Σx, Σx²) so
     // mean/variance/stddev are bit-identical across engines —
     // native stddev partial-merge order would not be.
