@@ -353,6 +353,65 @@ object RelationalQueries extends QueryPack {
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin)),
 
+    // LEFT OUTER join — dimension-preserving enrichment: every
+    // customer survives, order-less customers zero-filled. The rollup
+    // aggregates BEFORE the join (orders collapse to customer
+    // cardinality first), and the dim side broadcasts.
+    Q("join_left_outer",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum("o_totalprice").as("spend"))
+        Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+          .join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("spend"), lit(0.0)).as("spend"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH ord AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, c_name,
+        |       coalesce(n_orders, 0) AS n_orders,
+        |       coalesce(spend, 0.0) AS spend
+        |FROM customer LEFT JOIN ord ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // FULL OUTER join — reconciliation of two keyed summaries with
+    // rows unique to each side (the moduli make both null sides
+    // non-empty at every SF): the USING key coalesces, absent counts
+    // zero-fill. Both sides pre-aggregate to key cardinality.
+    Q("join_full_outer",
+      (s, d) => {
+        def side(et: String, mod: Int, as: String) = Tables.events(s, d)
+          .filter(col("event_type") === et &&
+            col("user_id") % mod === 0)
+          .groupBy("user_id").agg(count(lit(1)).as(as))
+        side("view", 3, "n_views")
+          .join(side("purchase", 2, "n_purchases"), Seq("user_id"),
+            "full_outer")
+          .select(col("user_id"),
+            coalesce(col("n_views"), lit(0L)).as("n_views"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH v AS (
+        |  SELECT user_id, count(*) AS n_views FROM events
+        |  WHERE event_type = 'view' AND user_id % 3 = 0
+        |  GROUP BY user_id),
+        | p AS (
+        |  SELECT user_id, count(*) AS n_purchases FROM events
+        |  WHERE event_type = 'purchase' AND user_id % 2 = 0
+        |  GROUP BY user_id)
+        |SELECT user_id, coalesce(n_views, 0) AS n_views,
+        |       coalesce(n_purchases, 0) AS n_purchases
+        |FROM v FULL JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin)),
+
     // CORRELATION from exact decimal moments: Σx, Σy, Σxy, Σx², Σy²
     // accumulate as DECIMAL (order-insensitive, partial-mergeable),
     // and Pearson r is computed from the five exact sums in one final
