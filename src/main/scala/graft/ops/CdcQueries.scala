@@ -343,6 +343,59 @@ object CdcQueries extends QueryPack {
         |FROM ranked WHERE rn = 1 AND op <> 'd'
         |ORDER BY key""".stripMargin)),
 
+    // STATE DIFF between two commits — what an incremental downstream
+    // consumer reads instead of re-scanning state: keys added, removed
+    // (tombstoned), or updated from the second commit to the third. A
+    // row's version IS its order columns under latest-wins, so the
+    // oracle states the diff as a full outer join of the two windowed
+    // materializations comparing winning (ts_us, event_id).
+    Q("cdc_state_diff",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        import graft.streaming.CdcPipeline
+        val statePath = "/tmp/graft_diff_state/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val fs = new Path(statePath).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(statePath), true)
+        val cfg = CdcPipeline.Config(keyCols = Seq("key"),
+          orderCols = Seq("ts_us", "event_id"), opCol = "op",
+          numBuckets = 8)
+        CdcPipeline.mergeBatch(
+          flatFeedWindow(s, d, None, Some(cutoffUs)), statePath, cfg, 0L)
+        CdcPipeline.mergeBatch(
+          flatFeedWindow(s, d, Some(cutoffUs), Some(cutoff2Us)),
+          statePath, cfg, 1L)
+        CdcPipeline.mergeBatch(
+          flatFeedWindow(s, d, Some(cutoff2Us), None), statePath, cfg, 2L)
+        CdcPipeline.stateDiff(s, statePath, 1L, 2L, cfg)
+          .orderBy(col("key"))
+      },
+      Some(s"""$feedCte,
+        | ra AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM feed WHERE ts_us < 1705708800000000),
+        | rb AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM feed),
+        | a AS (SELECT key, ts_us, event_id FROM ra
+        |       WHERE rn = 1 AND op <> 'd'),
+        | b AS (SELECT key, ts_us, event_id FROM rb
+        |       WHERE rn = 1 AND op <> 'd'),
+        | j AS (
+        |  SELECT coalesce(a.key, b.key) AS key,
+        |    CASE WHEN a.key IS NULL THEN 'added'
+        |         WHEN b.key IS NULL THEN 'removed'
+        |         WHEN a.ts_us = b.ts_us AND a.event_id = b.event_id
+        |           THEN NULL
+        |         ELSE 'updated' END AS change,
+        |    b.ts_us AS to_ts_us, b.event_id AS to_event_id
+        |  FROM a FULL JOIN b ON a.key = b.key)
+        |SELECT key, change, to_ts_us, to_event_id
+        |FROM j WHERE change IS NOT NULL ORDER BY key""".stripMargin)),
+
     // POISON-PILL QUARANTINE — the decode-error path every real topic
     // eventually exercises: a deterministic slice of the wire records
     // is corrupted (truncated Avro bytes), the PERMISSIVE decode nulls

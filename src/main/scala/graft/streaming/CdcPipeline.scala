@@ -370,6 +370,42 @@ object CdcPipeline {
     }
   }
 
+  /** STATE DIFF between two commits — CDC on the materialized state:
+    * which keys were added, removed, or updated from commit `fromId`
+    * to commit `toId`. A row's VERSION is its order columns (latest-
+    * wins means any change advances them), so the diff is a full
+    * outer join on the key comparing versions — no payload hashing,
+    * no column-set assumptions beyond key + order cols. This is what
+    * an incremental downstream consumer reads instead of re-scanning
+    * state.
+    */
+  def stateDiff(spark: SparkSession, statePath: String, fromId: Long,
+                toId: Long, cfg: Config = Config()): DataFrame = {
+    def side(id: Long, tag: String): DataFrame = {
+      val df = stateAsOf(spark, statePath, id, cfg.opCol)
+        .getOrElse(spark.emptyDataFrame)
+      // explicit presence marker: a null ORDER column in a present row
+      // must not read as "key absent"
+      df.select((cfg.keyCols ++ cfg.orderCols).map(col): _*)
+        .toDF(cfg.keyCols ++ cfg.orderCols.map(c => s"${tag}_$c"): _*)
+        .withColumn(s"${tag}_present", lit(true))
+    }
+    val a = side(fromId, "a")
+    val b = side(toId, "b")
+    val aVer = cfg.orderCols.map(c => col(s"a_$c"))
+    val bVer = cfg.orderCols.map(c => col(s"b_$c"))
+    a.join(b, cfg.keyCols, "full_outer")
+      .withColumn("change",
+        when(col("a_present").isNull, "added")
+          .when(col("b_present").isNull, "removed")
+          .when(aVer.zip(bVer).map { case (x, y) => x <=> y }
+            .reduce(_ && _), null)
+          .otherwise("updated"))
+      .filter(col("change").isNotNull)
+      .select((cfg.keyCols.map(col) :+ col("change")) ++
+        bVer.zip(cfg.orderCols).map { case (c, n) => c.as(s"to_$n") }: _*)
+  }
+
   /** bucket → batch-dir name, from the tiny per-bucket pointer files. */
   private def readPointers(fs: org.apache.hadoop.fs.FileSystem,
                            statePath: String): Map[Int, String] = {
