@@ -98,4 +98,21 @@ class DedupSpec extends SparkSpec {
         .as("r"), Seq("cluster_id"), "left_anti")
     assert(badRep.isEmpty)
   }
+
+  test("cross-corpus pairs == within-union pairs restricted to the boundary") {
+    val existing = planted.filter(col("doc_id") < 1000000L)
+    val incoming = planted.filter(col("doc_id") >= 1000000L)
+    val cross = Dedup.crossCorpusPairs(existing, incoming, k = 3,
+        threshold = 0.8)
+      .select("a_id", "b_id", "n_common", "jaccard")
+    // existing ids < 1M <= incoming ids, so a<b ordering aligns and the
+    // union-pairs formulation restricted to the boundary is the spec
+    val viaUnion = Dedup.ngramJaccardPairs(planted, k = 3,
+        threshold = 0.8, maxPostings = Int.MaxValue)
+      .filter(col("a_id") < 1000000L && col("b_id") >= 1000000L)
+      .select("a_id", "b_id", "n_common", "jaccard")
+    assert(cross.count() > 0)
+    assert(cross.except(viaUnion).isEmpty &&
+      viaUnion.except(cross).isEmpty)
+  }
 }
