@@ -60,6 +60,38 @@ object Materialize {
                    opCol: String = "op"): DataFrame =
     dropTombstones(latest(changes, keyCols, orderCols), opCol)
 
+  /** SCD TYPE-2 HISTORY — the change log as a versioned dimension: one
+    * row per non-delete change, valid from its own event time until the
+    * key's NEXT change of ANY kind (a later update supersedes it, a
+    * delete closes it). The newest version stays open
+    * (`valid_to_us` null, `is_current` true) iff the key's last change
+    * was not a delete — the delete row itself carries no after-image
+    * and is not a version, but its timestamp closes the interval it
+    * tombstones, so point-in-time joins (`valid_from ≤ t < valid_to`)
+    * see deleted keys vanish at the right instant.
+    *
+    * `change_seq` numbers ALL changes per key (deletes included), so a
+    * version's sequence gap shows where a delete-and-recreate happened.
+    *
+    * Scale: one key shuffle feeding one per-key window pass computing
+    * lead + row_number together — the same partitioning as [[latest]],
+    * no extra exchange, no state beyond the sort.
+    */
+  def scd2(changes: DataFrame,
+           keyCols: Seq[String],
+           orderCols: Seq[Column],
+           opCol: String = "op"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols: _*)
+    changes
+      .withColumn("valid_from_us", orderCols.head)
+      .withColumn("valid_to_us", lead(orderCols.head, 1).over(w))
+      .withColumn("change_seq", row_number().over(w))
+      // null-safe: an op of NULL (drifted payload) is not a delete
+      .filter(!(col(opCol) <=> "d"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
   /** A3 — apply a materialized batch of changes to a base table.
     *
     * `changes` must already be reduced to one row per key (A1, op kept).

@@ -478,6 +478,91 @@ object CdcQueries extends QueryPack {
       },
       Some("""SELECT CAST(user_id AS VARCHAR) AS key,
         |       count(*) AS n_events
-        |FROM events GROUP BY 1 ORDER BY key""".stripMargin))
+        |FROM events GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // COMPACTION, driver-verified: three commits merge into the
+    // bucketed upsert store (tombstones included), then compact()
+    // rewrites every live bucket, dropping ALL tombstones (horizon
+    // beyond every event time) and merging small files — and the store
+    // must still read back as EXACTLY the latest-wins materialization
+    // of the full log, which is all the oracle states. Crash-safety of
+    // the rewrite (pointer flips, never-reused dirs, expired-bucket
+    // pointer drops) is CdcPipelineSpec's job; this row proves the
+    // SEMANTICS survive the rewrite under the driver's independent eye.
+    Q("cdc_compact_state",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        import graft.streaming.CdcPipeline
+        val statePath = "/tmp/graft_compact_q_state/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val fs = new Path(statePath).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(statePath), true)
+        val cfg = CdcPipeline.Config(keyCols = Seq("key"),
+          orderCols = Seq("ts_us", "event_id"), opCol = "op",
+          numBuckets = 8)
+        CdcPipeline.mergeBatch(
+          flatFeedWindow(s, d, None, Some(cutoffUs)), statePath, cfg, 0L)
+        CdcPipeline.mergeBatch(
+          flatFeedWindow(s, d, Some(cutoffUs), Some(cutoff2Us)),
+          statePath, cfg, 1L)
+        CdcPipeline.mergeBatch(
+          flatFeedWindow(s, d, Some(cutoff2Us), None), statePath, cfg, 2L)
+        CdcPipeline.compact(s, statePath, cfg,
+          horizonUs = Long.MaxValue, batchId = 3L)
+        CdcPipeline.currentState(s, statePath).get
+          .select("key", "value", "props")
+          .orderBy(col("key"))
+      },
+      Some(materializedStateSql)),
+
+    // SCD TYPE-2 DIMENSION from the change feed — the other canonical
+    // CDC consumer besides latest-state: every non-delete change
+    // becomes a version row valid [its ts, next change's ts); a delete
+    // closes the interval it tombstones without emitting a version.
+    // One key-shuffle, one window pass (lead + row_number share the
+    // sort) — the same plan shape as cdc_latest_state, so the 100 TB
+    // story is identical: partition by key, no global sort.
+    Q("cdc_scd2_history",
+      (s, d) => Materialize.scd2(flatFeed(s, d), Seq("key"),
+          Seq(col("ts_us"), col("event_id")))
+        .select(col("key"), col("change_seq"), col("value"), col("props"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+        .orderBy(col("key"), col("change_seq")),
+      Some(s"""$feedCte,
+        | seq AS (
+        |  SELECT key, value, props, op, ts_us AS valid_from_us,
+        |    lead(ts_us) OVER (PARTITION BY key
+        |                      ORDER BY ts_us, event_id) AS valid_to_us,
+        |    row_number() OVER (PARTITION BY key
+        |                       ORDER BY ts_us, event_id) AS change_seq
+        |  FROM feed)
+        |SELECT key, change_seq, value, props, valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current
+        |FROM seq WHERE op <> 'd'
+        |ORDER BY key, change_seq""".stripMargin)),
+
+    // POINT-IN-TIME LOOKUP against the SCD2 dimension: the state of
+    // every key as of the snapshot cutoff, read from version intervals
+    // (valid_from ≤ t < valid_to) instead of replaying the log — the
+    // query pattern SCD2 exists to serve, and it must agree with the
+    // log-replay materialization restricted to the same cutoff (minus
+    // keys whose latest pre-cutoff change was a delete). The interval
+    // predicate is two pushable range filters, no window at read time.
+    Q("cdc_scd2_as_of",
+      (s, d) => Materialize.scd2(flatFeed(s, d), Seq("key"),
+          Seq(col("ts_us"), col("event_id")))
+        .filter(col("valid_from_us") <= cutoffUs &&
+          (col("valid_to_us").isNull || col("valid_to_us") > cutoffUs))
+        .select(col("key"), col("value"), col("props"))
+        .orderBy(col("key")),
+      Some(s"""$feedCte,
+        | ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM feed WHERE ts_us <= $cutoffUs)
+        |SELECT key, value, props
+        |FROM ranked WHERE rn = 1 AND op <> 'd'
+        |ORDER BY key""".stripMargin))
   )
 }

@@ -249,6 +249,56 @@ object FunctionQueries extends QueryPack {
         | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
         |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin)),
 
+    // WATERMARK LATE-DATA AUDIT, batch-verified. Arrival order is the
+    // event-id sequence within each source partition (user_id%8 — the
+    // only order Kafka actually guarantees, T2), with a deterministic
+    // 1-in-50 slice delayed by 500 positions: the out-of-order tail
+    // every real topic has. A row is LATE iff its event time trails
+    // the per-partition high-water mark by more than the 4-hour
+    // watermark delay — exactly what `withWatermark(..., "4 hours")`
+    // drops before state. The running max is per-shard (parallel, no
+    // global sort); streaming keeps the same state in one long per
+    // partition.
+    Q("stream_late_audit",
+      (s, d) => {
+        val delayUs = 4L * 3600L * 1000000L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("arr"), col("event_id"))
+          .rowsBetween(Long.MinValue, -1)
+        Tables.events(s, d)
+          .select(col("event_id"), (col("user_id") % 8).as("shard"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type"))
+          .withColumn("arr", col("event_id") +
+            when(col("event_id") % 50 === 0, lit(500L)).otherwise(lit(0L)))
+          .withColumn("hwm", max(col("ts_us")).over(w))
+          .withColumn("late",
+            coalesce(col("hwm") - col("ts_us") > delayUs, lit(false)))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+            max(when(col("late"), col("event_id"))).as("last_late_id"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH a AS (
+        |  SELECT event_id, user_id % 8 AS shard, epoch_us(ts) AS ts_us,
+        |    event_type,
+        |    event_id + CASE WHEN event_id % 50 = 0 THEN 500 ELSE 0 END
+        |      AS arr
+        |  FROM events),
+        | w AS (
+        |  SELECT *, max(ts_us) OVER (PARTITION BY shard
+        |    ORDER BY arr, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM a),
+        | f AS (SELECT *,
+        |   coalesce(hwm - ts_us > 14400000000, FALSE) AS late FROM w)
+        |-- CAST: DuckDB sums INTEGER into HUGEINT; Spark stays BIGINT
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  max(CASE WHEN late THEN event_id END) AS last_late_id
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Deterministic hash split — the train/holdout assignment a
     // training-data pipeline needs: stable across runs, engines and
     // cluster layouts (md5 of the key, no RNG), so the holdout set is

@@ -672,6 +672,45 @@ object RelationalQueries extends QueryPack {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
 
+    // Z-ORDERED LAYOUT round trip — the multi-dimensional data-skipping
+    // layout (Delta/Iceberg Z-ORDER): events rewritten clustered on
+    // BOTH (user_id, event time) via Morton interleave
+    // (Layout.writeZOrdered, codegen'd graft_zorder kernel), then a
+    // 2-d range slice is answered from the clustered copy. The oracle
+    // computes the same slice from the raw table, so the driver grades
+    // layout → scan → filter end to end; ZOrderSpec separately asserts
+    // the clustering effect (per-file min/max tight on BOTH dims, files
+    // actually skipped). At 100 TB this is the difference between a
+    // 2-d slice reading a handful of files and scanning the lake on
+    // the non-leading dimension.
+    Q("layout_zorder_slice",
+      (s, d) => {
+        val zDir = "/tmp/graft_zorder_q/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        Layout.writeZOrdered(
+          Tables.events(s, d)
+            .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("ts_us"), col("event_type"),
+              col("value")),
+          zDir, "user_id", "ts_us", bits = 12, numFiles = 16)
+        s.read.parquet(zDir)
+          .filter(col("user_id").between(3, 9) &&
+            col("ts_us") >= 1704844800000000L && // 2024-01-10
+            col("ts_us") < 1705708800000000L) // 2024-01-20
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 9
+        |  AND epoch_us(ts) >= 1704844800000000
+        |  AND epoch_us(ts) < 1705708800000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Set algebra (SURVEY §2.A A5 config-array append/remove semantics).
     Q("set_union",
       (s, d) => {

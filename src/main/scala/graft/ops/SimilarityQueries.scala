@@ -330,6 +330,54 @@ object SimilarityQueries extends QueryPack {
         |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT a_id, b_id, round(cos, 4) AS cosine
         |FROM pairs WHERE cos >= 0.99
-        |ORDER BY a_id, b_id""".stripMargin))
+        |ORDER BY a_id, b_id""".stripMargin)),
+
+    // k-NN JOIN: every vector gets its 3 nearest neighbors (cosine)
+    // among vectors sharing its blocking key (label here; an IVF cell
+    // id from trainCentroids in production — same plan shape, finer
+    // keys). This is the all-vectors self-join dedup/ANN can't avoid,
+    // made tractable by blocking: pair count is Σ|block|², never n².
+    // The per-query top-3 is a WindowGroupLimit (per-partition heaps
+    // pushed below the shuffle in Spark 4), not a full sort of the
+    // pair set; norms are computed once per side, not per pair.
+    Q("sim_knn_join",
+      (s, d) => {
+        val base = doubleVecs(s, d)
+        val a = base.select(col("vec_id").as("a_id"),
+          col("embedding").as("a_vec"),
+          Similarity.norm(col("embedding")).as("a_norm"), col("label"))
+        val b = base.select(col("vec_id").as("b_id"),
+          col("embedding").as("b_vec"),
+          Similarity.norm(col("embedding")).as("b_norm"), col("label"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a_id"))
+          .orderBy(col("cos").desc, col("b_id"))
+        a.join(b, Seq("label"))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cos", Similarity.dot(col("a_vec"), col("b_vec")) /
+            (col("a_norm") * col("b_norm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+            col("rank"), round(col("cos"), 6).as("cosine"))
+          .orderBy(col("vec_id"), col("rank"))
+      },
+      Some("""WITH vecs AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        | pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM vecs a JOIN vecs b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        | ranked AS (
+        |  SELECT a_id, b_id, cos, row_number() OVER (
+        |    PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank
+        |  FROM pairs)
+        |SELECT a_id AS vec_id, b_id AS neighbor_id, rank,
+        |  round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY vec_id, rank""".stripMargin))
   )
 }

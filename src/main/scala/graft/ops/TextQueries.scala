@@ -797,6 +797,202 @@ object TextQueries extends QueryPack {
         |  UNION
         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id, min(lbl) AS cluster_id
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // EXACT SUBSTRING DEDUP (the Lee et al. 2022 semantic, stride-
+    // sampled): hash fixed-width char windows (40 chars, stride 10) of
+    // every doc, count distinct docs per window hash, then score each
+    // doc by the fraction of its windows that also occur in ANOTHER
+    // doc. Docs past a threshold are the "contains duplicated text"
+    // drop set. Two shuffles, both on uniform hash keys: window-hash →
+    // doc-count (map-side partial), then doc_id → fraction. The stride
+    // bounds blowup at 1/10th of the suffix-array formulation, and the
+    // per-hash postings are capped by the duplication factor, never
+    // corpus size. dup_frac ships as a RAW integer ratio (bit-portable
+    // division; never rounded — Q's round caveat).
+    Q("text_substring_dedup",
+      (s, d) => {
+        val docs = plantedDocs(s, d).filter(length(col("text")) >= 40)
+        val wins = docs
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), length(col("text")) - 39, lit(10)))
+              .as("o"))
+          .select(col("doc_id"),
+            md5(col("text").substr(col("o"), lit(40))).as("whash"))
+        // countDistinct (streaming agg), NOT collect_list: a boilerplate
+        // window (license header, nav chrome) can occur in 10% of a
+        // 100 TB corpus — a per-hash list would OOM; a distinct-count +
+        // join back stays bounded and AQE skew-splits the hot hash.
+        val perHash = wins.groupBy(col("whash"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        wins.join(perHash, Seq("whash"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("n_docs") >= 2, 1L).otherwise(0L))
+              .as("n_dup_windows"))
+          .withColumn("dup_frac",
+            col("n_dup_windows").cast("double") / col("n_windows"))
+          .withColumn("drop_doc", col("dup_frac") >= 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$plantedCte,
+        | docs40 AS (SELECT doc_id, text FROM docs
+        |            WHERE length(text) >= 40),
+        | wins AS (
+        |  SELECT doc_id,
+        |    md5(substring(text, CAST(o AS INTEGER), 40)) AS whash
+        |  FROM docs40, LATERAL (SELECT
+        |    unnest(generate_series(1, length(text) - 39, 10)) AS o) t),
+        | byh AS (SELECT whash, count(DISTINCT doc_id) AS n_docs
+        |         FROM wins GROUP BY whash)
+        |SELECT w.doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN b.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_windows,
+        |  CAST(sum(CASE WHEN b.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS dup_frac,
+        |  CAST(sum(CASE WHEN b.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) >= 0.5 AS drop_doc
+        |FROM wins w JOIN byh b USING (whash)
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin)),
+
+    // BM25 RETRIEVAL over the corpus for a literal query ("dup window
+    // hash" — one rare term, df=25/500, two common ones), the ranking
+    // function behind every retrieval-augmented data pipeline. Shape:
+    // one token explode → per-doc lengths (map-side partial agg);
+    // query-term postings filtered BEFORE any shuffle (predicate on the
+    // exploded token), so the scored set is |postings(q)|, not the
+    // corpus; document-frequency aggregate is query-terms-sized and
+    // broadcast back. Corpus scalars (N, total length) are two driver
+    // longs. Per-term scores round at 6dp into exact DECIMAL partial
+    // sums (irrational family — ln/ratio mix — so rounding is portable;
+    // Q's caveat), then one exact sum per doc and a top-20
+    // TakeOrderedAndProject, never a full sort.
+    Q("text_bm25",
+      (s, d) => {
+        val terms = Seq("dup", "window", "hash")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("tok"))
+        val dls = toks.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("dl")).cache()
+        val corpus = dls.agg(sum(col("dl")), count(lit(1))).head()
+        val (total, nDocs) = (corpus.getLong(0), corpus.getLong(1))
+        val tfs = toks.filter(col("tok").isin(terms: _*))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val dfs = tfs.groupBy(col("tok"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val idf = log(lit(1.0) +
+          (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        val tfNorm = (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * (col("dl").cast("double") * lit(nDocs) /
+              lit(total))))
+        tfs.join(broadcast(dfs), Seq("tok"))
+          .join(dls, Seq("doc_id"))
+          .select(col("doc_id"),
+            round(idf * tfNorm, 6).cast("decimal(18,6)").as("sc"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("sc")).cast("double").as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        | dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        | corpus AS (SELECT sum(dl) AS total, count(*) AS n FROM dls),
+        | tfs AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |         WHERE tok IN ('dup', 'window', 'hash')
+        |         GROUP BY doc_id, tok),
+        | dfs AS (SELECT tok, count(DISTINCT doc_id) AS df
+        |         FROM tfs GROUP BY tok),
+        | scored AS (
+        |  SELECT doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) /
+        |       (CAST(tf AS DOUBLE) + 1.2 * (0.25 +
+        |        0.75 * (CAST(dl AS DOUBLE) * n / total)))), 6)
+        |      AS DECIMAL(18,6)) AS sc
+        |  FROM tfs JOIN dfs USING (tok) JOIN dls USING (doc_id), corpus)
+        |SELECT doc_id, CAST(sum(sc) AS DOUBLE) AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // DIRECTED CONTAINMENT dedup — catches a SHORT doc embedded in a
+    // LONG one (quote farms, scrape chrome around an original), which
+    // symmetric Jaccard misses because the long side dominates the
+    // union. Planted: every 8th doc also appears wrapped in header/
+    // footer chrome (+3M ids); the original is 100% contained in its
+    // wrapped copy, never the reverse for short docs. containment is a
+    // raw integer ratio (never rounded — bit-portable division). Same
+    // inverted-index + postings-cap shape as ngram Jaccard: candidate
+    // volume is Σ df², never all-pairs.
+    Q("dedup_containment",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val wrapped = docs.filter(col("doc_id") % 8 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(lit("wraphdr alpha beta "), col("text"),
+              lit(" gamma delta wrapftr")).as("text"))
+        Dedup.containmentPairs(docs.unionAll(wrapped), k = 3,
+            threshold = 0.9)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |         'wraphdr alpha beta ' || text || ' gamma delta wrapftr'
+        |  FROM documents WHERE doc_id % 8 = 0),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+        | sh AS (SELECT DISTINCT doc_id,
+        |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                  FOR i IN generate_series(1, len(t) - 2)]) AS shingle
+        |        FROM toks WHERE len(t) >= 3),
+        | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        | common AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_common,
+        |  CAST(n_common AS DOUBLE) / s.n_sh AS containment
+        |FROM common JOIN sizes s ON s.doc_id = a_id
+        |WHERE CAST(n_common AS DOUBLE) / s.n_sh >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin)),
+
+    // DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the last step of every
+    // training-data pipeline: an engine- and layout-independent
+    // pseudorandom permutation (md5 of the id, no RNG state) split into
+    // equal-ish shards with a stable position inside each. NOT a global
+    // sort: shard = leading hex nibble (mod n_shards) needs no
+    // coordination, and the within-shard order is a per-shard local
+    // sort after one shuffle on the shard key — at 100 TB each shard
+    // sorts independently, and re-running on any cluster layout yields
+    // byte-identical shard files.
+    Q("pipeline_shuffle_shard",
+      (s, d) => {
+        val dig = md5(col("doc_id").cast("string"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("dig"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), dig.as("dig"))
+          .withColumn("shard",
+            (conv(substring(col("dig"), 1, 1), 16, 10).cast("int") % 4))
+          .withColumn("pos", row_number().over(w))
+          .select(col("shard"), col("pos"), col("doc_id"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some("""WITH a AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS dig
+        |  FROM documents),
+        | b AS (
+        |  SELECT doc_id, dig,
+        |    (strpos('0123456789abcdef', dig[1]) - 1) % 4 AS shard
+        |  FROM a)
+        |SELECT shard, row_number() OVER (PARTITION BY shard
+        |         ORDER BY dig, doc_id) AS pos, doc_id
+        |FROM b ORDER BY shard, pos""".stripMargin))
   )
 }

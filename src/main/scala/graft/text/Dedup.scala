@@ -115,6 +115,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "n_common", "jaccard")
 
+  /** DIRECTED CONTAINMENT pairs — |shingles(A) ∩ shingles(B)| / |A|:
+    * the asymmetric cousin of Jaccard that catches a SHORT document
+    * embedded inside a LONG one (quotes, boilerplate wrappers,
+    * scrape-with-chrome around an original), which symmetric Jaccard
+    * misses because the union is dominated by the long side. Emits the
+    * ordered pair (a contained-in b); both directions surface
+    * independently. Same inverted-index shape and postings-cap skew
+    * guard as [[ngramJaccardPairs]] — candidates are Σ df², never
+    * all-pairs.
+    */
+  def containmentPairs(docs: DataFrame, k: Int = 3,
+                       threshold: Double = 0.9,
+                       maxPostings: Int = 1000): DataFrame = {
+    val sh = shingleSet(docs, k).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val filtered =
+      if (maxPostings == Int.MaxValue) sh
+      else sh.join(
+        sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxPostings).select("shingle"),
+        Seq("shingle"))
+    filtered.as("a")
+      .join(filtered.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_sh", "n_a"), Seq("a_id"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "n_common", "containment")
+  }
+
   /** CROSS-CORPUS near-dup — the continuous-ingestion path: an
     * incoming shard probes the EXISTING corpus's inverted shingle
     * index; pairs form only ACROSS the two sides (candidate volume =
