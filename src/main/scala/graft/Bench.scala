@@ -162,6 +162,45 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] cdc extras FAILED: ${e.getMessage}")
     }
+    try {
+      // z-order data skipping, measured (ZOrderSpec asserts it; this
+      // records it): the same 2-d slice scanned from a Morton-clustered
+      // copy vs a single-dim-sorted copy of the identical rows. The
+      // clustered read should touch a fraction of the row groups on the
+      // NON-leading dimension — the whole point of the layout.
+      import org.apache.spark.sql.functions.unix_micros
+      val ev = sources.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val zDir = "/tmp/graft_bench_z/clustered"
+      val sDir = "/tmp/graft_bench_z/plain"
+      sources.Layout.writeZOrdered(ev, zDir, "user_id", "ts_us",
+        bits = 12, numFiles = 64)
+      // plain: sorted by time only (the layout every append-only
+      // ingestion produces), same file count
+      ev.repartitionByRange(64, col("ts_us")).sortWithinPartitions("ts_us")
+        .write.mode("overwrite").parquet(sDir)
+      // deterministic pruning metric (wall time at this SF is noise):
+      // the fraction of files whose [min,max] box intersects the 2-d
+      // slice — exactly what footer-stats pruning must read. Clustering
+      // quality, not scheduler luck.
+      def filesTouched(dir: String): Double = {
+        import org.apache.spark.sql.functions.input_file_name
+        val boxes = spark.read.parquet(dir)
+          .groupBy(input_file_name().as("f"))
+          .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+            min("ts_us").as("tlo"), max("ts_us").as("thi"))
+        val total = boxes.count().toDouble
+        val hit = boxes.filter(col("uhi") >= 3 && col("ulo") <= 9 &&
+          col("thi") >= 1704844800000000L &&
+          col("tlo") < 1705708800000000L).count()
+        hit / total
+      }
+      extras("zorder_slice_files_frac") = filesTouched(zDir)
+      extras("timesorted_slice_files_frac") = filesTouched(sDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] zorder extras FAILED: ${e.getMessage}")
+    }
     extras.toSeq
   }
 }

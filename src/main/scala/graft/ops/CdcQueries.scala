@@ -516,6 +516,37 @@ object CdcQueries extends QueryPack {
       },
       Some(materializedStateSql)),
 
+    // THE STREAMING PIPELINE ITSELF, driver-verified: the change feed
+    // becomes files in a stream-source directory, readStream picks
+    // them up, the watermark + dropDuplicatesWithinWatermark dedup
+    // runs, and foreachBatch merges micro-batches into the bucketed
+    // upsert store — then the store must read back as EXACTLY the
+    // batch latest-wins materialization. Everything between readStream
+    // and the final read is the production streaming path (Structured
+    // Streaming scheduler, checkpointing, commit protocol); only the
+    // source is file-backed instead of Kafka (no broker in the
+    // sandbox — SURVEY.md §7.2).
+    Q("cdc_stream_pipeline",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        import graft.streaming.CdcPipeline
+        val base = "/tmp/graft_stream_q/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val fs = new Path(base).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(base), true)
+        val feed = flatFeed(s, d)
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+        feed.write.mode("overwrite").parquet(s"$base/in")
+        val src = CdcPipeline.fileSource(s, s"$base/in", feed.schema)
+        CdcPipeline.start(src, s"$base/state", s"$base/cp")
+          .awaitTermination()
+        CdcPipeline.currentState(s, s"$base/state").get
+          .select("key", "value", "props")
+          .orderBy(col("key"))
+      },
+      Some(materializedStateSql)),
+
     // SCD TYPE-2 DIMENSION from the change feed — the other canonical
     // CDC consumer besides latest-state: every non-delete change
     // becomes a version row valid [its ts, next change's ts); a delete

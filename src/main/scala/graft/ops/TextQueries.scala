@@ -920,6 +920,51 @@ object TextQueries extends QueryPack {
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // PER-DOC LEXICAL ENTROPY + type-token ratio — the vocabulary-
+    // diversity quality signals (low entropy = keyword stuffing /
+    // boilerplate; low TTR = repetition). entropy = ln(n) − Σc·ln(c)/n
+    // from per-(doc,token) counts: two shuffles, both partial-agg
+    // combinable, zero joins. Per-term c·ln(c) rounds at 6dp into
+    // exact DECIMAL partials (irrational family — portable), so the
+    // sum is order-insensitive; TTR ships as the raw integer ratio.
+    Q("text_entropy",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+        tf.groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("n_tok"),
+            count(lit(1)).as("n_types"),
+            sum(round(col("cnt").cast("double") *
+                log(col("cnt").cast("double")), 6)
+              .cast("decimal(18,6)")).as("clogc"))
+          .select(col("doc_id"), col("n_tok"), col("n_types"),
+            (col("n_types").cast("double") / col("n_tok").cast("double"))
+              .as("ttr"),
+            round(log(col("n_tok").cast("double")) -
+              col("clogc").cast("double") / col("n_tok").cast("double"),
+              6).as("entropy_nats"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        | tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks
+        |        GROUP BY doc_id, tok),
+        | agg AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok,
+        |    count(*) AS n_types,
+        |    sum(CAST(round(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)),
+        |             6) AS DECIMAL(18,6))) AS clogc
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_tok, n_types,
+        |  CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ttr,
+        |  round(ln(CAST(n_tok AS DOUBLE)) -
+        |        CAST(clogc AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+        |    AS entropy_nats
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // DIRECTED CONTAINMENT dedup — catches a SHORT doc embedded in a
     // LONG one (quote farms, scrape chrome around an original), which
     // symmetric Jaccard misses because the long side dominates the

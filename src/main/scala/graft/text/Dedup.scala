@@ -128,7 +128,10 @@ object Dedup {
   def containmentPairs(docs: DataFrame, k: Int = 3,
                        threshold: Double = 0.9,
                        maxPostings: Int = 1000): DataFrame = {
-    val sh = shingleSet(docs, k).cache()
+    // hashed shingles: 8-byte join keys, built per-row by the codegen'd
+    // kernel — the intersection COUNT is hash-representation-invariant,
+    // so the string-shingle oracle replays it exactly
+    val sh = hashedShingleSet(docs, k).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val filtered =
       if (maxPostings == Int.MaxValue) sh
@@ -136,11 +139,20 @@ object Dedup {
         sh.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxPostings).select("shingle"),
         Seq("shingle"))
-    filtered.as("a")
+    // intersections counted once per UNordered pair (a<b halves the
+    // pair-join volume), then expanded to both directed orientations —
+    // |A∩B| is symmetric, only the denominator differs
+    val common = filtered.as("a")
       .join(filtered.as("b"), Seq("shingle"))
-      .filter(col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("x_id"), col("b.doc_id").as("y_id"))
       .agg(count(lit(1)).as("n_common"))
+    val directed = common
+      .select(col("x_id").as("a_id"), col("y_id").as("b_id"),
+        col("n_common"))
+      .unionAll(common.select(col("y_id").as("a_id"),
+        col("x_id").as("b_id"), col("n_common")))
+    directed
       .join(sizes.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("n_sh", "n_a"), Seq("a_id"))
       .withColumn("containment",
@@ -220,6 +232,49 @@ object Dedup {
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_common"))
     finishJaccard(common, sizes, threshold)
+  }
+
+  /** Prefix-filtered containment — the 100 TB form of
+    * [[containmentPairs]]. Pigeonhole: containment(A→B) ≥ τ needs
+    * |A∩B| ≥ ⌈τ|A|⌉, so if B misses ALL of A's first
+    * |A| − ⌈τ|A|⌉ + 1 shingles (canonical df-asc order), the overlap
+    * can't reach the bound — only A-side PREFIXES probe the index.
+    * Asymmetric by nature: the B side cannot prune (any B shingle may
+    * count toward someone else's containment), so candidates are
+    * prefix(A) ⋈ full-index — ~(1−τ) of the naive volume on the A
+    * side, exact verification against full sets after. Lossless
+    * (equality vs the naive form pinned in DedupSpec; prefix +1 pad
+    * absorbs ⌈τ·n⌉ float rounding).
+    */
+  def containmentPairsPrefix(docs: DataFrame, k: Int = 3,
+                             threshold: Double = 0.9): DataFrame = {
+    val sh = hashedShingleSet(docs, k).cache()
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(dfreq, Seq("shingle"))
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("pos") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 2)
+      .select("doc_id", "shingle")
+    val cands = prefix.as("a").join(sh.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_sh", "n_a"), Seq("a_id"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "n_common", "containment")
   }
 
   /** Cost-based choice between the naive inverted-index join and the

@@ -168,6 +168,61 @@ class QueryInventorySpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("sim_knn_join: per-query top-k limits below the ranking shuffle") {
+    // Spark 4 pushes a WindowGroupLimit under the rank window's
+    // Exchange: each map task keeps a per-group heap of k rows, so the
+    // shuffle moves O(groups × k), not the full blocked pair set —
+    // the property that makes a blocked kNN join survive 100 TB.
+    val p = plan("sim_knn_join")
+    val lines = p.linesIterator.toSeq
+    val exchangeIdx = lines.indexWhere(l => l.contains("Exchange") &&
+      !l.contains("BroadcastExchange"))
+    val partialLimitIdx = lines.lastIndexWhere(_.contains("WindowGroupLimit"))
+    assert(partialLimitIdx > exchangeIdx && exchangeIdx >= 0,
+      s"no partial WindowGroupLimit below the shuffle:\n$p")
+  }
+
+  test("text_bm25: query-term postings filter sits on the token " +
+       "explode, before any exchange") {
+    val p = plan("text_bm25")
+    val lines = p.linesIterator.toSeq
+    // the tf branch: Filter(tok IN ...) must appear between the
+    // documents scan and the first aggregate exchange above it
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") &&
+      l.contains("tok"))
+    assert(filterIdx >= 0, s"no token filter in plan:\n$p")
+    val aboveFilter = lines.take(filterIdx)
+    // everything above the token filter on this branch may aggregate,
+    // but the filter itself must not consume a shuffled input: no
+    // Exchange between the filter and its scan below
+    val scanBelow = lines.drop(filterIdx)
+      .indexWhere(_.contains("documents.parquet"))
+    assert(scanBelow >= 0, s"token filter not over the documents scan:\n$p")
+    val between = lines.slice(filterIdx, filterIdx + scanBelow)
+    assert(!between.exists(l => l.contains("Exchange") &&
+      !l.contains("BroadcastExchange")),
+      s"postings filtered only after a shuffle:\n${between.mkString("\n")}")
+  }
+
+  test("pipeline_shuffle_shard: exactly one data-bearing exchange " +
+       "(the shard key), no global sort below the window") {
+    val p = plan("pipeline_shuffle_shard")
+    val lines = p.linesIterator.toSeq
+    val dataExchanges = lines.count(l => l.contains("Exchange hashpartitioning"))
+    assert(dataExchanges == 1,
+      s"expected one hash exchange on shard, got $dataExchanges:\n$p")
+  }
+
+  test("cdc_scd2_history: lead and row_number share one window pass") {
+    val p = plan("cdc_scd2_history")
+    // a single Window node computes both; two passes would print two
+    val windows = p.linesIterator.count(l => l.trim.startsWith("Window") ||
+      l.contains(") Window"))
+    // formatted plans list the node once in the tree and once in the
+    // details section
+    assert(windows <= 2, s"SCD2 runs multiple window passes:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)

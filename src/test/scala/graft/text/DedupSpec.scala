@@ -115,4 +115,27 @@ class DedupSpec extends SparkSpec {
     assert(cross.except(viaUnion).isEmpty &&
       viaUnion.except(cross).isEmpty)
   }
+
+  test("prefix-filtered containment == naive containment (lossless)") {
+    // the wrapped-chrome plant from the dedup_containment query: every
+    // 8th doc embedded whole inside a header/footer wrapper
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text")
+    val wrapped = docs.filter(col("doc_id") % 8 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("wraphdr alpha beta "), col("text"),
+          lit(" gamma delta wrapftr")).as("text"))
+    val corpus = docs.unionAll(wrapped)
+    val naive = Dedup.containmentPairs(corpus, k = 3, threshold = 0.9,
+      maxPostings = Int.MaxValue)
+    val prefix = Dedup.containmentPairsPrefix(corpus, k = 3,
+      threshold = 0.9)
+    assert(naive.count() > 0)
+    assert(naive.except(prefix).isEmpty && prefix.except(naive).isEmpty)
+    // every original is fully contained in its wrapped copy
+    val expected = wrapped.select((col("doc_id") - 3000000L).as("a_id"))
+    val full = naive.filter(col("containment") === 1.0 &&
+      col("b_id") >= 3000000L && col("a_id") === col("b_id") - 3000000L)
+    assert(expected.except(full.select("a_id")).isEmpty)
+  }
 }
