@@ -547,6 +547,39 @@ object CdcQueries extends QueryPack {
       },
       Some(materializedStateSql)),
 
+    // ARBITRARY STATEFUL STREAMING (flatMapGroupsWithState), driver-
+    // verified: the change feed streams through StatefulLatest — one
+    // latest-image per key in Spark's state store, a row EMITTED only
+    // when a key's state changes (the changelog-of-the-changelog a
+    // downstream cache consumes). The memory-sink updates, reduced
+    // latest-wins and tombstone-filtered, must equal the batch
+    // materialization. Complements cdc_stream_pipeline: that query
+    // proves the SINK path; this one proves the state-store OPERATOR
+    // path on the same oracle.
+    Q("cdc_stream_stateful",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        import graft.streaming.StatefulLatest
+        val base = "/tmp/graft_stateful_q/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val fs = new Path(base).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(base), true)
+        flatFeed(s, d).write.mode("overwrite").parquet(s"$base/in")
+        val mem = "graft_stateful_q_mem"
+        s.catalog.dropTempView(mem)
+        StatefulLatest.replayToMemory(s, s"$base/in", mem, s"$base/cp")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        s.table(mem)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 && !col("deleted"))
+          .select(col("key"), col("value"), col("props"))
+          .orderBy(col("key"))
+      },
+      Some(materializedStateSql)),
+
     // SCD TYPE-2 DIMENSION from the change feed — the other canonical
     // CDC consumer besides latest-state: every non-delete change
     // becomes a version row valid [its ts, next change's ts); a delete

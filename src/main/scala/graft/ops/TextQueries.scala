@@ -920,6 +920,61 @@ object TextQueries extends QueryPack {
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // CURRICULUM / QUALITY-WEIGHTED SAMPLING — bucket the corpus into
+    // quality quartiles (stopword-ratio score) and keep each bucket at
+    // a different deterministic rate (16/16, 8/16, 4/16, 1/16 by md5
+    // nibble): the standard quality-mix knob for training corpora,
+    // reproducible on any engine/layout. ntile here is the EXACTNESS
+    // form (global-order window — single reducer); the stated 100 TB
+    // plan, as with pipeline_mixture_sample: derive the three quartile
+    // THRESHOLDS from a quantile summary (driver-side KBs), then one
+    // embarrassingly-parallel filter scan — same output, no global
+    // window. The oracle pins the semantics either plan must produce.
+    Q("pipeline_curriculum_sample",
+      (s, d) => {
+        val stats = TextAnalysis.tokenStats(Tables.documents(s, d))
+        val scored = Tables.documents(s, d).join(stats, Seq("doc_id"))
+          .select(col("doc_id"), col("n_tok"),
+            (col("n_stop").cast("double") / col("n_tok").cast("double"))
+              .as("stop_ratio"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("stop_ratio"), col("doc_id"))
+        val nib = conv(substring(md5(col("doc_id").cast("string")), 1, 1),
+          16, 10).cast("int")
+        scored.withColumn("bucket", ntile(4).over(w))
+          .withColumn("keep", nib <
+            when(col("bucket") === 1, 16).when(col("bucket") === 2, 8)
+              .when(col("bucket") === 3, 4).otherwise(1))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), col("n_tok"))).as("n_tokens_kept"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        | a AS (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |         count(CASE WHEN tok IN
+        |           ('the','a','an','of','and','to','in','is','it','for')
+        |           THEN 1 END) AS n_stop
+        |  FROM t GROUP BY doc_id),
+        | s AS (SELECT doc_id, n_tok,
+        |         CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio FROM a),
+        | b AS (SELECT doc_id, n_tok,
+        |         ntile(4) OVER (ORDER BY stop_ratio, doc_id) AS bucket,
+        |         strpos('0123456789abcdef',
+        |                md5(CAST(doc_id AS VARCHAR))[1]) - 1 AS nib
+        |       FROM s),
+        | k AS (SELECT *, nib < CASE bucket WHEN 1 THEN 16 WHEN 2 THEN 8
+        |         WHEN 3 THEN 4 ELSE 1 END AS keep FROM b)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN n_tok END) AS BIGINT)
+        |    AS n_tokens_kept
+        |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // PER-DOC LEXICAL ENTROPY + type-token ratio — the vocabulary-
     // diversity quality signals (low entropy = keyword stuffing /
     // boilerplate; low TTR = repetition). entropy = ln(n) − Σc·ln(c)/n
