@@ -504,12 +504,9 @@ object CdcQueries extends QueryPack {
         CdcPipeline.mergeBatch(
           flatFeedWindow(s, d, None, Some(cutoffUs)), statePath, cfg, 0L)
         CdcPipeline.mergeBatch(
-          flatFeedWindow(s, d, Some(cutoffUs), Some(cutoff2Us)),
-          statePath, cfg, 1L)
-        CdcPipeline.mergeBatch(
-          flatFeedWindow(s, d, Some(cutoff2Us), None), statePath, cfg, 2L)
+          flatFeedWindow(s, d, Some(cutoffUs), None), statePath, cfg, 1L)
         CdcPipeline.compact(s, statePath, cfg,
-          horizonUs = Long.MaxValue, batchId = 3L)
+          horizonUs = Long.MaxValue, batchId = 2L)
         CdcPipeline.currentState(s, statePath).get
           .select("key", "value", "props")
           .orderBy(col("key"))
@@ -537,8 +534,17 @@ object CdcQueries extends QueryPack {
         fs.delete(new Path(base), true)
         val feed = flatFeed(s, d)
           .withColumn("ts", timestamp_micros(col("ts_us")))
-        feed.write.mode("overwrite").parquet(s"$base/in")
-        val src = CdcPipeline.fileSource(s, s"$base/in", feed.schema)
+        // few large source files: the stream pays per-file listing and
+        // per-partition task overhead, not per-byte — same data
+        feed.coalesce(4).write.mode("overwrite").parquet(s"$base/in")
+        // child session for the stream: watermark-dedup state and the
+        // checkpoint sync PER PARTITION — 8 partitions is the right
+        // shape for one micro-batch of this size (the session default
+        // 32 exists for the data-heavy batch queries); sql_entry_topk
+        // precedent: per-query child-session config, parent untouched
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val src = CdcPipeline.fileSource(s2, s"$base/in", feed.schema)
         CdcPipeline.start(src, s"$base/state", s"$base/cp")
           .awaitTermination()
         CdcPipeline.currentState(s, s"$base/state").get
