@@ -667,6 +667,60 @@ object TextQueries extends QueryPack {
         |      (na.n_a + nb.n_b - n_common) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin)),
 
+    // PERSISTED DEDUP INDEX, build-once/probe-many: the standing
+    // corpus's inverted shingle index (postings + sizes + df, versioned
+    // with the same _CURRENT pointer-flip protocol as the IVF index)
+    // is built on disk, then the incoming shard probes the ARTIFACT —
+    // corpus-side shingling/sizing is read, never recomputed. Same
+    // plant and same oracle as dedup_cross_corpus: the persisted path
+    // must give bit-identical pairs to the recompute path.
+    Q("dedup_index_probe",
+      (s, d) => {
+        val idxDir = "/tmp/graft_shingle_idx/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val existing = Tables.documents(s, d).select("doc_id", "text")
+        val incoming = existing.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .unionAll(existing.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(col("text"), lit(" qq17")).as("text")))
+        Dedup.buildShingleIndex(existing, idxDir)
+        Dedup.probeShingleIndex(idxDir, incoming, k = 3, threshold = 0.8)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH ex AS (SELECT doc_id, text FROM documents),
+        | inc AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' qq17' FROM documents
+        |  WHERE doc_id % 10 = 0),
+        | ta AS (SELECT doc_id, string_split(text, ' ') AS t FROM ex),
+        | tb AS (SELECT doc_id, string_split(text, ' ') AS t FROM inc),
+        | sa AS (SELECT DISTINCT doc_id,
+        |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                  FOR i IN generate_series(1, len(t) - 2)]) AS shingle
+        |        FROM ta),
+        | sb AS (SELECT DISTINCT doc_id,
+        |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                  FOR i IN generate_series(1, len(t) - 2)]) AS shingle
+        |        FROM tb),
+        | na AS (SELECT doc_id, count(*) AS n_a FROM sa GROUP BY doc_id),
+        | nb AS (SELECT doc_id, count(*) AS n_b FROM sb GROUP BY doc_id),
+        | common AS (
+        |  SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
+        |         count(*) AS n_common
+        |  FROM sa JOIN sb USING (shingle) GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_common,
+        |       CAST(n_common AS DOUBLE) /
+        |         (na.n_a + nb.n_b - n_common) AS jaccard
+        |FROM common
+        |JOIN na ON na.doc_id = a_id
+        |JOIN nb ON nb.doc_id = b_id
+        |WHERE CAST(n_common AS DOUBLE) /
+        |      (na.n_a + nb.n_b - n_common) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin)),
+
     // TRAINING-MIX SAMPLING: select documents per language up to a
     // token budget, in a deterministic pseudo-random order (md5 of the
     // doc id — an unbiased shuffle any engine replays). The exact

@@ -191,6 +191,86 @@ object Dedup {
       .select("a_id", "b_id", "n_common", "jaccard")
   }
 
+  /** Build a PERSISTED inverted shingle index — the standing artifact
+    * the continuous-ingestion path ([[crossCorpusPairs]]) probes, so
+    * the corpus is shingled/sized ONCE and every arriving shard pays
+    * only its own probe. Three tables land in an immutable fresh
+    * version dir — `postings` (shingle, doc_id), `sizes`
+    * (doc_id, n_sh), `dfreq` (shingle, df: the hot-shingle cap input,
+    * precomputed so probes never re-aggregate the corpus) — and a
+    * single atomic overwrite-rename flips `_CURRENT`; the 2 newest
+    * versions survive GC. Identical crash-safety/concurrent-reader
+    * story as [[graft.sim.Similarity.buildIvfIndex]] (shared
+    * [[graft.sources.PointerFile]] primitive).
+    *
+    * Scale: at deployment the postings table is registered bucketed on
+    * `shingle` so probes shuffle only the (small) shard side; the
+    * versioned-dir artifact itself is layout-agnostic.
+    */
+  def buildShingleIndex(docs: DataFrame, dir: String, k: Int = 3): Unit = {
+    val spark = docs.sparkSession
+    val version = f"v-${System.currentTimeMillis()}%013d-${
+      java.util.UUID.randomUUID().toString.take(8)}"
+    val sh = hashedShingleSet(docs, k).cache()
+    sh.repartition(col("shingle"))
+      .write.mode("errorifexists").parquet(s"$dir/$version/postings")
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .write.mode("errorifexists").parquet(s"$dir/$version/sizes")
+    sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .write.mode("errorifexists").parquet(s"$dir/$version/dfreq")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(base, "_CURRENT")
+    graft.sources.PointerFile.write(fs, cur, version)
+    graft.sources.PointerFile.cleanStaleTmp(fs, cur)
+    fs.listStatus(base)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
+      .map(_.getPath).sortBy(_.getName).reverse
+      .drop(2).foreach(fs.delete(_, true))
+  }
+
+  /** Probe the persisted index with an incoming shard: same answer as
+    * [[crossCorpusPairs]](indexed corpus, incoming) — a_id from the
+    * standing corpus, b_id from the shard — but the corpus-side
+    * shingling, sizing, and document frequencies are READ, not
+    * recomputed. `maxPostings` drops degenerate boilerplate shingles
+    * via the precomputed df table (a df-capped probe is the production
+    * default; Int.MaxValue restores exact parity with the uncapped
+    * formulation).
+    */
+  def probeShingleIndex(dir: String, incoming: DataFrame, k: Int = 3,
+                        threshold: Double = 0.8,
+                        maxPostings: Int = Int.MaxValue): DataFrame = {
+    val spark = incoming.sparkSession
+    val cur = new org.apache.hadoop.fs.Path(dir, "_CURRENT")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val version = graft.sources.PointerFile.read(fs, cur)
+    val postings = spark.read.parquet(s"$dir/$version/postings")
+    val exSizes = spark.read.parquet(s"$dir/$version/sizes")
+    val in = hashedShingleSet(incoming, k).cache()
+    val posts =
+      if (maxPostings == Int.MaxValue) postings
+      else postings.join(
+        spark.read.parquet(s"$dir/$version/dfreq")
+          .filter(col("df") <= maxPostings).select("shingle"),
+        Seq("shingle"))
+    val common = posts.select(col("doc_id").as("a_id"), col("shingle"))
+      .join(in.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("shingle"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(exSizes.select(col("doc_id").as("a_id"),
+        col("n_sh").as("n_a")), Seq("a_id"))
+      .join(in.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
+        .withColumnRenamed("doc_id", "b_id"), Seq("b_id"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "n_common", "jaccard")
+  }
+
   /** n-gram Jaccard with PREFIX FILTERING (PPJoin-style) — the 100 TB
     * path. Under a global canonical shingle order (df asc, hash asc),
     * two sets with J ≥ τ MUST share a shingle within each one's first

@@ -116,6 +116,38 @@ class DedupSpec extends SparkSpec {
       viaUnion.except(cross).isEmpty)
   }
 
+  test("persisted shingle-index probe == cross-corpus recompute; " +
+       "rebuild keeps two versions") {
+    val dir = java.nio.file.Files.createTempDirectory("shidx").toString
+    val existing = planted.filter(col("doc_id") < 1000000L)
+    val incoming = planted.filter(col("doc_id") >= 1000000L)
+    Dedup.buildShingleIndex(existing, dir)
+    val probed = Dedup.probeShingleIndex(dir, incoming, k = 3,
+      threshold = 0.8)
+    val recomputed = Dedup.crossCorpusPairs(existing, incoming, k = 3,
+      threshold = 0.8)
+    assert(probed.count() > 0)
+    assert(probed.except(recomputed).isEmpty &&
+      recomputed.except(probed).isEmpty)
+    // rebuild: _CURRENT flips, superseded version stays (keep-2), a
+    // third build GCs the first
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versions = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
+      .map(_.getPath.getName).sorted.toSeq
+    val v1 = versions
+    Dedup.buildShingleIndex(existing, dir)
+    val v2 = versions
+    assert(v2.size === 2 && v2.contains(v1.head))
+    Dedup.buildShingleIndex(existing, dir)
+    val v3 = versions
+    assert(v3.size === 2 && !v3.contains(v1.head))
+    // probe still answers identically from the newest version
+    assert(Dedup.probeShingleIndex(dir, incoming, k = 3, threshold = 0.8)
+      .except(recomputed).isEmpty)
+  }
+
   test("prefix-filtered containment == naive containment (lossless)") {
     // the wrapped-chrome plant from the dedup_containment query: every
     // 8th doc embedded whole inside a header/footer wrapper
