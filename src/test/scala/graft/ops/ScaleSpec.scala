@@ -43,6 +43,28 @@ class ScaleSpec extends SparkSpec {
     assert(naive.except(autoPrefix).isEmpty && autoPrefix.except(naive).isEmpty)
   }
 
+  test("shuffle-shard output is balanced and a stable permutation") {
+    import graft.SparkEntry
+    val rows = SparkEntry.queries("pipeline_shuffle_shard")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val byShard = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    // 4 md5-nibble shards over n docs: binomial(n, 1/4) — at sf0.001's
+    // 50 docs a 3σ envelope is ±~9; assert no shard is degenerate
+    val n = rows.length
+    assert(byShard.size === 4, byShard)
+    byShard.values.foreach(c =>
+      assert(math.abs(c - n / 4.0) < 4 * math.sqrt(n * 0.25 * 0.75) + 1,
+        s"shard sizes skewed: $byShard"))
+    // positions are a permutation of 1..size within each shard, and the
+    // whole thing is deterministic across runs
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1 to rs.length))
+    }
+    val again = SparkEntry.queries("pipeline_shuffle_shard")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("salted join equals the plain join on skewed data") {
     import spark.implicits._
     // 10k rows of one hot key + a uniform tail, joined to a small dim
