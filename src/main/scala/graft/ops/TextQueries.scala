@@ -1090,7 +1090,7 @@ object TextQueries extends QueryPack {
           .select((col("doc_id") + 3000000L).as("doc_id"),
             concat(lit("wraphdr alpha beta "), col("text"),
               lit(" gamma delta wrapftr")).as("text"))
-        Dedup.containmentPairs(docs.unionAll(wrapped), k = 3,
+        Dedup.containmentAuto(docs.unionAll(wrapped), k = 3,
             threshold = 0.9)
           .orderBy(col("a_id"), col("b_id"))
       },

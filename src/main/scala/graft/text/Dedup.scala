@@ -191,6 +191,27 @@ object Dedup {
       .select("a_id", "b_id", "n_common", "jaccard")
   }
 
+  /** Cost-based containment — the same physical-plan decision as
+    * [[ngramJaccardAuto]]: the naive inverted-index join's volume is
+    * exactly Σ df², estimated from one cheap aggregate over the cached
+    * shingle set; below the knob the naive plan's fewer stages win,
+    * above it the prefix filter's candidate reduction dominates. Both
+    * forms return identical pairs (DedupSpec).
+    */
+  def containmentAuto(docs: DataFrame, k: Int = 3,
+                      threshold: Double = 0.9,
+                      naiveVolumeLimit: Long = 50_000_000L): DataFrame = {
+    // ONE cached shingle set feeds the estimate AND the chosen plan:
+    // containmentPairs/Prefix rebuild the identical hashedShingleSet
+    // plan, which the cache manager resolves to this materialization
+    val sh = hashedShingleSet(docs, k).cache()
+    val joinVolume = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df"))).head().getLong(0)
+    if (joinVolume <= naiveVolumeLimit)
+      containmentPairs(docs, k, threshold, maxPostings = Int.MaxValue)
+    else containmentPairsPrefix(docs, k, threshold)
+  }
+
   /** Build a PERSISTED inverted shingle index — the standing artifact
     * the continuous-ingestion path ([[crossCorpusPairs]]) probes, so
     * the corpus is shingled/sized ONCE and every arriving shard pays
