@@ -553,6 +553,64 @@ object CdcQueries extends QueryPack {
       },
       Some(materializedStateSql)),
 
+    // STREAM-STATIC ENRICHMENT, driver-verified: the change stream
+    // joins a STATIC dimension inside the streaming query (Structured
+    // Streaming's stream-static join — the dim is re-read per
+    // micro-batch, no state kept for it), then aggregates per segment
+    // via foreachBatch into a result table. The enriched rollup must
+    // equal the batch join. This is the third streaming path under the
+    // driver's oracle: sink merge (cdc_stream_pipeline), state-store
+    // operator (cdc_stream_stateful), and now dimension enrichment.
+    Q("cdc_stream_enrich",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        val base = "/tmp/graft_enrich_q/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val fs = new Path(base).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(base), true)
+        val feed = flatFeed(s, d)
+        feed.coalesce(4).write.mode("overwrite").parquet(s"$base/in")
+        // static dim: customer keyed like the feed (stringified id)
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey").cast("string").as("key"),
+            col("c_mktsegment").as("segment"))
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val src = s2.readStream.schema(feed.schema)
+          .parquet(s"$base/in")
+        val dim2 = s2.read.parquet(
+          { dim.write.mode("overwrite").parquet(s"$base/dim"); s"$base/dim" })
+        val q = src.join(broadcast(dim2), Seq("key"))
+          .writeStream
+          .option("checkpointLocation", s"$base/cp")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                           _: Long) =>
+            batch.write.mode("append").parquet(s"$base/out")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/out")
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_changes"),
+            countDistinct(col("key")).as("n_keys"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("total_value"))
+          .orderBy(col("segment"))
+      },
+      Some(s"""$feedCte
+        |-- delete events carry no after-image (value NULL in the
+        |-- envelope), so the rollup sums non-delete changes only
+        |SELECT c.c_mktsegment AS segment, count(*) AS n_changes,
+        |  count(DISTINCT f.key) AS n_keys,
+        |  CAST(sum(CASE WHEN f.op <> 'd'
+        |           THEN CAST(f.value AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS total_value
+        |FROM feed f JOIN customer c
+        |  ON f.key = CAST(c.c_custkey AS VARCHAR)
+        |GROUP BY 1 ORDER BY segment""".stripMargin)),
+
     // ARBITRARY STATEFUL STREAMING (flatMapGroupsWithState), driver-
     // verified: the change feed streams through StatefulLatest — one
     // latest-image per key in Spark's state store, a row EMITTED only
