@@ -974,6 +974,96 @@ object TextQueries extends QueryPack {
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // THE FULL CORPUS BUILD, end to end in ONE oracled query — the
+    // pipeline a user actually runs: quality gate → exact dedup →
+    // decontaminate against the eval set → deterministic 12/16 sample
+    // → shard, with per-shard doc/token accounting. Every stage is the
+    // already-verified pattern (clean_corpus's gate+reps,
+    // decontaminate's md5 5-shingle broadcast semi-join, hash_split's
+    // nibble sample, shuffle_shard's assignment); this row proves they
+    // COMPOSE. Plan: per-row gates, two content-hash shuffles (reps,
+    // shingle join vs a broadcast eval set), one shard rollup — the
+    // corpus never joins anything its own size.
+    Q("pipeline_full_build",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val stats = TextAnalysis.tokenStats(docs)
+        val quality = docs.join(stats, Seq("doc_id"))
+          .filter(col("n_chars").between(50L, 5000L) &&
+            col("n_stop").cast("double") / col("n_tok").cast("double")
+              <= 0.6 &&
+            col("doc_id") >= 25)
+        val reps = quality.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val deduped = quality.join(reps.select("doc_id"), Seq("doc_id"))
+        def shingled(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"),
+            explode(transform(TextAnalysis.shingles(col("toks"), 5),
+              g => md5(g))).as("sh"))
+        val bench = shingled(docs.filter(col("doc_id") < 25))
+          .select("sh").distinct()
+        val contaminated = shingled(deduped)
+          .join(broadcast(bench), Seq("sh"))
+          .select("doc_id").distinct()
+        val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        val dig = md5(col("doc_id").cast("string"))
+        clean
+          .withColumn("nib",
+            conv(substring(dig, 1, 1), 16, 10).cast("int"))
+          .withColumn("shard",
+            conv(substring(dig, 2, 1), 16, 10).cast("int") % 4)
+          .filter(col("nib") < 12)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        | stats AS (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |    count(CASE WHEN tok IN
+        |      ('the','a','an','of','and','to','in','is','it','for')
+        |      THEN 1 END) AS n_stop
+        |  FROM toks GROUP BY doc_id),
+        | q AS (
+        |  SELECT d.doc_id, d.text, s.n_tok
+        |  FROM documents d JOIN stats s USING (doc_id)
+        |  WHERE d.n_chars BETWEEN 50 AND 5000
+        |    AND CAST(s.n_stop AS DOUBLE) / s.n_tok <= 0.6
+        |    AND d.doc_id >= 25),
+        | reps AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        | dd AS (SELECT q.* FROM q JOIN reps USING (doc_id)),
+        | sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(1, len(toks)-3)),
+        |      i -> md5(array_to_string(toks[i:i+4], ' ')))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        | bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25),
+        | bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b
+        |         USING (sh) WHERE s.doc_id >= 25),
+        | clean AS (
+        |  SELECT dd.* FROM dd LEFT JOIN bad ON dd.doc_id = bad.doc_id
+        |  WHERE bad.doc_id IS NULL),
+        | sampled AS (
+        |  SELECT *,
+        |    strpos('0123456789abcdef',
+        |           md5(CAST(doc_id AS VARCHAR))[1]) - 1 AS nib,
+        |    (strpos('0123456789abcdef',
+        |            md5(CAST(doc_id AS VARCHAR))[2]) - 1) % 4 AS shard
+        |  FROM clean)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM sampled WHERE nib < 12
+        |GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // CURRICULUM / QUALITY-WEIGHTED SAMPLING — bucket the corpus into
     // quality quartiles (stopword-ratio score) and keep each bucket at
     // a different deterministic rate (16/16, 8/16, 4/16, 1/16 by md5
