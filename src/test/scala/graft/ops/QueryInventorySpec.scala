@@ -223,6 +223,19 @@ class QueryInventorySpec extends SparkSpec {
     assert(windows <= 2, s"SCD2 runs multiple window passes:\n$p")
   }
 
+  test("pipeline_full_build: eval set broadcasts, removal is an anti " +
+       "join, no full-corpus self-join") {
+    val p = plan("pipeline_full_build")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the quality gate reaches the documents scan: n_chars bounds are
+    // pushable base-column predicates
+    val scans = p.linesIterator.filter(l =>
+      l.contains("documents.parquet") && l.contains("PushedFilters")).toSeq
+    assert(scans.exists(_.contains("n_chars")),
+      s"quality gate not pushed to the scan:\n${scans.mkString("\n")}")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
