@@ -326,11 +326,8 @@ object CdcQueries extends QueryPack {
         CdcPipeline.mergeBatch(
           flatFeedWindow(s, d, None, Some(cutoffUs)), statePath, cfg, 0L)
         CdcPipeline.mergeBatch(
-          flatFeedWindow(s, d, Some(cutoffUs), Some(cutoff2Us)),
-          statePath, cfg, 1L)
-        CdcPipeline.mergeBatch(
-          flatFeedWindow(s, d, Some(cutoff2Us), None), statePath, cfg, 2L)
-        CdcPipeline.stateAsOf(s, statePath, 1L).get
+          flatFeedWindow(s, d, Some(cutoffUs), None), statePath, cfg, 1L)
+        CdcPipeline.stateAsOf(s, statePath, 0L).get
           .select("key", "value", "props")
           .orderBy(col("key"))
       },
@@ -338,7 +335,7 @@ object CdcQueries extends QueryPack {
         | ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY key
         |            ORDER BY ts_us DESC, event_id DESC) AS rn
-        |  FROM feed WHERE ts_us < 1705708800000000)
+        |  FROM feed WHERE ts_us < 1705276800000000)
         |SELECT key, value, props
         |FROM ranked WHERE rn = 1 AND op <> 'd'
         |ORDER BY key""".stripMargin)),
@@ -364,18 +361,15 @@ object CdcQueries extends QueryPack {
         CdcPipeline.mergeBatch(
           flatFeedWindow(s, d, None, Some(cutoffUs)), statePath, cfg, 0L)
         CdcPipeline.mergeBatch(
-          flatFeedWindow(s, d, Some(cutoffUs), Some(cutoff2Us)),
-          statePath, cfg, 1L)
-        CdcPipeline.mergeBatch(
-          flatFeedWindow(s, d, Some(cutoff2Us), None), statePath, cfg, 2L)
-        CdcPipeline.stateDiff(s, statePath, 1L, 2L, cfg)
+          flatFeedWindow(s, d, Some(cutoffUs), None), statePath, cfg, 1L)
+        CdcPipeline.stateDiff(s, statePath, 0L, 1L, cfg)
           .orderBy(col("key"))
       },
       Some(s"""$feedCte,
         | ra AS (
         |  SELECT *, row_number() OVER (PARTITION BY key
         |            ORDER BY ts_us DESC, event_id DESC) AS rn
-        |  FROM feed WHERE ts_us < 1705708800000000),
+        |  FROM feed WHERE ts_us < 1705276800000000),
         | rb AS (
         |  SELECT *, row_number() OVER (PARTITION BY key
         |            ORDER BY ts_us DESC, event_id DESC) AS rn
