@@ -29,6 +29,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries that cache intermediates (bm25 dls, dedup shingle
+      // sets) must not accumulate across the 134-query inventory —
+      // same per-query hygiene Bench applies
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

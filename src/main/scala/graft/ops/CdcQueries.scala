@@ -661,7 +661,7 @@ object CdcQueries extends QueryPack {
         |  FROM feed)
         |SELECT key, change_seq, value, props, valid_from_us, valid_to_us,
         |  valid_to_us IS NULL AS is_current
-        |FROM seq WHERE op <> 'd'
+        |FROM seq WHERE op IS DISTINCT FROM 'd'
         |ORDER BY key, change_seq""".stripMargin)),
 
     // POINT-IN-TIME LOOKUP against the SCD2 dimension: the state of
@@ -684,7 +684,7 @@ object CdcQueries extends QueryPack {
         |            ORDER BY ts_us DESC, event_id DESC) AS rn
         |  FROM feed WHERE ts_us <= $cutoffUs)
         |SELECT key, value, props
-        |FROM ranked WHERE rn = 1 AND op <> 'd'
+        |FROM ranked WHERE rn = 1 AND op IS DISTINCT FROM 'd'
         |ORDER BY key""".stripMargin))
   )
 }

@@ -349,26 +349,30 @@ object SimilarityQueries extends QueryPack {
         val b = base.select(col("vec_id").as("b_id"),
           col("embedding").as("b_vec"),
           Similarity.norm(col("embedding")).as("b_norm"), col("label"))
+        // Rank on the ROUNDED cosine (repo convention, cf. text_bm25):
+        // raw-double ordering can flip near-ties when the oracle's
+        // summation order differs; round(…,6) is the portable key.
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("a_id"))
           .orderBy(col("cos").desc, col("b_id"))
         a.join(b, Seq("label"))
           .filter(col("a_id") =!= col("b_id"))
-          .withColumn("cos", Similarity.dot(col("a_vec"), col("b_vec")) /
-            (col("a_norm") * col("b_norm")))
+          .withColumn("cos", round(
+            Similarity.dot(col("a_vec"), col("b_vec")) /
+              (col("a_norm") * col("b_norm")), 6))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
-            col("rank"), round(col("cos"), 6).as("cosine"))
+            col("rank"), col("cos").as("cosine"))
           .orderBy(col("vec_id"), col("rank"))
       },
       Some("""WITH vecs AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
         | pairs AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |    list_dot_product(a.v, b.v) /
+        |    round(list_dot_product(a.v, b.v) /
         |      (sqrt(list_dot_product(a.v, a.v)) *
-        |       sqrt(list_dot_product(b.v, b.v))) AS cos
+        |       sqrt(list_dot_product(b.v, b.v))), 6) AS cos
         |  FROM vecs a JOIN vecs b
         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
         | ranked AS (
@@ -376,7 +380,7 @@ object SimilarityQueries extends QueryPack {
         |    PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank
         |  FROM pairs)
         |SELECT a_id AS vec_id, b_id AS neighbor_id, rank,
-        |  round(cos, 6) AS cosine
+        |  cos AS cosine
         |FROM ranked WHERE rank <= 3
         |ORDER BY vec_id, rank""".stripMargin))
   )

@@ -420,10 +420,12 @@ object Similarity {
     // leaves _CURRENT on the old, internally-consistent version —
     // probes can never pair new centroids with old cell assignments.
     // Version names embed a millisecond stamp so GC can keep the 2
-    // NEWEST versions: the superseded-but-recent one stays readable for
-    // in-flight/lazy probes that resolved _CURRENT before the flip, and
-    // a concurrent builder's fresher flip is never deleted out from
-    // under its pointer. (Crash before GC only leaks disk.)
+    // NEWEST COMMITTED versions (per-version marker, counted by
+    // PointerFile.commitVersion): the superseded-but-recent one stays
+    // readable for in-flight/lazy probes that resolved _CURRENT before
+    // the flip, a concurrent builder's fresher flip is never deleted
+    // out from under its pointer, and a crashed build's partial dir
+    // (no marker) can't push a committed version out of the window.
     val version = f"v-${System.currentTimeMillis()}%013d-${
       java.util.UUID.randomUUID().toString.take(8)}"
     import spark.implicits._
@@ -436,13 +438,7 @@ object Similarity {
       .parquet(s"$dir/$version/cells")
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = new org.apache.hadoop.fs.Path(base, "_CURRENT")
-    graft.sources.PointerFile.write(fs, cur, version)
-    graft.sources.PointerFile.cleanStaleTmp(fs, cur)
-    val versions = fs.listStatus(base)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
-      .map(_.getPath).sortBy(_.getName).reverse
-    versions.drop(2).foreach(fs.delete(_, true))
+    graft.sources.PointerFile.commitVersion(fs, base, version)
   }
 
   /** The version dir `_CURRENT` points at (the one consistent

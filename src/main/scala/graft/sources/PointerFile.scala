@@ -44,4 +44,41 @@ object PointerFile {
           fs.delete(st.getPath, false)
       }
     }
+
+  /** Name of the per-version commit marker [[commitVersion]] writes. */
+  val CommittedMarker = "_COMMITTED"
+
+  /** Commit one freshly-written `v-*` version dir under `base` and GC
+    * old ones. Protocol: (1) drop a `_COMMITTED` marker inside the
+    * version dir (all data files are already on disk), (2) atomically
+    * flip `_CURRENT` to it, (3) delete version dirs strictly older
+    * than the `keep`-th newest COMMITTED version.
+    *
+    * Counting only committed versions for the keep window is the
+    * crash-safety point: a partial dir from a build that died between
+    * its parquet writes and the `_CURRENT` flip has no marker, so it
+    * can never consume a keep slot and push out the last fully
+    * committed version a concurrent reader just resolved. Partial dirs
+    * older than the keep window ARE deleted — that's how crash litter
+    * is eventually collected — while an in-flight concurrent build
+    * (necessarily newer than the cutoff, since version names embed the
+    * build's start time) is left alone.
+    */
+  def commitVersion(fs: FileSystem, base: Path, version: String,
+                    keep: Int = 2): Unit = {
+    fs.create(new Path(base, s"$version/$CommittedMarker"), true).close()
+    val cur = new Path(base, "_CURRENT")
+    write(fs, cur, version)
+    cleanStaleTmp(fs, cur)
+    val dirs = fs.listStatus(base)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
+      .map(_.getPath)
+    val committed = dirs
+      .filter(p => fs.exists(new Path(p, CommittedMarker)))
+      .map(_.getName).sorted.reverse
+    if (committed.length >= keep) {
+      val cutoff = committed(keep - 1)
+      dirs.filter(_.getName < cutoff).foreach(fs.delete(_, true))
+    }
+  }
 }

@@ -241,13 +241,9 @@ object Dedup {
       .write.mode("errorifexists").parquet(s"$dir/$version/dfreq")
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = new org.apache.hadoop.fs.Path(base, "_CURRENT")
-    graft.sources.PointerFile.write(fs, cur, version)
-    graft.sources.PointerFile.cleanStaleTmp(fs, cur)
-    fs.listStatus(base)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
-      .map(_.getPath).sortBy(_.getName).reverse
-      .drop(2).foreach(fs.delete(_, true))
+    // marker + flip + committed-version-counting GC: a crashed build's
+    // partial dir can't evict the last committed version (PointerFile)
+    graft.sources.PointerFile.commitVersion(fs, base, version)
   }
 
   /** Probe the persisted index with an incoming shard: same answer as

@@ -191,7 +191,6 @@ class QueryInventorySpec extends SparkSpec {
     val filterIdx = lines.indexWhere(l => l.contains("Filter") &&
       l.contains("tok"))
     assert(filterIdx >= 0, s"no token filter in plan:\n$p")
-    val aboveFilter = lines.take(filterIdx)
     // everything above the token filter on this branch may aggregate,
     // but the filter itself must not consume a shuffled input: no
     // Exchange between the filter and its scan below

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import graft.SparkSpec
+
+/** The versioned-artifact commit protocol shared by the persisted
+  * shingle index and the IVF index: `_COMMITTED` marker → atomic
+  * `_CURRENT` flip → GC counting only COMMITTED versions toward the
+  * keep window. The crash case under test: a build that died between
+  * its parquet writes and the flip leaves a marker-less partial dir,
+  * which must neither consume a keep slot nor be able to evict the
+  * last fully committed version a concurrent reader just resolved.
+  */
+class PointerFileSpec extends SparkSpec {
+
+  private def fsFor(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def mkVersion(base: Path, name: String): Unit = {
+    val fs = fsFor(base)
+    fs.mkdirs(new Path(base, s"$name/data"))
+    fs.create(new Path(base, s"$name/data/part-0"), true).close()
+  }
+
+  private def dirs(base: Path): Set[String] =
+    fsFor(base).listStatus(base)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
+      .map(_.getPath.getName).toSet
+
+  test("commitVersion keeps the 2 newest committed versions and " +
+       "drops older committed ones") {
+    val base = new Path(
+      java.nio.file.Files.createTempDirectory("ptr").toString)
+    val fs = fsFor(base)
+    Seq("v-001", "v-002", "v-003").foreach { v =>
+      mkVersion(base, v)
+      PointerFile.commitVersion(fs, base, v)
+    }
+    assert(dirs(base) == Set("v-002", "v-003"))
+    assert(PointerFile.read(fs, new Path(base, "_CURRENT")) == "v-003")
+  }
+
+  test("a crashed build's marker-less partial dir does not consume a " +
+       "keep slot, and is itself collected once older than the window") {
+    val base = new Path(
+      java.nio.file.Files.createTempDirectory("ptr").toString)
+    val fs = fsFor(base)
+    mkVersion(base, "v-001"); PointerFile.commitVersion(fs, base, "v-001")
+    // crash: v-002 wrote data but never committed (no marker, no flip)
+    mkVersion(base, "v-002")
+    mkVersion(base, "v-003"); PointerFile.commitVersion(fs, base, "v-003")
+    // committed window is {v-001, v-003}; the partial v-002 must not
+    // have pushed v-001 (which _CURRENT-resolved readers may hold) out
+    assert(dirs(base).intersect(Set("v-001", "v-003"))
+      == Set("v-001", "v-003"))
+    mkVersion(base, "v-004"); PointerFile.commitVersion(fs, base, "v-004")
+    // window is now {v-003, v-004}: both v-001 and the crash litter
+    // v-002 are older than the cutoff and collected
+    assert(dirs(base) == Set("v-003", "v-004"))
+  }
+
+  test("an in-flight build's partial dir NEWER than the window is " +
+       "left alone for its own commit to finish") {
+    val base = new Path(
+      java.nio.file.Files.createTempDirectory("ptr").toString)
+    val fs = fsFor(base)
+    mkVersion(base, "v-001"); PointerFile.commitVersion(fs, base, "v-001")
+    mkVersion(base, "v-002"); PointerFile.commitVersion(fs, base, "v-002")
+    // concurrent builder has written data for v-004 but not committed
+    mkVersion(base, "v-004")
+    mkVersion(base, "v-003"); PointerFile.commitVersion(fs, base, "v-003")
+    assert(dirs(base) == Set("v-002", "v-003", "v-004"))
+    // when v-004's builder finishes, normal GC resumes
+    PointerFile.commitVersion(fs, base, "v-004")
+    assert(dirs(base) == Set("v-003", "v-004"))
+  }
+}
