@@ -605,6 +605,77 @@ object CdcQueries extends QueryPack {
         |  ON f.key = CAST(c.c_custkey AS VARCHAR)
         |GROUP BY 1 ORDER BY segment""".stripMargin)),
 
+    // MULTI-TABLE FAN-OUT, driver-verified: the reference's connector
+    // captures N tables per connector and routes topic-per-table
+    // (database.include.list, /root/reference/bin/mskc-connector.sh:406;
+    // routing README.md:436) — here ONE streaming query demultiplexes
+    // the topic column into one bucketed state store PER TABLE inside a
+    // single foreachBatch. Two tables with DIFFERENT schemas share the
+    // stream (users: value/props; orders: amount only); each store must
+    // read back as the per-table batch latest-wins materialization —
+    // which is all the oracle states, per table, unioned. Every table's
+    // slice also passes the registry schema gate before its merge.
+    Q("cdc_multi_table_pipeline",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        import graft.streaming.CdcPipeline
+        val base = "/tmp/graft_multitable_q/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val fs = new Path(base).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(base), true)
+        val users = "osci.db.srv1.cdc_test_db.users"
+        val orders = "osci.db.srv1.cdc_test_db.orders"
+        // mixed feed: routed topic-per-table, union schema (orders
+        // carries amount, a decimal-exact cents rescale; users carries
+        // value/props) — exactly what one connector's N tables look
+        // like on the wire
+        val mixed = flatFeed(s, d)
+          .withColumn("topic",
+            when(pmod(col("key").cast("long"), lit(2)) === 0, users)
+              .otherwise(orders))
+          .withColumn("amount",
+            when(col("topic") === orders,
+              (col("value").cast("decimal(18,2)") * 100).cast("long")))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+        mixed.coalesce(4).write.mode("overwrite").parquet(s"$base/in")
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val src = CdcPipeline.fileSource(s2, s"$base/in", mixed.schema)
+        val common = Seq("key", "event_id", "ts_us", "op")
+        CdcPipeline.startMultiTable(src, s"$base/st", s"$base/cp",
+          tables = Map(users -> (common ++ Seq("value", "props")),
+            orders -> (common :+ "amount")),
+          registry = Some(new graft.cdc.SchemaRegistry()))
+          .awaitTermination()
+        def st(topic: String, tag: String) =
+          CdcPipeline.currentState(s,
+            CdcPipeline.tablePath(s"$base/st", topic)).get
+            .withColumn("table_name", lit(tag))
+        st(users, "users").unionByName(st(orders, "orders"),
+            allowMissingColumns = true)
+          .select(col("table_name"), col("key"), col("value"),
+            col("props"), col("amount"))
+          .orderBy(col("table_name"), col("key"))
+      },
+      Some(s"""$feedCte,
+        | routed AS (
+        |  SELECT *, CASE WHEN CAST(key AS BIGINT) % 2 = 0
+        |                 THEN 'users' ELSE 'orders' END AS table_name
+        |  FROM feed),
+        | ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY table_name, key
+        |            ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM routed)
+        |SELECT table_name, key,
+        |  CASE WHEN table_name = 'users' THEN value END AS value,
+        |  CASE WHEN table_name = 'users' THEN props END AS props,
+        |  CASE WHEN table_name = 'orders'
+        |       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  END AS amount
+        |FROM ranked WHERE rn = 1 AND op <> 'd'
+        |ORDER BY table_name, key""".stripMargin)),
+
     // ARBITRARY STATEFUL STREAMING (flatMapGroupsWithState), driver-
     // verified: the change feed streams through StatefulLatest — one
     // latest-image per key in Spark's state store, a row EMITTED only

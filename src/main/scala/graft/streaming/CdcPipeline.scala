@@ -66,11 +66,13 @@ object CdcPipeline {
       .cast("int")
 
   /** File-backed change-event stream (schema must be supplied: streaming
-    * sources cannot infer).
+    * sources cannot infer). `options` passes source tuning through —
+    * e.g. `maxFilesPerTrigger` to bound micro-batch size (the file-source
+    * analog of Kafka's `maxOffsetsPerTrigger` backpressure knob).
     */
-  def fileSource(spark: SparkSession, dir: String, schema: StructType)
-      : DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+  def fileSource(spark: SparkSession, dir: String, schema: StructType,
+                 options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.options(options).schema(schema).parquet(dir)
 
   /** A4/T3: watermarked exact-duplicate drop. State for a key expires
     * once the watermark passes, so memory is bounded by delay × rate,
@@ -120,6 +122,105 @@ object CdcPipeline {
           "across incompatible bucket layouts")
     } else graft.sources.PointerFile.write(fs, meta,
       cfg.numBuckets.toString)
+  }
+
+  /** SCHEMA GATE AT THE SINK — [[mergeBatch]] behind the registry's
+    * compatibility verdict, the consumer-side mirror of the reference's
+    * producer gate (`/root/reference/bin/mskc-connector.sh:444-445`:
+    * auto-registration under BACKWARD; acceptance cases
+    * `README.md:466-479`). The batch's schema is registered under
+    * `subject` BEFORE any write: a compatible evolution (case 1 drop /
+    * case 2 nullable add) records a new version and merges; an
+    * incompatible one (case 3: NOT NULL add without default) fails fast
+    * with the registry's verdict and the state store is untouched —
+    * exactly where the reference's produce fails.
+    *
+    * Driver-side metadata only: one schema compare per micro-batch,
+    * nothing per-row, so the gate costs the same at 100 TB as at 100 MB.
+    */
+  def mergeBatchGated(batch: DataFrame, statePath: String, cfg: Config,
+                      batchId: Long, registry: graft.cdc.SchemaRegistry,
+                      subject: String): Unit =
+    registry.register(subject, batch.schema) match {
+      case Left(inc) => throw new IllegalArgumentException(
+        s"schema rejected for subject '$subject' " +
+          s"(registry verdict, state untouched): " +
+          inc.reasons.mkString("; "))
+      case Right(_) => mergeBatch(batch, statePath, cfg, batchId)
+    }
+
+  /** State-store path of one demultiplexed table (topic names are
+    * path-safe after sanitization; dots are kept — they're the
+    * server.db.table separators, `/root/reference/README.md:436`).
+    */
+  def tablePath(basePath: String, topic: String): String =
+    s"$basePath/tables/${topic.replaceAll("[^A-Za-z0-9._-]", "_")}"
+
+  /** MULTI-TABLE FAN-OUT — one streaming query materializing EVERY
+    * captured table: the mixed feed (one connector, N tables routed
+    * topic-per-table, `/root/reference/bin/mskc-connector.sh:406`
+    * `database.include.list` + `README.md:436` routing) is demultiplexed
+    * INSIDE a single foreachBatch into one bucketed state store per
+    * topic. `tables` maps each topic to its payload columns (its
+    * schema — tables differ, the mixed stream carries the union with
+    * nulls); topics not in the map are ignored, the include-list
+    * semantics (F1) the reference applies at capture time.
+    *
+    * Scale: the micro-batch is persisted once and each table's slice is
+    * a partition-local filter+project over it — no shuffle per table,
+    * no second pass over the source. The distinct-topic collect is
+    * bounded by the table count (connector config size, not data size).
+    * Per-table merges then pay only their own touched-bucket I/O, so
+    * total merge cost equals the single-table case split N ways.
+    * With a `registry`, every table's slice passes the schema gate
+    * ([[mergeBatchGated]], subject = topic) before its merge.
+    */
+  def demuxBatch(batch: DataFrame, basePath: String,
+                 tables: Map[String, Seq[String]], cfg: Config,
+                 batchId: Long, topicCol: String = "topic",
+                 registry: Option[graft.cdc.SchemaRegistry] = None)
+      : Unit = {
+    if (batch.isEmpty) return
+    batch.persist()
+    try {
+      val present = batch.select(topicCol).distinct()
+        .collect().map(_.getString(0))
+        .filter(tables.contains).sorted
+      present.foreach { t =>
+        val slice = batch.filter(col(topicCol) === t)
+          .select(tables(t).map(col): _*)
+        val path = tablePath(basePath, t)
+        registry match {
+          case Some(r) => mergeBatchGated(slice, path, cfg, batchId, r, t)
+          case None    => mergeBatch(slice, path, cfg, batchId)
+        }
+      }
+    } finally batch.unpersist()
+  }
+
+  /** Start the multi-table pipeline: ONE streaming query, watermarked
+    * dedup keyed on (topic, key) — keys from different tables may
+    * collide, the topic is part of row identity — then per-batch
+    * demultiplex into per-table stores ([[demuxBatch]]).
+    */
+  def startMultiTable(changes: DataFrame,
+                      basePath: String,
+                      checkpointPath: String,
+                      tables: Map[String, Seq[String]],
+                      cfg: Config = Config(),
+                      topicCol: String = "topic",
+                      registry: Option[graft.cdc.SchemaRegistry] = None,
+                      availableNow: Boolean = true): StreamingQuery = {
+    val streamCfg = cfg.copy(keyCols = topicCol +: cfg.keyCols)
+    val deduped = dedupWithinWatermark(changes, streamCfg)
+    val writer = deduped.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        demuxBatch(batch.drop(cfg.tsCol), basePath, tables, cfg,
+          batchId, topicCol, registry)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
   }
 
   /** One micro-batch, partition-scoped: reduce the batch to

@@ -357,6 +357,159 @@ class CdcPipelineSpec extends SparkSpec {
     assert(midReader.count() > 0)
   }
 
+  test("multi-table fan-out: one stream, two tables with different " +
+       "schemas, each store equals its per-table batch materialization") {
+    val base = Files.createTempDirectory("cdcmulti").toString
+    val users = "osci.db.srv1.db1.users"
+    val orders = "osci.db.srv1.db1.orders"
+    // union-schema mixed feed: users rows carry value/props, orders
+    // rows carry amount (different payload schemas on one wire)
+    val mixed = feed
+      .withColumn("topic",
+        when(pmod(col("key").cast("long"), lit(2)) === 0, users)
+          .otherwise(orders))
+      .withColumn("amount",
+        when(col("topic") === orders,
+          (col("value").cast("decimal(18,2)") * 100).cast("long")))
+    mixed.coalesce(2).write.mode("append").parquet(s"$base/in")
+    val src = CdcPipeline.fileSource(spark, s"$base/in", mixed.schema)
+    val common = Seq("key", "event_id", "ts_us", "op")
+    val q = CdcPipeline.startMultiTable(src, s"$base/st", s"$base/cp",
+      tables = Map(users -> (common ++ Seq("value", "props")),
+        orders -> (common :+ "amount")))
+    q.awaitTermination()
+
+    // users store ≡ batch materialization of the users slice
+    val uState = CdcPipeline.currentState(spark,
+      CdcPipeline.tablePath(s"$base/st", users)).get
+    val uExpected = expectedState(mixed.filter(col("topic") === users))
+    assert(uState.count() === uExpected.count() && uState.count() > 0)
+    assert(uState.select("key", "value", "props").except(
+      uExpected.select("key", "value", "props")).isEmpty)
+    assert(!uState.columns.contains("amount"),
+      "users store must carry only the users schema")
+
+    // orders store ≡ batch materialization of the orders slice
+    val oState = CdcPipeline.currentState(spark,
+      CdcPipeline.tablePath(s"$base/st", orders)).get
+    val oExpected = expectedState(mixed.filter(col("topic") === orders))
+      .select(col("key"), col("amount"))
+    assert(oState.count() === oExpected.count() && oState.count() > 0)
+    assert(oState.select("key", "amount").except(oExpected).isEmpty)
+    assert(!oState.columns.contains("props"),
+      "orders store must carry only the orders schema")
+
+    // no key leaks across stores: the two key sets are disjoint
+    assert(uState.select("key")
+      .join(oState.select("key"), Seq("key")).isEmpty)
+  }
+
+  test("sink schema gate: compatible evolutions merge, the reference's " +
+       "case-3 batch rejects with the registry verdict, state untouched") {
+    val base = Files.createTempDirectory("cdcgate").toString
+    val state = s"$base/state"
+    val cfg = CdcPipeline.Config(numBuckets = 8)
+    val registry = new graft.cdc.SchemaRegistry()
+    val subject = "osci.db.srv1.db1.person-value"
+    val b1 = feed.filter(col("ts_us") < cutoffUs).drop("ts")
+    CdcPipeline.mergeBatchGated(b1, state, cfg, 0L, registry, subject)
+    assert(registry.history(subject).size === 1)
+
+    val rest = feed.filter(col("ts_us") >= cutoffUs).drop("ts")
+    // case 1 (README.md:466-479): drop a column → compatible, merges
+    CdcPipeline.mergeBatchGated(rest.drop("props"), state, cfg, 1L,
+      registry, subject)
+    assert(registry.history(subject).size === 2)
+    // case 2: add a NULLABLE column → compatible, merges
+    CdcPipeline.mergeBatchGated(
+      rest.withColumn("email", when(col("op") === "u", lit("a@b.c"))),
+      state, cfg, 2L, registry, subject)
+    assert(registry.history(subject).size === 3)
+    val goodState = CdcPipeline.currentState(spark, state).get
+      .select("key", "event_id", "ts_us").collect().map(_.toString).toSet
+    val commitsBefore = CdcPipeline.commits(spark, state)
+
+    // case 3: add a NOT NULL column without default → the registry
+    // verdict fails the merge BEFORE any write, like the reference's
+    // producer-side gate
+    val e = intercept[IllegalArgumentException] {
+      CdcPipeline.mergeBatchGated(
+        rest.withColumn("address", lit("xyz")), state, cfg, 3L,
+        registry, subject)
+    }
+    assert(e.getMessage.contains("address"))
+    assert(registry.history(subject).size === 3,
+      "rejected schema must not be registered")
+    // state untouched: same commits, same rows
+    assert(CdcPipeline.commits(spark, state) === commitsBefore)
+    assert(CdcPipeline.currentState(spark, state).get
+      .select("key", "event_id", "ts_us").collect().map(_.toString).toSet
+      === goodState)
+  }
+
+  test("mid-stream kill + restart from checkpoint converges to the " +
+       "uninterrupted run's state") {
+    val base = Files.createTempDirectory("cdcrestart").toString
+    val (in, cp) = (s"$base/in", s"$base/cp")
+    // many source files in EVENT-TIME ORDER (Kafka-like arrival: the
+    // file source picks files up in mod-time order) so
+    // maxFilesPerTrigger=1 yields many micro-batches with a properly
+    // trailing watermark — room to die in the middle without late-drops
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts_us"), col("event_id"))
+    val chunked = feed.withColumn("__rn", row_number().over(w))
+    val per = math.ceil(chunked.count() / 8.0).toLong
+    (0 until 8).foreach { i =>
+      chunked.filter(col("__rn") > i * per && col("__rn") <= (i + 1) * per)
+        .drop("__rn").coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(30) // distinct mod-times keep pickup order stable
+    }
+    val src = CdcPipeline.fileSource(spark, in, feed.schema,
+      options = Map("maxFilesPerTrigger" -> "1"))
+
+    // run 1: stop the query as soon as SOME batches committed (a crash
+    // leaves the checkpoint mid-stream; stop() here — the commit
+    // protocol's crash-safety under torn batches is mergeBatch's own
+    // replay-idempotence, covered above)
+    val q1 = CdcPipeline.start(src, s"$base/state", cp,
+      availableNow = false)
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 3 &&
+           System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    q1.stop()
+    // a stop mid-batch may surface as a task-killed exception — that IS
+    // the simulated crash, not a test failure
+    try q1.awaitTermination() catch { case _: Exception => () }
+    val full = expectedState(feed)
+    val processed = q1.recentProgress.map(_.numInputRows).sum
+    assert(processed < feed.count(),
+      s"fixture must genuinely die mid-stream — saw all $processed rows")
+
+    // run 2: SAME checkpoint — resumes from committed offsets, replays
+    // the torn tail, drains the rest
+    val q2 = CdcPipeline.start(
+      CdcPipeline.fileSource(spark, in, feed.schema), s"$base/state", cp)
+    q2.awaitTermination()
+    val recovered = CdcPipeline.currentState(spark, s"$base/state").get
+
+    // end-state equality with an UNINTERRUPTED run over the same input
+    val q3 = CdcPipeline.start(
+      CdcPipeline.fileSource(spark, in, feed.schema),
+      s"$base/state2", s"$base/cp2")
+    q3.awaitTermination()
+    val uninterrupted = CdcPipeline.currentState(spark, s"$base/state2").get
+    assert(recovered.count() === uninterrupted.count())
+    assert(recovered.select("key", "value", "props").except(
+      uninterrupted.select("key", "value", "props")).isEmpty)
+    assert(uninterrupted.select("key", "value", "props").except(
+      recovered.select("key", "value", "props")).isEmpty)
+    // and both equal the batch materialization
+    assert(recovered.count() === full.count())
+    assert(recovered.select("key", "value", "props").except(
+      full.select("key", "value", "props")).isEmpty)
+  }
+
   test("tombstoned keys are absent from the materialized state") {
     val base = Files.createTempDirectory("cdctomb").toString
     val (in, state, cp) = (s"$base/in", s"$base/state", s"$base/cp")
