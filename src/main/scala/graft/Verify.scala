@@ -46,9 +46,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // static oracles + the run-time-rendered ones (DynamicOracle:
+    // data-derived literals like trained centroids — registered while
+    // the queries above executed, so they match THIS sfDir)
+    val all = SparkEntry.oracleSql ++ graft.ops.DynamicOracle.snapshot
     val oracles = only match {
-      case Some(names) => SparkEntry.oracleSql.filter(o => names(o._1))
-      case None => SparkEntry.oracleSql
+      case Some(names) => all.filter(o => names(o._1))
+      case None => all
     }
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

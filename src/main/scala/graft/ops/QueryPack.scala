@@ -31,3 +31,34 @@ final case class Q(
 trait QueryPack {
   def queries: Seq[Q]
 }
+
+/** Oracles whose SQL embeds DATA-DERIVED LITERALS (e.g. the trained IVF
+  * centroids): the literal values exist only once the query has run
+  * against a concrete sf dir, so these oracles are RENDERED AT RUN TIME
+  * by the query itself and merged into Verify's `oracle_sql.json` dump
+  * (run order: Verify executes every query, then dumps oracles — the
+  * registered SQL always reflects the sf dir under verification).
+  *
+  * The SQL still reads ONLY the canonical parquet tables: the rendered
+  * literal is a `VALUES` table of a few KB (nlist × dim doubles), a
+  * driver-side constant by the same bounded-collect rule as the
+  * centroids themselves.
+  */
+object DynamicOracle {
+  private val map =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def put(name: String, sql: String): Unit = map.put(name, sql)
+
+  def snapshot: Map[String, String] = map.toMap
+
+  /** `(cid, [components]::DOUBLE[])` rows for a VALUES literal.
+    * `Double.toString` round-trips every finite double exactly and
+    * DuckDB parses its scientific notation.
+    */
+  def centroidValues(cents: Array[(Int, Array[Double])]): String =
+    cents.map { case (cid, v) =>
+      s"($cid, [${v.map(java.lang.Double.toString).mkString(", ")}]" +
+        "::DOUBLE[])"
+    }.mkString(", ")
+}

@@ -29,6 +29,44 @@ object SimilarityQueries extends QueryPack {
           col("label")))
   }
 
+  /** IVF assignment→probe→rank replay against an explicit centroid
+    * table, rendered as a VALUES literal — the run-time oracle for the
+    * trained/indexed IVF variants (same plan as the sim_ann_ivf oracle
+    * with the strided-seed CTE swapped for the literals). NaN ordering
+    * note as there: isnan() first matches Spark's ascending
+    * struct(-sim, cid) sort, where a zero-norm centroid's NaN ranks
+    * last.
+    */
+  private def ivfOracleWith(cents: Array[(Int, Array[Double])]): String =
+    s"""WITH cents(cid, centroid) AS (
+      |  VALUES ${DynamicOracle.centroidValues(cents)}),
+      | v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      | cells AS (
+      |   SELECT v.vec_id, v.vec, c.cid,
+      |     list_dot_product(v.vec, c.centroid) /
+      |       (sqrt(list_dot_product(v.vec, v.vec)) *
+      |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
+      |   FROM v CROSS JOIN cents c),
+      | ranked AS (
+      |   SELECT *, row_number() OVER (PARTITION BY vec_id
+      |     ORDER BY isnan(simc), simc DESC, cid) AS rn
+      |   FROM cells),
+      | asgn AS (SELECT vec_id, vec, cid FROM ranked WHERE rn = 1),
+      | probes AS (SELECT vec_id AS query_id, vec AS qv, cid
+      |            FROM ranked WHERE rn <= 3 AND vec_id < 8),
+      | sc AS (
+      |   SELECT p.query_id, a.vec_id AS cand_id,
+      |     list_dot_product(p.qv, a.vec) /
+      |       (sqrt(list_dot_product(p.qv, p.qv)) *
+      |        sqrt(list_dot_product(a.vec, a.vec))) AS cos
+      |   FROM probes p JOIN asgn a USING (cid)
+      |   WHERE p.query_id <> a.vec_id),
+      | r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY round(cos, 6) DESC, cand_id) AS rank FROM sc)
+      |SELECT query_id, rank, cand_id, round(cos, 4) AS cosine
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def queries: Seq[Q] = Seq(
 
     // Per-vector kernel functions: L2 norm (fused native dot), component
@@ -281,13 +319,18 @@ object SimilarityQueries extends QueryPack {
     // IVF with SAMPLE-TRAINED centroids: hash-sample → driver-side
     // Gonzalez seeding + Lloyd on the sample → broadcast literals — how
     // a coarse quantizer is actually built at 100 TB (never k-means over
-    // the full corpus). Centroids are engine-specific → rows-only;
-    // recall/quality asserted in IvfSpec.
+    // the full corpus). Training is fully deterministic, so the trained
+    // centroids are emitted as a VALUES literal into a RUN-TIME-RENDERED
+    // oracle (DynamicOracle) and the whole distributed phase —
+    // assignment, probe, rank — is hash-verified like sim_ann_ivf.
+    // Training-quality properties (recall, sample bounds) stay in
+    // IvfSpec.
     Q("sim_ann_ivf_trained",
       (s, d) => {
         val vecs = doubleVecs(s, d)
         val cents = Similarity.trainCentroids(vecs, nlist = 16,
           sampleN = 2000, iters = 4)
+        DynamicOracle.put("sim_ann_ivf_trained", ivfOracleWith(cents))
         Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 8), 5,
             centroids = Some(cents))
           .orderBy(col("query_id"), col("rank"))
@@ -297,13 +340,22 @@ object SimilarityQueries extends QueryPack {
     // Persisted IVF index: build-once (cells partitioned on disk by
     // centroid), probe-many — the probe reads ONLY its cells via
     // static partition pruning (PartitionFilters asserted in
-    // IvfIndexSpec). Rows-only: centroids are engine-specific.
+    // IvfIndexSpec). The index's trained centroids feed the same
+    // rendered oracle as sim_ann_ivf_trained, so the PRUNED read path
+    // is hash-verified equal to the full assignment replay — strictly
+    // stronger than the spec-only probe ≡ recompute assertion.
     Q("sim_ann_ivf_indexed",
       (s, d) => {
         val vecs = doubleVecs(s, d)
         val dir = "/tmp/graft_ivf_index/" +
           d.replaceAll("[^A-Za-z0-9]", "_")
         Similarity.buildIvfIndex(vecs, dir)
+        val ver = Similarity.indexVersion(s, dir)
+        val cents = s.read.parquet(s"$dir/$ver/centroids")
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        DynamicOracle.put("sim_ann_ivf_indexed", ivfOracleWith(cents))
         Similarity.ivfProbeIndexed(dir, vecs.filter(col("vec_id") < 8), 5)
           .orderBy(col("query_id"), col("rank"))
       },
