@@ -42,7 +42,7 @@ object CdcQueries extends QueryPack {
         col("after.value").as("value"), col("after.props").as("props"),
         col("op"))
 
-  private val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z in µs
+  val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z in µs
   private val cutoff2Us = 1705708800000000L // 2024-01-20T00:00:00Z in µs
 
   /** Latest-wins materialized state, the oracle for upsert/snapshot paths. */
