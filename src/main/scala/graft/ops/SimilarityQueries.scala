@@ -67,6 +67,39 @@ object SimilarityQueries extends QueryPack {
       |SELECT query_id, rank, cand_id, round(cos, 4) AS cosine
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Cell-refined kNN-join replay for [[Similarity.knnJoinCells]]:
+    * assign every vector to its argmax cell over the pinned centroid
+    * literals, then exact top-3 within (label, cell).
+    */
+  private def knnCellOracle(cents: Array[(Int, Array[Double])]): String =
+    s"""WITH cents(cid, centroid) AS (
+      |  VALUES ${DynamicOracle.centroidValues(cents)}),
+      | v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings),
+      | cells AS (
+      |   SELECT v.vec_id, v.vec, v.label, c.cid,
+      |     list_dot_product(v.vec, c.centroid) /
+      |       (sqrt(list_dot_product(v.vec, v.vec)) *
+      |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
+      |   FROM v CROSS JOIN cents c),
+      | asgn AS (
+      |   SELECT vec_id, vec, label, cid FROM (
+      |     SELECT *, row_number() OVER (PARTITION BY vec_id
+      |       ORDER BY isnan(simc), simc DESC, cid) AS rn
+      |     FROM cells) WHERE rn = 1),
+      | pairs AS (
+      |   SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |     round(list_dot_product(a.vec, b.vec) /
+      |       (sqrt(list_dot_product(a.vec, a.vec)) *
+      |        sqrt(list_dot_product(b.vec, b.vec))), 6) AS cos
+      |   FROM asgn a JOIN asgn b
+      |     ON a.label = b.label AND a.cid = b.cid
+      |       AND a.vec_id <> b.vec_id),
+      | ranked AS (SELECT *, row_number() OVER (PARTITION BY a_id
+      |     ORDER BY cos DESC, b_id) AS rank FROM pairs)
+      |SELECT a_id AS vec_id, b_id AS neighbor_id, rank, cos AS cosine
+      |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+
   def queries: Seq[Q] = Seq(
 
     // Per-vector kernel functions: L2 norm (fused native dot), component
@@ -434,6 +467,27 @@ object SimilarityQueries extends QueryPack {
         |SELECT a_id AS vec_id, b_id AS neighbor_id, rank,
         |  cos AS cosine
         |FROM ranked WHERE rank <= 3
-        |ORDER BY vec_id, rank""".stripMargin))
+        |ORDER BY vec_id, rank""".stripMargin)),
+
+    // CELL-REFINED kNN join — the scale-honest form of sim_knn_join.
+    // The sf1 measurement (BASELINE.md round-4) showed the fixed-
+    // cardinality label blocking going quadratic: 19.8× time at 10×
+    // data, exactly Σ|block|² growth. Refining every block by the
+    // vector's trained IVF cell bounds block size by nlist, and nlist
+    // scales WITH the corpus (nlist ∝ n/target_block_size keeps
+    // per-row work constant — the knob every production ANN store
+    // turns). Deterministic training → centroids pinned into a
+    // rendered oracle; the whole assignment + blocked join + rank
+    // hash-verifies like the IVF family.
+    Q("sim_knn_join_cell",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        val cents = Similarity.trainCentroids(vecs, nlist = 16,
+          sampleN = 2000, iters = 4)
+        DynamicOracle.put("sim_knn_join_cell", knnCellOracle(cents))
+        Similarity.knnJoinCells(vecs, 3, cents)
+          .orderBy(col("vec_id"), col("rank"))
+      },
+      None)
   )
 }

@@ -387,6 +387,47 @@ object Similarity {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** Blocked k-NN self-join with IVF-cell block refinement: every
+    * vector's top-k cosine neighbors among vectors sharing BOTH its
+    * blocking column and its nearest-centroid cell. This is the
+    * scale-honest form of the value-blocked exact kNN join: a
+    * fixed-cardinality blocking key (e.g. `label`) makes pair count
+    * Σ|block|² grow QUADRATICALLY with the corpus (measured 19.8× time
+    * at 10× data, BASELINE.md sf1 table), while cell refinement divides
+    * every block by nlist — and nlist is the knob that scales WITH the
+    * corpus (nlist ∝ n/target keeps block size, and so per-row work,
+    * constant). Same recall trade as any IVF structure: neighbors in a
+    * different cell are unseen; raising nprobe on the query side (cf.
+    * [[ivfTopK]]) buys recall back.
+    *
+    * The assignment is the zero-shuffle per-row argmax over literal
+    * centroids; the only shuffle is the (block, cell) hash join, and the
+    * per-vector top-k is a WindowGroupLimit below it — identical plan
+    * family to the unrefined join, just with bounded blocks.
+    */
+  def knnJoinCells(base: DataFrame, k: Int,
+                   cents: Array[(Int, Array[Double])],
+                   blockCol: String = "label",
+                   idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val assigned = base.select(col(idCol), col(vecCol), col(blockCol),
+      element_at(nearestCellStructs(col(vecCol), cents), 1)
+        .getField("centroid_id").as("cell"))
+    val a = assigned.select(col(idCol).as("a_id"),
+      col(vecCol).as("a_vec"), col(blockCol), col("cell"))
+    val b = assigned.select(col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"), col(blockCol), col("cell"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("b_id"))
+    a.join(b, Seq(blockCol, "cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos", round(cosine(col("a_vec"), col("b_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+        col("rank"), col("cos").as("cosine"))
+  }
+
   /** IVF probe-and-rank over an explicit centroid table (from the
     * strided seeds, [[refineCentroids]], or [[trainCentroids]]).
     */

@@ -44,6 +44,12 @@ object GenScale {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) — Spark 4 rejects it
+      // unless read as a raw nano-long (same conf Tables.events sets).
+      // The replica is then WRITTEN as a plain INT64 nano column, which
+      // Tables.eventsWindow reads identically (ts arrives as long either
+      // way; filters and the µs conversion are value-compatible).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, src, out, rep)
@@ -103,8 +109,10 @@ object GenScale {
             when(pmod(idx + lit(i), lit(3)) === 0,
               format_string("w%08x", hash(w, lit(i)))).otherwise(w)),
           " ")
+        // cast to the source's int64 — length() is int, and a type
+        // mismatch across part files in one directory fails the read
         d.withColumn("text", mutated)
-          .withColumn("n_chars", length(col("text")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
       }
     }
 

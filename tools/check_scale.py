@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Validate a GenScale output directory against its source: row counts
+scale by rep (dims fixed), keys stay unique, FK integrity holds, and
+the document/embedding perturbation kept duplicate density LINEAR
+(constant per-row) instead of letting replicas collide into quadratic
+pair growth. Usage:
+
+    python3 tools/check_scale.py /root/testdata/sf0.1 localdata/sf1 [rep=10]
+"""
+import sys
+
+import duckdb
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "localdata/sf1"
+    rep = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    con = duckdb.connect()
+    fails = 0
+
+    def check(name: str, ok: bool, detail: str) -> None:
+        nonlocal fails
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {detail}")
+        if not ok:
+            fails += 1
+
+    import os
+
+    def pq(base: str, t: str) -> str:
+        path = f"{base}/{t}.parquet"
+        return f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+
+    def q(sql: str):
+        return con.execute(sql).fetchone()[0]
+
+    fixed = {"region", "nation"}
+    tables = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]
+    keys = {"customer": "c_custkey", "supplier": "s_suppkey",
+            "part": "p_partkey", "orders": "o_orderkey",
+            "events": "event_id", "documents": "doc_id",
+            "embeddings": "vec_id"}
+    for t in tables:
+        ns = q(f"SELECT count(*) FROM {pq(src, t)}")
+        nd = q(f"SELECT count(*) FROM {pq(dst, t)}")
+        want = ns if t in fixed else ns * rep
+        check(f"{t} rows", nd == want, f"{nd} (want {want})")
+        if t in keys:
+            k = keys[t]
+            dk = q(f"SELECT count(DISTINCT {k}) FROM {pq(dst, t)}")
+            check(f"{t}.{k} unique", dk == nd, f"{dk} distinct / {nd} rows")
+
+    # FK integrity: every scaled orders.o_custkey resolves to a customer
+    orphans = q(f"""SELECT count(*) FROM {pq(dst, 'orders')} o
+        WHERE NOT EXISTS (SELECT 1 FROM {pq(dst, 'customer')} c
+                          WHERE c.c_custkey = o.o_custkey)""")
+    check("orders->customer FK", orphans == 0, f"{orphans} orphans")
+    orphans = q(f"""SELECT count(*) FROM {pq(dst, 'lineitem')} l
+        WHERE NOT EXISTS (SELECT 1 FROM {pq(dst, 'orders')} o
+                          WHERE o.o_orderkey = l.l_orderkey)""")
+    check("lineitem->orders FK", orphans == 0, f"{orphans} orphans")
+
+    # duplicate density must be LINEAR: exact-dup pair count scales ~rep
+    def dup_pairs(d: str) -> int:
+        return q(f"""SELECT coalesce(sum(n * (n - 1) / 2), 0) FROM (
+            SELECT count(*) AS n FROM {pq(d, 'documents')}
+            GROUP BY md5(text) HAVING count(*) > 1)""")
+
+    ps, pd = dup_pairs(src), dup_pairs(dst)
+    check("exact-dup pairs linear", ps * rep * 0.9 <= pd <= ps * rep * 1.1,
+          f"{pd} vs {ps} x {rep} = {ps * rep} "
+          f"(quadratic would be ~{ps * rep * rep})")
+
+    # embeddings: sign-flip preserves the norm exactly
+    drift = q(f"""SELECT max(abs(a.n - b.n)) FROM
+        (SELECT vec_id % (SELECT count(*) FROM {pq(src, 'embeddings')})
+                AS base_id,
+                sqrt(list_sum(list_transform(embedding, x -> x * x))) AS n
+         FROM {pq(dst, 'embeddings')}) a
+        JOIN (SELECT vec_id AS base_id,
+                sqrt(list_sum(list_transform(embedding, x -> x * x))) AS n
+              FROM {pq(src, 'embeddings')}) b USING (base_id)""")
+    check("embedding norms preserved", drift < 1e-4, f"max drift {drift}")
+
+    # events: timestamps unchanged per replica (same min/max as source).
+    # Source is TIMESTAMP(NANOS); the replica stores the same values as a
+    # raw int64 nano column (GenScale reads via nanosAsLong) — normalize
+    # both to integer epoch-nanos before comparing.
+    # DuckDB itself truncates TIMESTAMP(NANOS) to µs on read, so compare
+    # at µs granularity (the repo-wide oracle convention anyway).
+    for agg in ("min", "max"):
+        ts_s = q(f"SELECT epoch_ns({agg}(ts)) FROM {pq(src, 'events')}")
+        ts_d = q(f"SELECT {agg}(ts) FROM {pq(dst, 'events')}")
+        check(f"events ts {agg} fixed",
+              int(ts_s) // 1000 == int(ts_d) // 1000,
+              f"{ts_d} (want {ts_s} at us granularity)")
+
+    print(f"\n{'ALL CHECKS PASS' if fails == 0 else f'{fails} FAILURES'}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
