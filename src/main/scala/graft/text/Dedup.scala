@@ -360,6 +360,17 @@ object Dedup {
       .filter(col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+      // second pigeonhole, on SIZES: n_common ≤ min(n_a, n_b), so
+      // containment ≥ τ needs n_b ≥ ⌈τ·n_a⌉ — prune those candidates
+      // BEFORE the full-set verify joins (the expensive stage). The −1
+      // pad absorbs ⌈τ·n⌉ float rounding (mirror of the prefix +2 pad):
+      // it can only under-prune, so the form stays lossless vs naive.
+      .join(sizes.select(col("doc_id").as("a_id"),
+        col("n_sh").as("n_a")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"),
+        col("n_sh").as("n_b")), Seq("b_id"))
+      .filter(col("n_b") >= ceil(lit(threshold) * col("n_a")) - lit(1))
+      .select("a_id", "b_id")
     cands
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")),

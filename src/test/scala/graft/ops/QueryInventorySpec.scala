@@ -188,6 +188,28 @@ class QueryInventorySpec extends SparkSpec {
       s"no partial WindowGroupLimit below the shuffle:\n$p")
   }
 
+  test("sim_knn_join_cell: cell assignment adds no exchange; partial " +
+       "top-k still below the ranking shuffle") {
+    // the cell refinement must stay a zero-shuffle per-row argmax over
+    // literal centroids: same Exchange count as the unrefined join
+    // (join key exchange + rank exchange + presentation sort), plus
+    // the same WindowGroupLimit-below-Exchange partial top-k.
+    val p = plan("sim_knn_join_cell")
+    val lines = p.linesIterator.toSeq
+    val exchangeIdx = lines.indexWhere(l => l.contains("Exchange") &&
+      !l.contains("BroadcastExchange"))
+    val partialLimitIdx = lines.lastIndexWhere(_.contains("WindowGroupLimit"))
+    assert(partialLimitIdx > exchangeIdx && exchangeIdx >= 0,
+      s"no partial WindowGroupLimit below the shuffle:\n$p")
+    val cellExchanges = lines.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    val plainExchanges = plan("sim_knn_join").linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(cellExchanges <= plainExchanges + 1,
+      s"cell refinement added shuffles: $cellExchanges vs " +
+        s"$plainExchanges in the plain join:\n$p")
+  }
+
   test("text_bm25: query-term postings filter sits on the token " +
        "explode, before any exchange") {
     val p = plan("text_bm25")

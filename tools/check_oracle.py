@@ -9,14 +9,29 @@ result parquet (columns sorted by name, exact value equality; floats
 compared exactly — the queries are built so both engines produce
 identical doubles).
 """
-import json, sys, glob
+import json, sys, glob, os
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = p.split("/")[-1].removesuffix(".parquet")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # driver testdata is one flat file per table; GenScale replicas are
+    # Spark-written directories — glob the part files in that case
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    sel = "*"
+    if name == "events":
+        # driver events.ts is TIMESTAMP(NANOS), which DuckDB truncates
+        # to a µs TIMESTAMP on read; GenScale replicas carry the same
+        # instant as an INT64 nano-long (the Spark-4 read-path form).
+        # Reproduce DuckDB's truncation so epoch_us(ts) oracles see the
+        # identical µs timestamp either way.
+        (_, ts_type) = next(
+            (c, t) for c, t, *_ in con.execute(
+                f"DESCRIBE SELECT * FROM '{src}'").fetchall() if c == "ts")
+        if ts_type == "BIGINT":
+            sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+    con.execute(f"CREATE VIEW {name} AS SELECT {sel} FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 n_pass = n_fail = 0
