@@ -127,6 +127,12 @@ object Bench {
       }
       val p1 = probeOnce()
       extras("ivf_index_probe_sec") = math.min(p1, probeOnce())
+      // incremental ingest: appending a 1/10 shard must cost ∝ |delta|,
+      // not a rebuild — compare against ivf_index_build_sec
+      val ta0 = System.nanoTime()
+      sim.Similarity.appendIvfIndex(idxDir,
+        vecs.filter(col("vec_id") % 10 === 0))
+      extras("ivf_append_sec") = (System.nanoTime() - ta0) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ivf extras FAILED: ${e.getMessage}")
     }

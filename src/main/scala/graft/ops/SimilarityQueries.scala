@@ -383,12 +383,86 @@ object SimilarityQueries extends QueryPack {
         val dir = "/tmp/graft_ivf_index/" +
           d.replaceAll("[^A-Za-z0-9]", "_")
         Similarity.buildIvfIndex(vecs, dir)
-        val ver = Similarity.indexVersion(s, dir)
-        val cents = s.read.parquet(s"$dir/$ver/centroids")
-          .collect()
-          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-          .sortBy(_._1)
+        val cents = Similarity.readCentroids(s, dir,
+          Similarity.indexVersion(s, dir))
         DynamicOracle.put("sim_ann_ivf_indexed", ivfOracleWith(cents))
+        Similarity.ivfProbeIndexed(dir, vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // INCREMENTAL ingest for the persisted IVF index — the vector
+    // mirror of dedup_cross_corpus's standing-index probe: build on
+    // the base 2/3 of the corpus (training sees only that slice),
+    // APPEND the remaining shard to the standing index (assigned to
+    // the frozen centroids, written as a delta segment + manifest, one
+    // atomic pointer flip — I/O ∝ |delta|, never a rebuild), then
+    // probe. After the append the index holds the full corpus assigned
+    // to base-trained centroids, so the same centroid-pinned oracle
+    // replays the probe flat over the full embeddings table — the
+    // multi-segment pruned read path hash-verifies against it.
+    Q("sim_ann_ivf_append",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        val dir = "/tmp/graft_ivf_append/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        Similarity.buildIvfIndex(
+          vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), dir)
+        Similarity.appendIvfIndex(dir,
+          vecs.filter(pmod(col("vec_id"), lit(3)) === 0))
+        val cents = Similarity.readCentroids(s, dir,
+          Similarity.indexVersion(s, dir))
+        DynamicOracle.put("sim_ann_ivf_append", ivfOracleWith(cents))
+        Similarity.ivfProbeIndexed(dir, vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // STREAMING VECTOR INGEST, driver-verified: the embedding delta
+    // arrives as a file stream and every micro-batch appends to the
+    // standing IVF index through foreachBatch — Structured Streaming
+    // scheduler, checkpoint, exactly-once file accounting, then a
+    // delta segment + atomic pointer flip per batch. Append to frozen
+    // centroids is ASSOCIATIVE (the final index is the union of deltas
+    // however the stream batched them), so the probe after shutdown is
+    // batch-split-invariant and the same centroid-pinned oracle
+    // replays it flat over the full corpus. The streaming mirror of
+    // sim_ann_ivf_append, as cdc_stream_pipeline is of
+    // cdc_upsert_materialize.
+    Q("sim_stream_ivf_ingest",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        val vecs = doubleVecs(s, d)
+        val root = "/tmp/graft_ivf_stream/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val fs = new Path(root).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        val dir = s"$root/index"
+        Similarity.buildIvfIndex(
+          vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), dir)
+        val delta = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
+        // several source files + maxFilesPerTrigger → a REAL multi-
+        // micro-batch run, not one batch wearing streaming clothes
+        // (repartition, not coalesce: the delta may arrive as a single
+        // partition at small SF and coalesce can only shrink)
+        delta.repartition(4).write.mode("overwrite").parquet(s"$root/in")
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val q = s2.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", 2).parquet(s"$root/in")
+          .writeStream
+          .option("checkpointLocation", s"$root/cp")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                           _: Long) =>
+            Similarity.appendIvfIndex(dir, batch)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val cents = Similarity.readCentroids(s, dir,
+          Similarity.indexVersion(s, dir))
+        DynamicOracle.put("sim_stream_ivf_ingest", ivfOracleWith(cents))
         Similarity.ivfProbeIndexed(dir, vecs.filter(col("vec_id") < 8), 5)
           .orderBy(col("query_id"), col("rank"))
       },

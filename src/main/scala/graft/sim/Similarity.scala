@@ -493,11 +493,94 @@ object Similarity {
     graft.sources.PointerFile.read(fs, cur)
   }
 
+  /** The trained centroid table of one committed index version. */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, version: String)
+      : Array[(Int, Array[Double])] =
+    spark.read.parquet(s"$dir/$version/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** The cell SEGMENTS a version's data lives in: the `segments` text
+    * manifest when present ([[appendIvfIndex]] versions), else the
+    * version itself (a base [[buildIvfIndex]] — backward compatible
+    * with pre-append indexes).
+    */
+  def indexSegments(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, version: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$version/segments")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq(version)
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  /** Append NEW vectors to a persisted IVF index WITHOUT rebuild — the
+    * continuous-ingestion path for embeddings, the vector mirror of the
+    * text side's standing shingle index (`Dedup.probeShingleIndex`).
+    * The incoming shard is assigned to the EXISTING trained centroids
+    * (the same zero-shuffle per-row argmax as the build) and written as
+    * a new SEGMENT: a fresh version dir holding only the delta cells
+    * (hive-partitioned by `centroid_id` like every segment), the
+    * centroid table copied forward (nlist rows), and a `segments`
+    * manifest = parent's manifest + itself. One atomic `_CURRENT` flip
+    * commits; probes resolve the manifest and partition-prune across
+    * ALL segments, so probe I/O stays ∝ nprobe/nlist of the total
+    * corpus and append I/O is ∝ |delta| — never a rebuild.
+    *
+    * Crash-safety inherits the build's protocol: a partial append dir
+    * (no `_COMMITTED` marker) is never pointed to and never consumes a
+    * GC keep slot; referenced parent segments are passed as `pinned`
+    * so the keep-window GC can't collect a segment an active
+    * manifest still needs. Centroids are FROZEN at append time — the
+    * standard IVF trade (drifted data degrades recall, not
+    * correctness); retraining is a [[buildIvfIndex]] rebuild.
+    */
+  def appendIvfIndex(dir: String, incoming: DataFrame,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val spark = incoming.sparkSession
+    // a quiet ingest tick commits nothing: an empty delta segment
+    // would be a schema-less parquet dir every later probe chokes on
+    if (incoming.isEmpty) return
+    val parent = indexVersion(spark, dir)
+    val cents = readCentroids(spark, dir, parent)
+    val parentSegs = indexSegments(spark, dir, parent)
+    val version = f"v-${System.currentTimeMillis()}%013d-${
+      java.util.UUID.randomUUID().toString.take(8)}"
+    import spark.implicits._
+    cents.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
+    assignCells(incoming, cents, idCol, vecCol, probes = 1, idCol, vecCol)
+      .write.mode("errorifexists").partitionBy("centroid_id")
+      .parquet(s"$dir/$version/cells")
+    val segs = parentSegs :+ version
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segFile = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/$version/segments"), true)
+    try segFile.write(segs.mkString("\n").getBytes("UTF-8"))
+    finally segFile.close()
+    // GC is manifest-aware (commitVersion pins every segment a KEPT
+    // version's manifest references), so committing here can never
+    // collect a parent segment this manifest still needs.
+    graft.sources.PointerFile.commitVersion(fs, base, version)
+  }
+
   /** Probe a persisted index: the probed cell set (≤ queries × nprobe
     * ids, computed from the small query side) becomes a STATIC `isin`
     * partition filter, so the cells scan touches only those
-    * directories. Results are identical to [[ivfTopK]] with the same
-    * trained centroids.
+    * directories — across EVERY segment the current version's manifest
+    * lists (one for a plain build, one per append since). Results are
+    * identical to [[ivfTopK]] with the same trained centroids over the
+    * union corpus.
     */
   def ivfProbeIndexed(dir: String, queries: DataFrame, k: Int,
                       nprobe: Int = 3,
@@ -505,17 +588,19 @@ object Similarity {
                       vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
     val ver = indexVersion(spark, dir)
-    val cents: Array[(Int, Array[Double])] = spark.read
-      .parquet(s"$dir/$ver/centroids")
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    val cents = readCentroids(spark, dir, ver)
     val probedCells = queries
       .select(explode(slice(nearestCellStructs(col(vecCol), cents),
         1, nprobe)).as("__c"))
       .select(col("__c.centroid_id")).distinct()
       .collect().map(_.getInt(0))
-    val cells = spark.read.parquet(s"$dir/$ver/cells")
+    // one pruned scan PER SEGMENT, unioned: segment roots are sibling
+    // hive-partitioned trees, so each gets its own partition discovery
+    // (a single multi-root read refuses the layout) and the isin
+    // partition filter pushes into every branch of the union
+    val cells = indexSegments(spark, dir, ver)
+      .map(s => spark.read.parquet(s"$dir/$s/cells"))
+      .reduce(_ unionByName _)
       .filter(col("centroid_id").isin(probedCells.map(Int.box): _*))
       .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec2"),
         col("centroid_id"))

@@ -63,6 +63,14 @@ object PointerFile {
     * is eventually collected — while an in-flight concurrent build
     * (necessarily newer than the cutoff, since version names embed the
     * build's start time) is left alone.
+    *
+    * Segment manifests: a version dir may carry a `segments` text file
+    * (one version name per line) declaring that its data LIVES partly
+    * in older segment dirs (the IVF append path). GC here reads the
+    * manifests of every version it KEEPS and pins the referenced
+    * segments — computed at collection time by the collector itself,
+    * so any committer (a later rebuild included) is safe without
+    * having to know whether earlier versions were segmented.
     */
   def commitVersion(fs: FileSystem, base: Path, version: String,
                     keep: Int = 2): Unit = {
@@ -78,7 +86,18 @@ object PointerFile {
       .map(_.getName).sorted.reverse
     if (committed.length >= keep) {
       val cutoff = committed(keep - 1)
-      dirs.filter(_.getName < cutoff).foreach(fs.delete(_, true))
+      val pinned = committed.take(keep).flatMap { v =>
+        val m = new Path(base, s"$v/segments")
+        if (!fs.exists(m)) Nil
+        else {
+          val in = fs.open(m)
+          try scala.io.Source.fromInputStream(in).getLines()
+            .map(_.trim).filter(_.nonEmpty).toList
+          finally in.close()
+        }
+      }.toSet
+      dirs.filter(p => p.getName < cutoff && !pinned(p.getName))
+        .foreach(fs.delete(_, true))
     }
   }
 }

@@ -70,4 +70,128 @@ class IvfIndexSpec extends SparkSpec {
     assert(Similarity.ivfProbeIndexed(dir,
       vecs.filter(col("vec_id") < 4), 3).count() > 0)
   }
+
+  private val appendDir = "/tmp/graft_ivf_append_spec"
+
+  test("append ≡ flat assignment: probing a built+appended index " +
+       "equals in-memory IVF over the union with the frozen centroids") {
+    val p = new org.apache.hadoop.fs.Path(appendDir)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(p)) fsys.delete(p, true)
+    val base = vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val delta = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
+    Similarity.buildIvfIndex(base, appendDir, nlist = 16)
+    Similarity.appendIvfIndex(appendDir, delta)
+    val queries = vecs.filter(col("vec_id") < 8)
+    val probed = Similarity.ivfProbeIndexed(appendDir, queries, 5)
+    // frozen = the centroids the BASE build trained
+    val cents = Similarity.readCentroids(spark, appendDir,
+      Similarity.indexVersion(spark, appendDir))
+    val direct = Similarity.ivfTopK(vecs, queries, 5,
+      centroids = Some(cents))
+    assert(probed.exceptAll(direct).isEmpty &&
+           direct.exceptAll(probed).isEmpty,
+      "append+probe diverged from flat assignment over the union")
+    // candidates really span both segments
+    val ver = Similarity.indexVersion(spark, appendDir)
+    assert(Similarity.indexSegments(spark, appendDir, ver).size == 2)
+  }
+
+  test("appended probe stays partition-pruned across segments") {
+    val queries = vecs.filter(col("vec_id") < 8)
+    val probe = Similarity.ivfProbeIndexed(appendDir, queries, 5,
+      nprobe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("cells") && l.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(scanLine.matches(".*PartitionFilters: \\[.*centroid_id.*\\].*"),
+      s"no partition filter on the multi-segment cells scan:\n$plan")
+  }
+
+  test("GC never collects a segment a kept manifest references; a " +
+       "later rebuild's GC eventually does") {
+    val p = new org.apache.hadoop.fs.Path(appendDir)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(p)) fsys.delete(p, true)
+    def versions(): Set[String] = fsys.listStatus(p)
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    val base = vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val delta = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
+    Similarity.buildIvfIndex(base, appendDir, nlist = 8)
+    val v1 = Similarity.indexVersion(spark, appendDir)
+    Similarity.appendIvfIndex(appendDir, delta)
+    val v2 = Similarity.indexVersion(spark, appendDir)
+    // an EMPTY delta is a no-op (no version, no flip)
+    Similarity.appendIvfIndex(appendDir, vecs.filter(col("vec_id") < 0))
+    assert(Similarity.indexVersion(spark, appendDir) == v2,
+      "empty append committed a version")
+    Similarity.appendIvfIndex(appendDir, vecs.filter(col("vec_id") < 2))
+    val v3 = Similarity.indexVersion(spark, appendDir)
+    // keep-2 window is {v2, v3}; v1 is older than the cutoff but BOTH
+    // kept manifests reference it — it must survive, and the probe
+    // must still see base-segment candidates
+    assert(versions().contains(v1),
+      s"GC collected a referenced segment: ${versions()}")
+    assert(Similarity.ivfProbeIndexed(appendDir,
+      vecs.filter(col("vec_id") < 4), 3).count() > 0)
+    // two REBUILDS later nothing references v1/v2/v3; GC drops them
+    Similarity.buildIvfIndex(vecs, appendDir, nlist = 8)
+    Similarity.buildIvfIndex(vecs, appendDir, nlist = 8)
+    assert(!versions().exists(Set(v1, v2, v3)),
+      s"unreferenced segments survived two rebuilds: ${versions()}")
+  }
+
+  test("streaming ingest really runs multiple micro-batches and ends " +
+       "at the same index as one flat append") {
+    // run the inventory query (it wipes its own dirs), then check the
+    // segment manifest: 4 source files at maxFilesPerTrigger=2 must
+    // have produced ≥2 append segments on top of the base build —
+    // proof the probe result came through the multi-batch path
+    val out = SimilarityQueries.queries
+      .find(_.name == "sim_stream_ivf_ingest").get
+      .fn(spark, sf)
+    assert(out.count() > 0)
+    val dir = "/tmp/graft_ivf_stream/" +
+      sf.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+    val ver = Similarity.indexVersion(spark, dir)
+    val segs = Similarity.indexSegments(spark, dir, ver)
+    assert(segs.size >= 3,
+      s"expected base + >=2 streamed segments, got $segs")
+    // and the streamed index equals a flat batch append of the union
+    val cents = Similarity.readCentroids(spark, dir, ver)
+    val direct = Similarity.ivfTopK(vecs,
+      vecs.filter(col("vec_id") < 8), 5, centroids = Some(cents))
+    assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty,
+      "streamed ingest diverged from flat append")
+  }
+
+  test("a crash-partial append (no commit marker) is invisible to " +
+       "readers and GC-collected without breaking the index") {
+    val p = new org.apache.hadoop.fs.Path(appendDir)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(p)) fsys.delete(p, true)
+    Similarity.buildIvfIndex(vecs, appendDir, nlist = 8)
+    val good = Similarity.indexVersion(spark, appendDir)
+    // simulate an append that died after its parquet writes: data and
+    // manifest on disk, no _COMMITTED, no _CURRENT flip
+    val dead = "v-0000000000001-deadbeef"
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$appendDir/$dead/cells"))
+    val out = fsys.create(
+      new org.apache.hadoop.fs.Path(s"$appendDir/$dead/segments"), true)
+    try out.write(s"$good\n$dead".getBytes("UTF-8")) finally out.close()
+    assert(Similarity.indexVersion(spark, appendDir) == good,
+      "partial append became visible")
+    val n = Similarity.ivfProbeIndexed(appendDir,
+      vecs.filter(col("vec_id") < 4), 3).count()
+    assert(n > 0, "probe broken by partial append litter")
+    // the partial dir (old name, no marker) goes at the next GC that
+    // has 2 committed versions; its manifest is never read since it is
+    // not a KEPT version
+    Similarity.buildIvfIndex(vecs, appendDir, nlist = 8)
+    Similarity.buildIvfIndex(vecs, appendDir, nlist = 8)
+    val left = fsys.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    assert(!left.contains(dead), s"crash litter survived GC: $left")
+  }
 }
