@@ -127,6 +127,24 @@ object Bench {
       }
       val p1 = probeOnce()
       extras("ivf_index_probe_sec") = math.min(p1, probeOnce())
+      // measured recall of the pruned probe vs exact brute force at
+      // this SF — the number behind every "recall-for-bound trade"
+      // claim in the IVF family docs (nprobe=3 of nlist=16 cells).
+      // Before the append below, so the index holds each vector once.
+      val bruteTop = sim.Similarity
+        .bruteForceTopK(vecs, probes, 5)
+        .select(col("query_id"), col("cand_id"))
+      val nBrute = bruteTop.count().toDouble
+      def recallAt(nprobe: Int): Double = {
+        val probeTop = sim.Similarity
+          .ivfProbeIndexed(idxDir, probes, 5, nprobe)
+          .select(col("query_id"), col("cand_id"))
+        probeTop.intersect(bruteTop).count() / nBrute
+      }
+      // two points of the recall/nprobe curve: the default bound
+      // (3/16 cells) and the buy-recall-back setting (8/16)
+      extras("ivf_probe_recall_at5") = recallAt(3)
+      extras("ivf_probe_recall_at5_np8") = recallAt(8)
       // incremental ingest: appending a 1/10 shard must cost ∝ |delta|,
       // not a rebuild — compare against ivf_index_build_sec
       val ta0 = System.nanoTime()

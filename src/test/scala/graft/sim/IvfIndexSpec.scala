@@ -142,6 +142,39 @@ class IvfIndexSpec extends SparkSpec {
       s"unreferenced segments survived two rebuilds: ${versions()}")
   }
 
+  test("append is split-invariant: however the delta stream is " +
+       "partitioned into batches, the probed index is identical") {
+    // the property behind the streaming query's oracle-safety claim:
+    // frozen centroids make append associative, so 1, 2, or 4 deltas
+    // covering the same rows must all probe identically
+    val base = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val rest = vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val queries = vecs.filter(col("vec_id") < 8)
+    def probeAfter(splits: Seq[org.apache.spark.sql.DataFrame],
+                   dir: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      Similarity.buildIvfIndex(base, dir, nlist = 8)
+      splits.foreach(Similarity.appendIvfIndex(dir, _))
+      Similarity.ivfProbeIndexed(dir, queries, 5)
+    }
+    val one = probeAfter(Seq(rest), "/tmp/graft_ivf_split1")
+    val two = probeAfter(
+      Seq(rest.filter(pmod(col("vec_id"), lit(2)) === 0),
+          rest.filter(pmod(col("vec_id"), lit(2)) =!= 0)),
+      "/tmp/graft_ivf_split2")
+    val four = probeAfter(
+      (0 to 3).map(i =>
+        rest.filter(pmod(col("vec_id"), lit(4)) === i)),
+      "/tmp/graft_ivf_split4")
+    assert(one.exceptAll(two).isEmpty && two.exceptAll(one).isEmpty,
+      "1-delta and 2-delta ingests diverged")
+    assert(one.exceptAll(four).isEmpty && four.exceptAll(one).isEmpty,
+      "1-delta and 4-delta ingests diverged")
+    assert(one.count() > 0)
+  }
+
   test("streaming ingest really runs multiple micro-batches and ends " +
        "at the same index as one flat append") {
     // run the inventory query (it wipes its own dirs), then check the
