@@ -304,19 +304,40 @@ object Dedup {
       threshold)
   }
 
+  /** The per-doc canonical PREFIX (rarest shingles first): the first
+    * n − ⌈τ·n⌉ + 2 shingles of each doc under (df asc, shingle asc)
+    * order. The prefix length is data-dependent, but it is bounded by
+    * the corpus-wide maximum — a LITERAL the ranking filter states
+    * first, so Catalyst inserts a `WindowGroupLimit` below the window
+    * shuffle: each map task keeps a per-doc heap of ≤ maxL rows
+    * instead of shuffling and sorting the ENTIRE shingle multiset per
+    * doc (at sf1 that is a ~14× row reduction into the window
+    * exchange). The exact per-doc length filter sits above; the bound
+    * is driver-computed from one single-row aggregate over doc sizes.
+    */
+  private def prefixOf(sh: DataFrame, dfreq: DataFrame, sizes: DataFrame,
+                       threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val maxL = sizes
+      .select((col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 2)
+        .cast("long").as("L"))
+      .agg(max(col("L"))).head().getLong(0)
+    sh.join(dfreq, Seq("shingle"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= lit(maxL))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("pos") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 2)
+      .select("doc_id", "shingle")
+  }
+
   private def prefixPairs(sh: DataFrame, dfreq: DataFrame,
                           threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // canonical order: rarest shingles first ⇒ smallest posting lists
     // do the candidate generation.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val prefix = sh.join(dfreq, Seq("shingle"))
-      .withColumn("pos", row_number().over(w))
-      .join(sizes, Seq("doc_id"))
-      .filter(col("pos") <=
-        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 2)
-      .select("doc_id", "shingle")
+    val prefix = prefixOf(sh, dfreq, sizes, threshold)
     val cands = prefix.as("a").join(prefix.as("b"), Seq("shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -347,15 +368,12 @@ object Dedup {
                              threshold: Double = 0.9): DataFrame = {
     val sh = hashedShingleSet(docs, k).cache()
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // cached: the prefix bound materializes it, then the prefix join,
+    // the size prune (twice) and the denominator reuse it — one row
+    // per doc, metadata-sized
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val prefix = sh.join(dfreq, Seq("shingle"))
-      .withColumn("pos", row_number().over(w))
-      .join(sizes, Seq("doc_id"))
-      .filter(col("pos") <=
-        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 2)
-      .select("doc_id", "shingle")
+      .cache()
+    val prefix = prefixOf(sh, dfreq, sizes, threshold)
     val cands = prefix.as("a").join(sh.as("b"), Seq("shingle"))
       .filter(col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))

@@ -264,6 +264,22 @@ class QueryInventorySpec extends SparkSpec {
       s"quality gate not pushed to the scan:\n${scans.mkString("\n")}")
   }
 
+  test("dedup_containment: prefix ranking keeps a bounded per-doc " +
+       "heap below the window shuffle") {
+    // the corpus-wide literal prefix bound lets Catalyst insert a
+    // WindowGroupLimit (Partial) under the window's Exchange, so the
+    // per-doc canonical sort never shuffles the full shingle multiset.
+    // The inventory query cost-chooses the naive plan at this SF, so
+    // assert on the prefix form directly (what sf1+ runs).
+    val p = graft.text.Dedup.containmentPairsPrefix(
+      graft.sources.Tables.documents(spark, sf), 3, 0.9)
+      .queryExecution.executedPlan.toString
+    val partial = p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(partial,
+      s"no partial WindowGroupLimit under the prefix window:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
