@@ -454,8 +454,12 @@ object SimilarityQueries extends QueryPack {
           .writeStream
           .option("checkpointLocation", s"$root/cp")
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
-                           _: Long) =>
-            Similarity.appendIvfIndex(dir, batch)
+                           batchId: Long) =>
+            // batchId tag = exactly-once under checkpoint replay: a
+            // batch whose segment committed before a crash no-ops on
+            // re-delivery instead of duplicating vectors
+            Similarity.appendIvfIndex(dir, batch,
+              tag = Some(batchId.toString))
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()

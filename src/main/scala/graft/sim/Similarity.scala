@@ -541,16 +541,43 @@ object Similarity {
     * standard IVF trade (drifted data degrades recall, not
     * correctness); retraining is a [[buildIvfIndex]] rebuild.
     */
+  /** Tag file a tagged append drops in its version dir — the
+    * foreachBatch exactly-once handle (cf. `CdcPipeline.mergeBatch`'s
+    * batchId manifests): a re-delivered micro-batch finds its tag on
+    * the committed chain and no-ops instead of duplicating vectors.
+    */
+  private val AppendTag = "_APPEND_TAG"
+
+  /** Batch tags already committed on the CURRENT version's segment
+    * chain (single-writer streaming: a replayed batch's segment is by
+    * construction on the chain it committed to).
+    */
+  private def committedTags(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: String, segs: Seq[String]): Set[String] =
+    segs.flatMap { s =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$s/$AppendTag")
+      if (!fs.exists(p)) None
+      else Some(graft.sources.PointerFile.read(fs, p))
+    }.toSet
+
   def appendIvfIndex(dir: String, incoming: DataFrame,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): Unit = {
+                     vecCol: String = "embedding",
+                     tag: Option[String] = None): Unit = {
     val spark = incoming.sparkSession
+    val parent = indexVersion(spark, dir)
+    val parentSegs = indexSegments(spark, dir, parent)
+    val fs0 = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // exactly-once under foreachBatch replay: a batch whose tag is
+    // already on the committed chain was fully ingested before the
+    // crash (segment commit precedes checkpoint commit) — re-delivery
+    // must not duplicate its vectors
+    if (tag.exists(committedTags(fs0, dir, parentSegs))) return
     // a quiet ingest tick commits nothing: an empty delta segment
     // would be a schema-less parquet dir every later probe chokes on
     if (incoming.isEmpty) return
-    val parent = indexVersion(spark, dir)
     val cents = readCentroids(spark, dir, parent)
-    val parentSegs = indexSegments(spark, dir, parent)
     val version = f"v-${System.currentTimeMillis()}%013d-${
       java.util.UUID.randomUUID().toString.take(8)}"
     import spark.implicits._
@@ -568,6 +595,11 @@ object Similarity {
       new org.apache.hadoop.fs.Path(s"$dir/$version/segments"), true)
     try segFile.write(segs.mkString("\n").getBytes("UTF-8"))
     finally segFile.close()
+    tag.foreach { t =>
+      val tf = fs.create(
+        new org.apache.hadoop.fs.Path(s"$dir/$version/$AppendTag"), true)
+      try tf.write(t.getBytes("UTF-8")) finally tf.close()
+    }
     // GC is manifest-aware (commitVersion pins every segment a KEPT
     // version's manifest references), so committing here can never
     // collect a parent segment this manifest still needs.

@@ -199,6 +199,39 @@ class IvfIndexSpec extends SparkSpec {
       "streamed ingest diverged from flat append")
   }
 
+  test("a tagged append replayed after a crash-restart is a no-op; " +
+       "untagged appends deliberately are not") {
+    // foreachBatch replay semantics: the checkpoint commit happens
+    // AFTER the batch function, so a crash between segment commit and
+    // checkpoint commit re-delivers the batch — the tag must absorb it
+    val dir = "/tmp/graft_ivf_tag_spec"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(p)) fsys.delete(p, true)
+    val base = vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val delta = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
+    Similarity.buildIvfIndex(base, dir, nlist = 8)
+    Similarity.appendIvfIndex(dir, delta, tag = Some("7"))
+    val v1 = Similarity.indexVersion(spark, dir)
+    val n1 = Similarity.ivfProbeIndexed(dir,
+      vecs.filter(col("vec_id") < 8), 5).collect().toSet
+    // replay of the same micro-batch: same tag → no version, no flip
+    Similarity.appendIvfIndex(dir, delta, tag = Some("7"))
+    assert(Similarity.indexVersion(spark, dir) == v1,
+      "replayed tagged batch committed a duplicate segment")
+    assert(Similarity.ivfProbeIndexed(dir,
+      vecs.filter(col("vec_id") < 8), 5).collect().toSet == n1)
+    // a DIFFERENT tag is new data and must commit
+    Similarity.appendIvfIndex(dir, delta.limit(3), tag = Some("8"))
+    assert(Similarity.indexVersion(spark, dir) != v1)
+    // untagged appends carry no replay contract: two identical calls
+    // commit two segments (batch callers own their own dedup)
+    Similarity.appendIvfIndex(dir, delta.limit(2))
+    val v3 = Similarity.indexVersion(spark, dir)
+    Similarity.appendIvfIndex(dir, delta.limit(2))
+    assert(Similarity.indexVersion(spark, dir) != v3)
+  }
+
   test("a crash-partial append (no commit marker) is invisible to " +
        "readers and GC-collected without breaking the index") {
     val p = new org.apache.hadoop.fs.Path(appendDir)
