@@ -232,6 +232,74 @@ class IvfIndexSpec extends SparkSpec {
     assert(Similarity.indexVersion(spark, dir) != v3)
   }
 
+  test("mid-stream kill + checkpoint restart of the ingest converges " +
+       "to the flat append (tags absorb any replayed batch)") {
+    val root = "/tmp/graft_ivf_restart_spec"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fsys = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(rp)) fsys.delete(rp, true)
+    val dir = s"$root/index"
+    val base = vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val delta = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
+    Similarity.buildIvfIndex(base, dir, nlist = 8)
+    // 6 source files with distinct mod-times → 6 micro-batches at
+    // maxFilesPerTrigger=1, room to die in the middle
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    val chunked = delta.withColumn("__rn", row_number().over(w))
+    val per = math.ceil(chunked.count() / 6.0).toLong
+    def writeChunks(r: Range): Unit = r.foreach { i =>
+      chunked.filter(col("__rn") > i * per && col("__rn") <= (i + 1) * per)
+        .drop("__rn").coalesce(1).write.mode("append").parquet(s"$root/in")
+      Thread.sleep(30)
+    }
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", 4)
+    def runStream(): Unit = {
+      val q = s2.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        .writeStream.option("checkpointLocation", s"$root/cp")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          Similarity.appendIvfIndex(dir, b, tag = Some(id.toString))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: only half the delta has arrived; the query drains it and
+    // shuts down — the checkpoint is mid-ingest, exactly a crash+cold
+    // restart boundary
+    writeChunks(0 until 3)
+    runStream()
+    val midSegs = Similarity.indexSegments(spark, dir,
+      Similarity.indexVersion(spark, dir))
+    assert(midSegs.size >= 3, s"expected partial ingest, got $midSegs")
+    // the LAST committed batch re-delivered (segment committed, then
+    // crash before checkpoint commit): the tag must absorb it
+    val lastTag = (midSegs.size - 2).toString // batch ids start at 0
+    Similarity.appendIvfIndex(dir,
+      chunked.filter(col("__rn") <= per).drop("__rn"),
+      tag = Some(lastTag))
+    assert(Similarity.indexSegments(spark, dir,
+        Similarity.indexVersion(spark, dir)).size == midSegs.size,
+      "replayed tagged batch committed a duplicate segment")
+    // run 2: the rest arrives; SAME checkpoint — resumes from
+    // committed offsets and ingests only the new files
+    writeChunks(3 until 6)
+    runStream()
+    // end state ≡ flat assignment of the full union to the frozen
+    // centroids — duplicates from an unabsorbed replay would break
+    // row-set equality
+    val queries = vecs.filter(col("vec_id") < 8)
+    val probed = Similarity.ivfProbeIndexed(dir, queries, 5)
+    val cents = Similarity.readCentroids(spark, dir,
+      Similarity.indexVersion(spark, dir))
+    val direct = Similarity.ivfTopK(vecs, queries, 5,
+      centroids = Some(cents))
+    assert(probed.exceptAll(direct).isEmpty &&
+           direct.exceptAll(probed).isEmpty,
+      "restarted ingest diverged from the flat append")
+  }
+
   test("a crash-partial append (no commit marker) is invisible to " +
        "readers and GC-collected without breaking the index") {
     val p = new org.apache.hadoop.fs.Path(appendDir)
