@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Design rules (so 10x data means 10x WORK, not a different problem):
   *  - fixed dimensions (`region`, `nation`) stay fixed — TPC-H semantics;
-  *  - every other table gets `rep` key-shifted replicas: keys are dense
-  *    0-based in the source, so replica i shifts by i * (max+1); all
-  *    FK relationships hold within a replica by construction;
+  *  - every other table gets `rep` key-shifted replicas: replica i
+  *    shifts each key column by i * (domain offset), where the offset
+  *    of a key DOMAIN (custkey, orderkey, partkey, suppkey) is
+  *    max(parent PK)+1 taken from the table that owns the key and
+  *    shared by every referencing FK column — so FK integrity holds
+  *    within a replica even when the FK's own max < the PK's max
+  *    (orderless customers, unordered parts);
   *  - `events` keeps its timestamps: scale-up means DENSER streams and
   *    MORE keys (user_id shifts), not a longer history — the windowed /
   *    cutoff-split CDC queries see the same windows with 10x state;
@@ -61,12 +65,36 @@ object GenScale {
     def read(t: String): DataFrame =
       spark.read.parquet(s"$src/$t.parquet")
 
-    // replica i of a table: shift each key column by i * (its max + 1)
-    def replicate(t: String, df: DataFrame, keyCols: Seq[String])
+    // One shared offset per KEY DOMAIN, derived from the table that
+    // OWNS the key (ADVICE r4: shifting an FK column by its own max+1
+    // only preserves referential integrity when max(FK) == max(PK);
+    // with orderless customers a replica's o_custkey would resolve to
+    // the wrong replica's customer or dangle). custkey/orderkey/
+    // partkey/suppkey offsets come from customer/orders/part/supplier
+    // and are reused verbatim by every referencing column.
+    def domainOffset(t: String, pk: String): Long = {
+      val row = read(t).agg(max(col(pk))).collect()(0)
+      require(!row.isNullAt(0), s"empty key domain $t.$pk")
+      row.getLong(0) + 1L
+    }
+    val custOff  = domainOffset("customer", "c_custkey")
+    val suppOff  = domainOffset("supplier", "s_suppkey")
+    val partOff  = domainOffset("part", "p_partkey")
+    val orderOff = domainOffset("orders", "o_orderkey")
+
+    // replica i of a table: shift each key column by i * its DOMAIN
+    // offset (explicit per-column map; self-contained keys like
+    // doc_id/vec_id/event_id/user_id use their own table's max+1 —
+    // nothing outside the table references them)
+    def replicate(t: String, df: DataFrame,
+        domainOffsets: Map[String, Long], selfKeys: Seq[String] = Nil)
         (mutate: (DataFrame, Int) => DataFrame): Unit = {
-      val offsets: Map[String, Long] = keyCols.map { k =>
-        k -> (df.agg(max(col(k))).collect()(0).getLong(0) + 1L)
+      val selfOffsets: Map[String, Long] = selfKeys.map { k =>
+        val row = df.agg(max(col(k))).collect()(0)
+        require(!row.isNullAt(0), s"empty key column $t.$k")
+        k -> (row.getLong(0) + 1L)
       }.toMap
+      val offsets = domainOffsets ++ selfOffsets
       val dst = s"$out/$t.parquet"
       (0 until rep).foreach { i =>
         val shifted = offsets.foldLeft(df) { case (d, (k, off)) =>
@@ -87,17 +115,22 @@ object GenScale {
 
     copy("region")
     copy("nation")
-    replicate("customer", read("customer"), Seq("c_custkey"))(keep)
-    replicate("supplier", read("supplier"), Seq("s_suppkey"))(keep)
-    replicate("part", read("part"), Seq("p_partkey"))(keep)
+    replicate("customer", read("customer"),
+      Map("c_custkey" -> custOff))(keep)
+    replicate("supplier", read("supplier"),
+      Map("s_suppkey" -> suppOff))(keep)
+    replicate("part", read("part"),
+      Map("p_partkey" -> partOff))(keep)
     replicate("orders", read("orders"),
-      Seq("o_orderkey", "o_custkey"))(keep)
+      Map("o_orderkey" -> orderOff, "o_custkey" -> custOff))(keep)
     replicate("lineitem", read("lineitem"),
-      Seq("l_orderkey", "l_partkey", "l_suppkey"))(keep)
-    replicate("events", read("events"),
-      Seq("event_id", "user_id"))(keep)
+      Map("l_orderkey" -> orderOff, "l_partkey" -> partOff,
+        "l_suppkey" -> suppOff))(keep)
+    replicate("events", read("events"), Map.empty,
+      selfKeys = Seq("event_id", "user_id"))(keep)
 
-    replicate("documents", read("documents"), Seq("doc_id")) { (d, i) =>
+    replicate("documents", read("documents"), Map.empty,
+        selfKeys = Seq("doc_id")) { (d, i) =>
       if (i == 0) d
       else {
         // every 3rd word (phase-shifted by replica) becomes a
@@ -116,7 +149,8 @@ object GenScale {
       }
     }
 
-    replicate("embeddings", read("embeddings"), Seq("vec_id")) { (d, i) =>
+    replicate("embeddings", read("embeddings"), Map.empty,
+        selfKeys = Seq("vec_id")) { (d, i) =>
       if (i == 0) d
       else d.withColumn("embedding",
         transform(col("embedding"), (x, idx) =>

@@ -61,6 +61,23 @@ def main() -> None:
                           WHERE o.o_orderkey = l.l_orderkey)""")
     check("lineitem->orders FK", orphans == 0, f"{orphans} orphans")
 
+    # Same-replica resolution (existence alone can't see this): every
+    # FK must land in ITS OWN replica's parent block. Replica i of a
+    # key domain occupies [i*off, (i+1)*off) where off = source parent
+    # max+1 — so the block index of each FK must match the row's own.
+    cust_off = q(f"SELECT max(c_custkey)+1 FROM {pq(src, 'customer')}")
+    order_off = q(f"SELECT max(o_orderkey)+1 FROM {pq(src, 'orders')}")
+    part_off = q(f"SELECT max(p_partkey)+1 FROM {pq(src, 'part')}")
+    supp_off = q(f"SELECT max(s_suppkey)+1 FROM {pq(src, 'supplier')}")
+    bad = q(f"""SELECT count(*) FROM {pq(dst, 'orders')}
+        WHERE o_custkey // {cust_off} != o_orderkey // {order_off}""")
+    check("orders FK same-replica", bad == 0, f"{bad} cross-replica rows")
+    bad = q(f"""SELECT count(*) FROM {pq(dst, 'lineitem')}
+        WHERE l_partkey // {part_off} != l_orderkey // {order_off}
+           OR l_suppkey // {supp_off} != l_orderkey // {order_off}""")
+    check("lineitem FK same-replica", bad == 0,
+          f"{bad} cross-replica rows")
+
     # duplicate density must be LINEAR: exact-dup pair count scales ~rep
     def dup_pairs(d: str) -> int:
         return q(f"""SELECT coalesce(sum(n * (n - 1) / 2), 0) FROM (
