@@ -453,14 +453,11 @@ object SimilarityQueries extends QueryPack {
           .option("maxFilesPerTrigger", 2).parquet(s"$root/in")
           .writeStream
           .option("checkpointLocation", s"$root/cp")
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
-                           batchId: Long) =>
-            // batchId tag = exactly-once under checkpoint replay: a
-            // batch whose segment committed before a crash no-ops on
-            // re-delivery instead of duplicating vectors
-            Similarity.appendIvfIndex(dir, batch,
-              tag = Some(batchId.toString))
-          }
+          // stream-id-namespaced batch tags = exactly-once under
+          // checkpoint replay: a batch whose segment committed before
+          // a crash no-ops on re-delivery, while a RESET checkpoint
+          // gets a fresh namespace instead of colliding with old tags
+          .foreachBatch(Similarity.ivfStreamSink(dir, s"$root/cp"))
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()

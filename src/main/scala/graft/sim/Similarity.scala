@@ -606,6 +606,38 @@ object Similarity {
     graft.sources.PointerFile.commitVersion(fs, base, version)
   }
 
+  /** foreachBatch sink for streaming ingest into a persisted index.
+    * Tags each append `<streamId>#<batchId>` where streamId is the
+    * query's stable id from the checkpoint's `metadata` file (written
+    * at query start, constant across restarts of the SAME checkpoint).
+    * A raw batchId tag is ambiguous across stream lifetimes: wipe the
+    * checkpoint but keep the index, and the new stream's batch 0
+    * collides with the old chain's tag "0" — new data silently dropped
+    * as a phantom replay. A reset checkpoint mints a fresh query id,
+    * so its batches land in a fresh tag namespace; replays within one
+    * checkpoint still dedupe exactly.
+    */
+  def ivfStreamSink(dir: String, checkpointDir: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding")
+      : (DataFrame, Long) => Unit = {
+    @volatile var streamId: String = null
+    (batch: DataFrame, batchId: Long) => {
+      if (streamId == null) {
+        val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
+        val fs = p.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        val json = graft.sources.PointerFile.read(fs, p)
+        val m = """"id"\s*:\s*"([^"]+)"""".r
+          .findFirstMatchIn(json)
+        require(m.isDefined, s"no query id in $checkpointDir/metadata")
+        streamId = m.get.group(1)
+      }
+      appendIvfIndex(dir, batch, idCol, vecCol,
+        tag = Some(s"$streamId#$batchId"))
+    }
+  }
+
   /** Probe a persisted index: the probed cell set (≤ queries × nprobe
     * ids, computed from the small query side) becomes a STATIC `isin`
     * partition filter, so the cells scan touches only those

@@ -258,9 +258,7 @@ class IvfIndexSpec extends SparkSpec {
       val q = s2.readStream.schema(delta.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
         .writeStream.option("checkpointLocation", s"$root/cp")
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-          Similarity.appendIvfIndex(dir, b, tag = Some(id.toString))
-        }
+        .foreachBatch(Similarity.ivfStreamSink(dir, s"$root/cp"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -274,8 +272,14 @@ class IvfIndexSpec extends SparkSpec {
       Similarity.indexVersion(spark, dir))
     assert(midSegs.size >= 3, s"expected partial ingest, got $midSegs")
     // the LAST committed batch re-delivered (segment committed, then
-    // crash before checkpoint commit): the tag must absorb it
-    val lastTag = (midSegs.size - 2).toString // batch ids start at 0
+    // crash before checkpoint commit): the tag must absorb it. Tags
+    // are streamId#batchId — recover the id the sink read from the
+    // checkpoint metadata to forge the replayed tag.
+    val metaJson = graft.sources.PointerFile.read(fsys,
+      new org.apache.hadoop.fs.Path(s"$root/cp/metadata"))
+    val streamId = """"id"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(metaJson).get.group(1)
+    val lastTag = s"$streamId#${midSegs.size - 2}" // batch ids start at 0
     Similarity.appendIvfIndex(dir,
       chunked.filter(col("__rn") <= per).drop("__rn"),
       tag = Some(lastTag))
@@ -298,6 +302,47 @@ class IvfIndexSpec extends SparkSpec {
     assert(probed.exceptAll(direct).isEmpty &&
            direct.exceptAll(probed).isEmpty,
       "restarted ingest diverged from the flat append")
+  }
+
+  test("a reset checkpoint (index retained) appends under a fresh tag " +
+       "namespace instead of dropping its batches as phantom replays") {
+    // ADVICE r4: raw batchId tags collide across stream lifetimes —
+    // wipe the checkpoint, keep the index, and the NEW stream's batch
+    // 0 matches the OLD chain's tag "0" and is silently discarded.
+    // ivfStreamSink namespaces by the query id in the checkpoint's
+    // metadata file, so a reset mints a fresh namespace.
+    val root = "/tmp/graft_ivf_reset_spec"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fsys = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(rp)) fsys.delete(rp, true)
+    val dir = s"$root/index"
+    Similarity.buildIvfIndex(vecs.filter(col("vec_id") < 30), dir,
+      nlist = 8)
+    def mkCheckpoint(cp: String, id: String): Unit = {
+      val f = fsys.create(new org.apache.hadoop.fs.Path(s"$cp/metadata"),
+        true)
+      try f.write(s"""{"id":"$id"}""".getBytes("UTF-8"))
+      finally f.close()
+    }
+    mkCheckpoint(s"$root/cp1", "11111111-aaaa-bbbb-cccc-000000000001")
+    mkCheckpoint(s"$root/cp2", "22222222-aaaa-bbbb-cccc-000000000002")
+    val sink1 = Similarity.ivfStreamSink(dir, s"$root/cp1")
+    val sink2 = Similarity.ivfStreamSink(dir, s"$root/cp2")
+    def nSegs: Int = Similarity.indexSegments(spark, dir,
+      Similarity.indexVersion(spark, dir)).size
+    val d1 = vecs.filter(col("vec_id") >= 30 && col("vec_id") < 40)
+    val d2 = vecs.filter(col("vec_id") >= 40 && col("vec_id") < 50)
+    sink1(d1, 0L)
+    val afterFirst = nSegs
+    sink1(d1, 0L) // replay within the same checkpoint: absorbed
+    assert(nSegs == afterFirst,
+      "replayed batch in the same stream committed a duplicate segment")
+    // "checkpoint wiped, index kept": a new stream starts at batch 0
+    // with DIFFERENT data — must commit, not vanish
+    sink2(d2, 0L)
+    assert(nSegs == afterFirst + 1,
+      "fresh stream's batch 0 was dropped as a phantom replay of the " +
+      "old stream's batch 0")
   }
 
   test("a crash-partial append (no commit marker) is invisible to " +
