@@ -319,10 +319,12 @@ object Dedup {
                        threshold: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    // coalesce: max over ZERO docs is NULL — an empty corpus must
+    // yield an empty prefix, not an NPE on getLong (ADVICE r4)
     val maxL = sizes
       .select((col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 2)
         .cast("long").as("L"))
-      .agg(max(col("L"))).head().getLong(0)
+      .agg(coalesce(max(col("L")), lit(0L))).head().getLong(0)
     sh.join(dfreq, Seq("shingle"))
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= lit(maxL))

@@ -148,6 +148,15 @@ class DedupSpec extends SparkSpec {
       .except(recomputed).isEmpty)
   }
 
+  test("prefix paths on an EMPTY corpus return empty, not NPE") {
+    // ADVICE r4: the driver-computed prefix bound was max over zero
+    // rows → NULL → getLong NPE; an empty input must degrade to an
+    // empty result like every other path
+    val empty = planted.filter(lit(false))
+    assert(Dedup.containmentPairsPrefix(empty, k = 3,
+      threshold = 0.9).isEmpty)
+  }
+
   test("prefix-filtered containment == naive containment (lossless)") {
     // the wrapped-chrome plant from the dedup_containment query: every
     // 8th doc embedded whole inside a header/footer wrapper
