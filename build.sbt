@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout is normally re-logged line-by-line with an
+// "[info] " prefix; the driver parses the Bench contract line out of
+// the captured log and expects it to START with '{' (BENCH_r01–r04:
+// parsed=null every round). StdoutOutput makes the child inherit the
+// real stdout, so the JSON line lands in the log unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

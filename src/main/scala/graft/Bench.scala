@@ -82,23 +82,32 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), full + "\n")
     catch { case _: Throwable => () }
-    // STDOUT line: the driver's round record keeps only a 2000-char
-    // tail of this line and parses THAT (BENCH_r01–r03: any line over
-    // the cap came back truncated with parsed=null). So the printed
-    // line itself must fit the cap: totals + extras + as many of the
-    // HEAVIEST queries as fit a conservative budget, heaviest first —
-    // the entries a grader compares against per-query targets. The
-    // full maps live in BENCH_LOCAL.json (committed).
-    val fixed = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"extras":$ex,"sf":"$sfDir","full_record":"BENCH_LOCAL.json","queries":{}}"""
-    val budget = 1900 - fixed.length
+    // STDOUT record: the driver captures a ~2000-char SUFFIX of the
+    // sbt log and parses the bench line out of it. BENCH_r01–r03
+    // failed because the line overflowed the window (front-truncated);
+    // BENCH_r04's line fit COMPLETE in the tail and still parsed=null
+    // because sbt re-logs a forked run's stdout with an "[info] "
+    // prefix, defeating a parser that expects the line to start with
+    // '{' (fixed in build.sbt: run/outputStrategy=StdoutOutput makes
+    // the child inherit the raw stdout). Here: every variable section
+    // (queries, extras, failed) is clamped so the whole line stays
+    // ~1100 chars — far under the window even with sbt's trailing
+    // [success] lines (ADVICE r4: the failed/extras sections were
+    // unbounded and could blow the cap on a bad day).
+    def clamp(entries: Seq[String], budget: Int): String =
+      entries.foldLeft((List.empty[String], 0)) {
+        case ((acc, len), e) =>
+          if (len + e.length + 1 <= budget) (e :: acc, len + e.length + 1)
+          else (acc, len)
+      }._1.reverse.mkString(",")
     val heaviest = results.filter(_._4).sortBy(-_._2)
       .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
-    val kept = heaviest.foldLeft((List.empty[String], 0)) {
-      case ((acc, len), e) =>
-        if (len + e.length + 1 <= budget) (e :: acc, len + e.length + 1)
-        else (acc, len)
-    }._1.reverse.mkString(",")
-    println(fixed.dropRight(3) + s"{$kept}}")
+    val failedNames = results.collect { case (k, _, _, false) =>
+      s"\"$k\"" }
+    val exEntries = extras.map { case (k, v) =>
+      s"\"" + k + "\":" + r3(v) }.toSeq
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"failed":[${clamp(failedNames, 150)}],"sf":"$sfDir","full_record":"BENCH_LOCAL.json","extras":{${clamp(exEntries, 300)}},"queries":{${clamp(heaviest, 600)}}}"""
+    println(compact)
     spark.stop()
   }
 
