@@ -211,6 +211,33 @@ class QueryInventorySpec extends SparkSpec {
         s"$plainExchanges in the plain join:\n$p")
   }
 
+  test("the cell-refined kNN join stays the documented default and " +
+       "stays oracled; the naive form stays fenced as a demonstrator") {
+    // r4 verdict: sim_knn_join is the one deliberately-quadratic plan
+    // in the inventory (15.1× time at 3× data measured). This pins the
+    // fence: the DEFAULT constant names the cell form, both queries
+    // exist, running the cell form registers its rendered oracle, and
+    // the PLANS.md generator carries a scale-demonstrator note for the
+    // naive form pointing at the default — so neither a rename nor a
+    // regenerated PLANS.md can silently drop the warning.
+    assert(SimilarityQueries.knnJoinDefault == "sim_knn_join_cell")
+    assert(SimilarityQueries.knnJoinScaleDemonstrator == "sim_knn_join")
+    assert(SparkEntry.queries.contains(SimilarityQueries.knnJoinDefault))
+    assert(SparkEntry.queries.contains(
+      SimilarityQueries.knnJoinScaleDemonstrator))
+    SparkEntry.queries(SimilarityQueries.knnJoinDefault)(spark, sf).count()
+    assert(DynamicOracle.snapshot.contains(SimilarityQueries.knnJoinDefault),
+      "the default kNN join lost its rendered oracle")
+    val naiveNote = graft.Plans.notes.getOrElse(
+      SimilarityQueries.knnJoinScaleDemonstrator, "")
+    assert(naiveNote.contains("SCALE-DEMONSTRATOR") &&
+      naiveNote.contains(SimilarityQueries.knnJoinDefault),
+      "PLANS.md note no longer fences the naive kNN join")
+    assert(graft.Plans.notes.contains(SimilarityQueries.knnJoinDefault),
+      "PLANS.md note no longer documents the default kNN join")
+    assert(graft.Plans.selected.contains(SimilarityQueries.knnJoinDefault))
+  }
+
   test("text_bm25: query-term postings filter sits on the token " +
        "explode, before any exchange") {
     val p = plan("text_bm25")
