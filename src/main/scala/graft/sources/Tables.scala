@@ -1,7 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType, TimestampNTZType, TimestampType}
+
+import java.time.{Instant, LocalDateTime, ZoneOffset}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -31,38 +34,107 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark 4 rejects
-    * outright (PARQUET_TYPE_ILLEGAL). Read it as a raw nano-long via the
-    * legacy conf (runtime-settable, scoped to this session) and normalize
-    * to a microsecond TimestampType — the driver data is µs-aligned
-    * (FIXTURES.md: "oracles must not depend on sub-microsecond digits"),
-    * so nothing is lost and DuckDB sees identical instants.
+  /** `events.ts` has shipped in two on-disk encodings (FIXTURES.md):
+    * TIMESTAMP(NANOS), which Spark 4 rejects outright
+    * (PARQUET_TYPE_ILLEGAL) unless read as a raw nano-long via the
+    * legacy conf, and plain µs `timestamp[us]` (naive, i.e.
+    * isAdjustedToUTC=false → TIMESTAMP_NTZ on read). The loader sniffs
+    * the scanned type and normalizes BOTH to a microsecond
+    * TimestampType whose instant equals the wall clock read as UTC —
+    * exactly what DuckDB's `epoch_us(ts)` oracle sees. The driver data
+    * is µs-aligned ("oracles must not depend on sub-microsecond
+    * digits"), so the nano truncation loses nothing.
     */
   def events(s: SparkSession, d: String): DataFrame =
     eventsWindow(s, d, None, None)
 
+  /** The scanned type of `events.ts` for this directory. Side effect:
+    * enables the legacy nano-as-long read so TIMESTAMP(NANOS) files
+    * scan as LongType instead of failing (a no-op for µs files).
+    */
+  def eventsTsType(s: SparkSession, d: String): DataType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events").schema("ts").dataType
+  }
+
   /** Events with an event-time window PUSHED INTO THE SCAN: the bounds
-    * are applied to the raw nano-long column BEFORE the µs conversion,
-    * so they appear in `PushedFilters` and prune parquet row groups —
-    * a filter on the derived timestamp would silently scan everything
-    * (`f(col)` predicates never push). At 100 TB the time window is the
-    * difference between reading a day and reading the lake.
+    * are applied to the raw scan column in ITS OWN type BEFORE any
+    * normalization, so they appear in `PushedFilters` and prune parquet
+    * row groups — a filter on a derived timestamp would silently scan
+    * everything (`f(col)` predicates never push). At 100 TB the time
+    * window is the difference between reading a day and reading the
+    * lake.
     */
   def eventsWindow(s: SparkSession, d: String,
                    fromUs: Option[Long], untilUs: Option[Long]): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = eventsTsType(s, d)
     val raw = load(s, d, "events")
+    val bound = tsBoundLiteral(tsType, _)
     val bounded = (fromUs, untilUs) match {
       case (Some(lo), Some(hi)) =>
-        raw.filter(col("ts") >= lo * 1000L && col("ts") < hi * 1000L)
-      case (Some(lo), None) => raw.filter(col("ts") >= lo * 1000L)
-      case (None, Some(hi)) => raw.filter(col("ts") < hi * 1000L)
+        raw.filter(col("ts") >= bound(lo) && col("ts") < bound(hi))
+      case (Some(lo), None) => raw.filter(col("ts") >= bound(lo))
+      case (None, Some(hi)) => raw.filter(col("ts") < bound(hi))
       case _ => raw
     }
-    // integral `div`, NOT `/`: long/long promotes to double and rounds
-    // half-up, which would disagree with DuckDB's truncating epoch_us
-    // on events with sub-microsecond digits.
-    bounded.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(bounded, tsType)
+  }
+
+  /** A window bound (epoch µs) as a literal of the SCAN column's own
+    * type, so the comparison is a plain `col op lit` the parquet source
+    * can push. Nano-long scans compare in nanos; timestamp scans
+    * compare against a timestamp literal (LocalDateTime for NTZ —
+    * the fixture contract reads NTZ wall clock as UTC).
+    */
+  private def tsBoundLiteral(tsType: DataType, us: Long): Column =
+    tsType match {
+    case LongType => lit(us * 1000L)
+    case TimestampNTZType => lit(LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt, ZoneOffset.UTC))
+    case TimestampType => lit(Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+    case other => throw new IllegalStateException(
+      s"unsupported events.ts encoding: $other")
+  }
+
+  /** Normalize a scanned `ts` to µs TimestampType.
+    *  - nano-long: integral `div`, NOT `/` — long/long promotes to
+    *    double and rounds half-up, which would disagree with DuckDB's
+    *    truncating epoch_us on events with sub-microsecond digits.
+    *  - NTZ: the cast reinterprets wall clock in the SESSION zone, so
+    *    pin it to UTC first (ADVICE r5: a non-UTC session would shift
+    *    every instant and silently diverge from the oracle).
+    */
+  private def normalizeTs(df: DataFrame, tsType: DataType): DataFrame =
+    tsType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"unsupported events.ts encoding: $other")
+    }
+
+  /** `events` as a file-source STREAM (readStream needs an explicit
+    * schema), normalized identically to [[events]] — the helper behind
+    * the batch/stream parity specs, and the reason a testdata encoding
+    * change lands in one place instead of every streaming call site.
+    */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val tsType = eventsTsType(s, d)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", org.apache.spark.sql.types.StringType),
+      StructField("value", org.apache.spark.sql.types.DoubleType),
+      StructField("props", org.apache.spark.sql.types.StringType)))
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+    normalizeTs(raw, tsType)
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -48,12 +48,14 @@ object GenScale {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) — Spark 4 rejects it
-      // unless read as a raw nano-long (same conf Tables.events sets).
-      // The replica is then WRITTEN as a plain INT64 nano column, which
-      // Tables.eventsWindow reads identically (ts arrives as long either
-      // way; filters and the µs conversion are value-compatible).
+      // Legacy-encoding support: pre-r6 testdata carried TIMESTAMP(NANOS),
+      // which Spark 4 rejects unless read as a raw nano-long (same conf
+      // Tables.events sets; a no-op for the current timestamp[us] files).
+      // Either way `ts` is not a shifted key column, so the replica
+      // round-trips the source encoding verbatim and Tables.eventsWindow's
+      // encoding sniff handles the output identically to the input.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, src, out, rep)

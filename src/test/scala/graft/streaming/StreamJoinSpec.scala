@@ -14,17 +14,7 @@ import graft.sources.Tables
   */
 class StreamJoinSpec extends SparkSpec {
 
-  private def eventStream(): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventStream(): DataFrame = Tables.eventsStream(spark, sf)
 
   test("streamed interval join equals the batch join") {
     val stream = eventStream()

@@ -15,20 +15,10 @@ import graft.sources.Tables
   */
 class WindowedStreamSpec extends SparkSpec {
 
-  /** events as an actual stream: same ns→µs normalization as
-    * Tables.events, driven by the file source.
+  /** events as an actual stream: same ts normalization as Tables.events
+    * (encoding-sniffed), driven by the file source.
     */
-  private def eventStream(): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventStream(): DataFrame = Tables.eventsStream(spark, sf)
 
   private def runComplete(df: DataFrame, name: String): DataFrame = {
     val q = df.writeStream.outputMode("complete")

@@ -101,16 +101,21 @@ def main() -> None:
     check("embedding norms preserved", drift < 1e-4, f"max drift {drift}")
 
     # events: timestamps unchanged per replica (same min/max as source).
-    # Source is TIMESTAMP(NANOS); the replica stores the same values as a
-    # raw int64 nano column (GenScale reads via nanosAsLong) — normalize
-    # both to integer epoch-nanos before comparing.
-    # DuckDB itself truncates TIMESTAMP(NANOS) to µs on read, so compare
-    # at µs granularity (the repo-wide oracle convention anyway).
+    # Encodings vary by testdata generation (TIMESTAMP(NANOS) pre-r6,
+    # timestamp[us] now, raw int64 nanos in old GenScale replicas) —
+    # normalize each side to integer epoch-µs by its OWN described type
+    # (µs is the repo-wide oracle granularity anyway).
+    def ts_us_expr(base: str) -> str:
+        t = next(t for c, t, *_ in con.execute(
+            f"DESCRIBE SELECT ts FROM {pq(base, 'events')}").fetchall()
+            if c == "ts")
+        return "ts // 1000" if t == "BIGINT" else "epoch_us(ts)"
+
+    es, ed = ts_us_expr(src), ts_us_expr(dst)
     for agg in ("min", "max"):
-        ts_s = q(f"SELECT epoch_ns({agg}(ts)) FROM {pq(src, 'events')}")
-        ts_d = q(f"SELECT {agg}(ts) FROM {pq(dst, 'events')}")
-        check(f"events ts {agg} fixed",
-              int(ts_s) // 1000 == int(ts_d) // 1000,
+        ts_s = q(f"SELECT {agg}({es}) FROM {pq(src, 'events')}")
+        ts_d = q(f"SELECT {agg}({ed}) FROM {pq(dst, 'events')}")
+        check(f"events ts {agg} fixed", int(ts_s) == int(ts_d),
               f"{ts_d} (want {ts_s} at us granularity)")
 
     print(f"\n{'ALL CHECKS PASS' if fails == 0 else f'{fails} FAILURES'}")
