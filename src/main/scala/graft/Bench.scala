@@ -63,53 +63,16 @@ object Bench {
         (name, math.min(warm, retry), cold, ok)
       }
     }
-    def r3(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val qsCold = results.map { case (k, _, c, _) =>
-        s"\"" + k + "\":" + r3(c) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false) => s"\"$k\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
     val extras = benchExtras(spark, sfDir)
-    val ex = extras.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     // FULL record (both per-query maps + extras) goes to the committed
     // BENCH_LOCAL.json — the durable artifact the judge reads.
-    val full = s"""{"queries_cold":$qsCold,"queries":$qs,"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"extras":$ex,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outFile), full + "\n")
+      java.nio.file.Paths.get(outFile),
+      BenchRecord.full(results, extras, sfDir) + "\n")
     catch { case _: Throwable => () }
-    // STDOUT record: the driver captures a ~2000-char SUFFIX of the
-    // sbt log and parses the bench line out of it. BENCH_r01–r03
-    // failed because the line overflowed the window (front-truncated);
-    // BENCH_r04's line fit COMPLETE in the tail and still parsed=null
-    // because sbt re-logs a forked run's stdout with an "[info] "
-    // prefix, defeating a parser that expects the line to start with
-    // '{' (fixed in build.sbt: run/outputStrategy=StdoutOutput makes
-    // the child inherit the raw stdout). Here: every variable section
-    // (queries, extras, failed) is clamped so the whole line stays
-    // ~1100 chars — far under the window even with sbt's trailing
-    // [success] lines (ADVICE r4: the failed/extras sections were
-    // unbounded and could blow the cap on a bad day).
-    def clamp(entries: Seq[String], budget: Int): String =
-      entries.foldLeft((List.empty[String], 0)) {
-        case ((acc, len), e) =>
-          if (len + e.length + 1 <= budget) (e :: acc, len + e.length + 1)
-          else (acc, len)
-      }._1.reverse.mkString(",")
-    val heaviest = results.filter(_._4).sortBy(-_._2)
-      .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
-    val failedNames = results.collect { case (k, _, _, false) =>
-      s"\"$k\"" }
-    val exEntries = extras.map { case (k, v) =>
-      s"\"" + k + "\":" + r3(v) }.toSeq
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"failed":[${clamp(failedNames, 150)}],"sf":"$sfDir","full_record":"BENCH_LOCAL.json","extras":{${clamp(exEntries, 300)}},"queries":{${clamp(heaviest, 600)}}}"""
-    println(compact)
+    println(BenchRecord.compact(results, extras, sfDir))
     spark.stop()
   }
 

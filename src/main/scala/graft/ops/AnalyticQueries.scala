@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Native
@@ -342,34 +343,61 @@ object AnalyticQueries extends QueryPack {
 
     // DataSketches HLL: mergeable sketch partials — the re-aggregatable
     // form of distinct counting (union per-day sketches ≡ sketch of the
-    // union; proved in SketchSpec). Estimates are sketch-specific ⇒
-    // rows-only for the driver.
+    // union; proved in SketchSpec). Estimates are sketch-specific, so
+    // the oracle asserts the ACCURACY ENVELOPE instead (lgK=12 ⇒ ~1.6%
+    // rse; 5% is >3 standard errors): exact count plus a within-bound
+    // boolean, hash-comparable in DuckDB at any SF.
     Q("agg_hll_sketch",
       (s, d) => Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
-          .as("est_users"))
+          .as("est_users"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("est_users") - col("n_users"))
+            <= col("n_users") * 0.05).as("within_5pct"))
         .orderBy(col("event_type")),
-      None),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Sketch quantiles — THE unbounded-group percentile path at 100 TB
     // (SCALE.md): GK summaries are mergeable partials with an ε rank
     // bound, so no group ever materializes its value list (contrast
     // agg_percentile's exact sort-based path). Estimates are
-    // merge-order-specific ⇒ rows-only for the driver; the rank-error
-    // envelope and exactness-under-repartition are pinned in
-    // ApproxPercentileSpec.
+    // merge-order-specific, so the oracle asserts the RANK GUARANTEE
+    // itself: re-join the estimates against the values and check the
+    // realized rank of each estimate sits within p ± 1% (ε=1/10000
+    // plus discreteness slack) — booleans DuckDB hash-verifies at any
+    // SF, including ones where the sketch path is genuinely
+    // approximate. Exactness-under-repartition and the raw error
+    // envelope stay pinned in ApproxPercentileSpec.
     Q("agg_approx_percentile",
-      (s, d) => Tables.events(s, d)
-        .groupBy(col("event_type"))
-        .agg(percentile_approx(col("value"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
-        .select(col("event_type"),
-          col("pcts").getItem(0).as("p50"),
-          col("pcts").getItem(1).as("p90"),
-          col("pcts").getItem(2).as("p99"))
-        .orderBy(col("event_type")),
-      None),
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+        val est = ev.groupBy(col("event_type"))
+          .agg(percentile_approx(col("value"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
+          .select(col("event_type"),
+            col("pcts").getItem(0).as("p50"),
+            col("pcts").getItem(1).as("p90"),
+            col("pcts").getItem(2).as("p99"))
+        def rankOk(p: Double, c: Column): Column = {
+          val le = avg((col("value") <= c).cast("double"))
+          val lt = avg((col("value") < c).cast("double"))
+          le >= p - 0.01 && lt <= p + 0.01
+        }
+        ev.join(broadcast(est), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_values"),
+            rankOk(0.5, col("p50")).as("ok50"),
+            rankOk(0.9, col("p90")).as("ok90"),
+            rankOk(0.99, col("p99")).as("ok99"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n_values,
+        |       TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // first/last/nth value over an explicit full-partition frame (the
     // default frame would make last_value = current row — the classic
