@@ -187,14 +187,17 @@ object RelationalQueries extends QueryPack {
     // estimates are engine-specific, so the ORACLE-FACING claim is the
     // accuracy CONTRACT, not the estimate: the query computes both the
     // sketch and the exact count and emits whether the estimate landed
-    // inside the documented 5% envelope (default rsd=0.05) — a boolean
-    // DuckDB can assert exactly (VERDICT r5 item 6: no more no_oracle
-    // rows). The raw-estimate error distribution stays pinned in
-    // SketchSpec.
+    // inside a 5% envelope — a boolean DuckDB can assert exactly
+    // (VERDICT r5 item 6: no more no_oracle rows). rsd=0.01 makes 5%
+    // a 5σ claim; the default rsd=0.05 made it 1σ, which the sf1
+    // replay promptly FALSIFIED (all five groups missed at 15k
+    // distinct — dense-mode bias, invisible at sf0.01's near-exact
+    // cardinalities). The raw-estimate error distribution stays
+    // pinned in SketchSpec.
     Q("agg_approx_distinct",
       (s, d) => Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           countDistinct(col("user_id")).as("n_users"))
         .select(col("event_type"), col("n_users"),
           (abs(col("approx_users") - col("n_users"))

@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Grade a BENCH_LOCAL.json against the per-class budgets (BASELINE.md
+§round-4). Optionally merge two bench records query-wise min first — the
+"clean pair" the verdicts grade:
+
+    python3 tools/class_budget.py BENCH_LOCAL.json [BENCH_LOCAL2.json]
+
+Exit 1 if any class exceeds its budget.
+"""
+import json
+import sys
+
+# query -> class. Every inventory query must appear in exactly one
+# class; the script fails loudly on unknown/missing names so the map
+# can't silently rot when the inventory grows.
+CLASSES = {
+    "scan/agg/window": [
+        "agg_approx_distinct", "agg_approx_percentile", "agg_corr_exact",
+        "agg_cube", "agg_distinct", "agg_groupby", "agg_grouping_sets",
+        "agg_heavy_hitters", "agg_hll_sketch", "agg_percentile",
+        "agg_pivot", "agg_rollup", "agg_stats", "agg_unpivot",
+        "filter_scalar_subquery", "fn_array", "fn_base64", "fn_date",
+        "fn_explode", "fn_json", "fn_math", "fn_path", "fn_regex",
+        "fn_string", "fn_vector", "include_list_filter",
+        "json_select_by_key", "envelope_project", "topic_regex_filter",
+        "layout_zorder_slice", "log_scan", "profile_columns",
+        "q_star_revenue", "sample_hash_split", "sample_stratified",
+        "scan_parquet", "sort_limit", "sql_entry_topk", "top_k_agg",
+        "top_k_payload", "top_k_per_group", "win_distribution",
+        "win_first_last", "win_gaps_islands", "win_lead_lag",
+        "win_moving_avg", "win_range_between", "win_rank",
+        "win_running_sum",
+    ],
+    "joins/sets": [
+        "join_asof", "join_asof_tolerance", "join_bloom_pruned",
+        "join_broadcast", "join_bucketed_colocated", "join_full_outer",
+        "join_left_anti", "join_left_outer", "join_left_semi",
+        "join_null_safe", "join_range", "join_shuffle",
+        "join_skew_adaptive", "join_skew_salted", "set_except",
+        "set_intersect", "set_union",
+    ],
+    "cdc materialize/timeline": [
+        "cdc_compact_state", "cdc_envelope", "cdc_envelope_avro",
+        "cdc_evolved_history", "cdc_latest_state", "cdc_poison_pills",
+        "cdc_scd2_as_of", "cdc_scd2_history",
+        "cdc_snapshot_plus_incremental", "cdc_state_diff",
+        "cdc_time_travel", "cdc_upsert_materialize",
+    ],
+    "streaming/state-store": [
+        "cdc_multi_table_pipeline", "cdc_stream_dedup",
+        "cdc_stream_enrich", "cdc_stream_pipeline", "cdc_stream_stateful",
+        "stream_interval_join", "stream_late_audit",
+        "stream_session_window", "stream_sliding_window",
+        "stream_tumbling_window",
+    ],
+    "dedup family": [
+        "dedup_clusters", "dedup_containment", "dedup_cross_corpus",
+        "dedup_edit_verify", "dedup_embedding_cosine", "dedup_exact",
+        "dedup_index_probe", "dedup_minhash", "dedup_ngram_jaccard",
+        "dedup_simhash", "text_substring_dedup",
+    ],
+    "similarity/ANN": [
+        "sim_ann_ivf", "sim_ann_ivf_append", "sim_ann_ivf_indexed",
+        "sim_ann_ivf_trained", "sim_ann_lsh", "sim_cosine_topk",
+        "sim_knn_join", "sim_knn_join_cell", "sim_quantized_topk",
+        "sim_stream_ivf_ingest",
+    ],
+    "text/multimodal per-row": [
+        "mm_batch_embed", "mm_decode_meta", "mm_dedup_binary",
+        "mm_feature_extract", "mm_frame_sample", "mm_resize", "text_bm25",
+        "text_entropy", "text_fingerprint", "text_histogram",
+        "text_langid", "text_normalize", "text_quality",
+        "text_redact_pii", "text_repetition", "text_tokens",
+        "text_unigram_logprob", "text_vocab",
+    ],
+    "pipeline composites": [
+        "pipeline_cdc_metrics", "pipeline_clean_corpus",
+        "pipeline_curriculum_sample", "pipeline_decontaminate",
+        "pipeline_dedup_apply", "pipeline_event_funnel",
+        "pipeline_full_build", "pipeline_incremental_agg",
+        "pipeline_mixture_sample", "pipeline_pack_sequences",
+        "pipeline_shuffle_shard",
+    ],
+}
+
+# BASELINE.md §round-4 budgets (seconds, clean sf0.1 run, min-of-2,
+# noop sink). A breach means "investigate", a >2x breach means "real
+# regression in that class".
+BUDGETS = {
+    "scan/agg/window": 32.0,
+    "joins/sets": 16.0,
+    "cdc materialize/timeline": 22.0,
+    "streaming/state-store": 28.0,
+    "dedup family": 25.0,
+    "similarity/ANN": 12.0,
+    "text/multimodal per-row": 11.0,
+    "pipeline composites": 8.0,
+}
+
+
+def main() -> None:
+    recs = [json.load(open(p)) for p in sys.argv[1:]] or [
+        json.load(open("BENCH_LOCAL.json"))]
+    queries = dict(recs[0]["queries"])
+    for r in recs[1:]:
+        for q, v in r["queries"].items():
+            queries[q] = min(queries.get(q, v), v)
+
+    mapped = {q for qs in CLASSES.values() for q in qs}
+    unknown = set(queries) - mapped
+    missing = mapped - set(queries)
+    if unknown:
+        print(f"UNMAPPED queries (add to CLASSES): {sorted(unknown)}")
+    if missing:
+        print(f"MISSING from bench record: {sorted(missing)}")
+
+    fails = 0
+    total = 0.0
+    print(f"{'class':28s} {'n':>3s} {'sec':>8s} {'budget':>8s}")
+    for cls, qs in CLASSES.items():
+        t = sum(queries.get(q, 0.0) for q in qs)
+        total += t
+        ok = t <= BUDGETS[cls]
+        if not ok:
+            fails += 1
+        print(f"{cls:28s} {len(qs):3d} {t:8.1f} {BUDGETS[cls]:8.1f}"
+              f"  {'OK' if ok else 'OVER'}")
+    print(f"{'TOTAL':28s} {sum(len(q) for q in CLASSES.values()):3d} "
+          f"{total:8.1f} {sum(BUDGETS.values()):8.1f}")
+    sys.exit(1 if (fails or unknown or missing) else 0)
+
+
+if __name__ == "__main__":
+    main()
