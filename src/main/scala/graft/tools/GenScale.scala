@@ -37,13 +37,17 @@ import org.apache.spark.sql.functions._
   *    row-group clustering and min/max stats scale faithfully instead
   *    of being shuffled away by a repartition.
   *
-  * Usage: runMain graft.tools.GenScale <srcSfDir> <outDir> [rep=10]
+  * Usage: runMain graft.tools.GenScale <srcSfDir> <outDir> [rep=10] [tables]
+  * `tables` is an optional comma-separated subset (e.g.
+  * `documents,embeddings` for the sf10 standing-artifact probes —
+  * no point replicating 60M lineitem rows to scale a text index).
   */
 object GenScale {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("localdata/sf1")
     val rep = args.lift(2).map(_.toInt).getOrElse(10)
+    val only = args.lift(3).map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -58,12 +62,12 @@ object GenScale {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, rep)
+    generate(spark, src, out, rep, only)
     spark.stop()
   }
 
   def generate(spark: SparkSession, src: String, out: String,
-      rep: Int): Unit = {
+      rep: Int, only: Option[Set[String]] = None): Unit = {
     def read(t: String): DataFrame =
       spark.read.parquet(s"$src/$t.parquet")
 
@@ -79,10 +83,13 @@ object GenScale {
       require(!row.isNullAt(0), s"empty key domain $t.$pk")
       row.getLong(0) + 1L
     }
-    val custOff  = domainOffset("customer", "c_custkey")
-    val suppOff  = domainOffset("supplier", "s_suppkey")
-    val partOff  = domainOffset("part", "p_partkey")
-    val orderOff = domainOffset("orders", "o_orderkey")
+    // lazy: a table-subset run (e.g. documents,embeddings) must not
+    // pay or require the relational key domains at all
+    lazy val custOff  = domainOffset("customer", "c_custkey")
+    lazy val suppOff  = domainOffset("supplier", "s_suppkey")
+    lazy val partOff  = domainOffset("part", "p_partkey")
+    lazy val orderOff = domainOffset("orders", "o_orderkey")
+    def want(t: String): Boolean = only.forall(_.contains(t))
 
     // replica i of a table: shift each key column by i * its DOMAIN
     // offset (explicit per-column map; self-contained keys like
@@ -115,24 +122,24 @@ object GenScale {
     }
     val keep = (d: DataFrame, _: Int) => d
 
-    copy("region")
-    copy("nation")
-    replicate("customer", read("customer"),
+    if (want("region")) copy("region")
+    if (want("nation")) copy("nation")
+    if (want("customer")) replicate("customer", read("customer"),
       Map("c_custkey" -> custOff))(keep)
-    replicate("supplier", read("supplier"),
+    if (want("supplier")) replicate("supplier", read("supplier"),
       Map("s_suppkey" -> suppOff))(keep)
-    replicate("part", read("part"),
+    if (want("part")) replicate("part", read("part"),
       Map("p_partkey" -> partOff))(keep)
-    replicate("orders", read("orders"),
+    if (want("orders")) replicate("orders", read("orders"),
       Map("o_orderkey" -> orderOff, "o_custkey" -> custOff))(keep)
-    replicate("lineitem", read("lineitem"),
+    if (want("lineitem")) replicate("lineitem", read("lineitem"),
       Map("l_orderkey" -> orderOff, "l_partkey" -> partOff,
         "l_suppkey" -> suppOff))(keep)
-    replicate("events", read("events"), Map.empty,
+    if (want("events")) replicate("events", read("events"), Map.empty,
       selfKeys = Seq("event_id", "user_id"))(keep)
 
-    replicate("documents", read("documents"), Map.empty,
-        selfKeys = Seq("doc_id")) { (d, i) =>
+    if (want("documents")) replicate("documents", read("documents"),
+        Map.empty, selfKeys = Seq("doc_id")) { (d, i) =>
       if (i == 0) d
       else {
         // every 3rd word (phase-shifted by replica) becomes a
@@ -151,8 +158,8 @@ object GenScale {
       }
     }
 
-    replicate("embeddings", read("embeddings"), Map.empty,
-        selfKeys = Seq("vec_id")) { (d, i) =>
+    if (want("embeddings")) replicate("embeddings", read("embeddings"),
+        Map.empty, selfKeys = Seq("vec_id")) { (d, i) =>
       if (i == 0) d
       else d.withColumn("embedding",
         transform(col("embedding"), (x, idx) =>
