@@ -65,6 +65,14 @@ object ScaleProbe {
           threshold = 0.8)
         .write.format("noop").mode("overwrite").save()
     }
+    // the documented production mitigation: df-capped probe (drops
+    // boilerplate postings via the precomputed dfreq table before the
+    // pair join) — measured so the BASELINE claim isn't prose
+    minOf2("shingle_index_probe_fixed_dfcap_sec") {
+      graft.text.Dedup.probeShingleIndex(shIdx, fixedShard, k = 3,
+          threshold = 0.8, maxPostings = 100)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     val vecs = graft.ops.SimilarityQueries.doubleVecs(spark, sfDir)
     out("n_vecs") = vecs.count().toDouble
