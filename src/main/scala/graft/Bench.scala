@@ -86,6 +86,22 @@ object Bench {
       : Seq[(String, Double)] = {
     import org.apache.spark.sql.functions.{col, max, min}
     val extras = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Host-speed proxies FIRST (so the stdout extras clamp keeps them):
+    // two deterministic workloads with zero I/O, letting later rounds
+    // NORMALIZE per-query times instead of inferring host variance from
+    // uniform-inflation patterns (BASELINE.md round-3b: 83–244 s for
+    // one binary; r5→r6 spent a verdict section proving a 1.7× factor
+    // was the host). Serial: one-core JVM arithmetic. Parallel: a
+    // codegen'd 8B-row range aggregate across all executor threads.
+    val ts0 = System.nanoTime()
+    var acc = 0L
+    var i = 0L
+    while (i < 500000000L) { acc += i % 7; i += 1 }
+    extras("host_serial_proxy_sec") = (System.nanoTime() - ts0) / 1e9
+    if (acc == Long.MinValue) println(acc) // defeat dead-code elimination
+    val tp0 = System.nanoTime()
+    spark.range(8000000000L).selectExpr("sum(id % 7)").collect()
+    extras("host_parallel_proxy_sec") = (System.nanoTime() - tp0) / 1e9
     try {
       val vecs = ops.SimilarityQueries.doubleVecs(spark, sfDir)
       val idxDir = "/tmp/graft_bench_ivf"
