@@ -48,14 +48,26 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     eventsWindow(s, d, None, None)
 
-  /** The scanned type of `events.ts` for this directory. Side effect:
-    * enables the legacy nano-as-long read so TIMESTAMP(NANOS) files
-    * scan as LongType instead of failing (a no-op for µs files).
+  /** The scanned type of `events.ts` for this directory, MEMOIZED per
+    * dir: the sniff costs a file listing + footer read, and every
+    * events-based query construction would otherwise pay it a second
+    * time on top of its own scan — at lake scale, listing is a real
+    * cost, and a directory's encoding never changes underneath a
+    * running session. Side effect on first sniff: enables the legacy
+    * nano-as-long read so TIMESTAMP(NANOS) files scan as LongType
+    * instead of failing (a no-op for µs files).
     */
   def eventsTsType(s: SparkSession, d: String): DataType = {
+    // set on THIS session even on a cache hit — the cache is
+    // JVM-global, the conf is per-session, and a nano file needs it
+    // at actual read time, not just at sniff time
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").schema("ts").dataType
+    tsTypeCache.computeIfAbsent(d,
+      _ => load(s, d, "events").schema("ts").dataType)
   }
+
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
 
   /** Events with an event-time window PUSHED INTO THE SCAN: the bounds
     * are applied to the raw scan column in ITS OWN type BEFORE any
