@@ -1,18 +1,21 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [jsonOut]
 
 Reads <verifyOutDir>/oracle_sql.json, registers every testdata table by
 bare name in DuckDB, runs each oracle, and compares against the Spark
 result parquet (columns sorted by name, exact value equality; floats
 compared exactly — the queries are built so both engines produce
-identical doubles).
+identical doubles). With jsonOut, also writes one row PER QUERY —
+including failures with err populated (ADVICE r5: a correctness
+artifact that only contains its green rows reads as all-green).
 """
 import json, sys, glob, os
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+json_out = sys.argv[3] if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = p.split("/")[-1].removesuffix(".parquet")
@@ -35,21 +38,30 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 n_pass = n_fail = 0
+report = {}
 for name, sql in sorted(oracle.items()):
+    row = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "spark_rows": None, "oracle_rows": None, "err": None}
+    report[name] = row
     try:
         exp = con.execute(sql).fetchdf()
         got = con.execute(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
         exp = exp.reindex(sorted(exp.columns), axis=1)
         got = got.reindex(sorted(got.columns), axis=1)
+        row["spark_rows"], row["oracle_rows"] = len(got), len(exp)
         if list(exp.columns) != list(got.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            row["err"] = f"columns {list(got.columns)} != {list(exp.columns)}"
             n_fail += 1
             continue
+        row["schema_match"] = True
         if len(exp) != len(got):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            row["err"] = f"rows {len(got)} != {len(exp)}"
             n_fail += 1
             continue
+        row["rows_match"] = True
         # exact cell-wise compare (NaN == NaN)
         diff_cols = []
         for c in exp.columns:
@@ -63,12 +75,18 @@ for name, sql in sorted(oracle.items()):
                 mask = ~((exp[c] == got[c]) | (exp[c].isna() & got[c].isna()))
                 print("  oracle:", exp[mask].head(3).to_dict("records"))
                 print("  spark :", got[mask].head(3).to_dict("records"))
+            row["err"] = f"value diffs {diff_cols}"
             n_fail += 1
         else:
             print(f"PASS {name} ({len(exp)} rows)")
+            row["hash_match"] = True
             n_pass += 1
     except Exception as e:
         print(f"ERROR {name}: {e}")
+        row["err"] = str(e)
         n_fail += 1
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(report, f, indent=1)
 print(f"\n{n_pass} pass, {n_fail} fail")
 sys.exit(1 if n_fail else 0)
