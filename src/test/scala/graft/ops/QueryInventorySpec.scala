@@ -21,7 +21,7 @@ class QueryInventorySpec extends SparkSpec {
     }
   }
 
-  test("every query name has either an oracle or a documented omission") {
+  test("EVERY query has an oracle — no rows-only entries remain") {
     // the trained/indexed IVF pair renders its oracle AT RUN TIME
     // (centroid literals) — run them so the registration is visible
     Seq("sim_ann_ivf_trained", "sim_ann_ivf_indexed", "sim_knn_join_cell",
@@ -29,16 +29,14 @@ class QueryInventorySpec extends SparkSpec {
       .foreach(n => SparkEntry.queries(n)(spark, sf).count())
     val effective = SparkEntry.oracleSql.keySet ++
       DynamicOracle.snapshot.keySet
-    val noOracle = SparkEntry.queries.keySet -- effective
-    // rows-only checks allowed ONLY for the sketch trio: estimates
-    // aren't ANSI-SQL-reproducible (the md5-portable conversions moved
-    // the dedup/LSH family to full oracles in r3; centroid pinning
-    // moved the IVF pair in r4)
-    val allowed = Set("agg_approx_distinct", "agg_hll_sketch",
-      "agg_approx_percentile")
-    assert(noOracle === (allowed intersect noOracle))
-    assert((allowed -- SparkEntry.queries.keySet).isEmpty,
-      "allowed list mentions queries that don't exist")
+    // the allowlist died in r6: md5-portable conversions (r3) moved
+    // dedup/LSH, centroid pinning (r4) moved the IVF pair, and
+    // within-bound accuracy contracts (r6) moved the sketch trio —
+    // so a query without an oracle is now simply a bug
+    assert((SparkEntry.queries.keySet -- effective) === Set.empty[String])
+    // and no orphaned oracles for queries that don't exist
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet)
+      === Set.empty[String])
   }
 
   private def plan(name: String): String =
