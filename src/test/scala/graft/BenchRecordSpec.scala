@@ -62,4 +62,26 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(node.get("extras").size() === 12)
     assert(node.get("n_queries").asInt() === 138)
   }
+
+  test("property: ANY inventory shape yields bounded, parseable records") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val nameGen = Gen.alphaLowerStr.map(_.take(40)).suchThat(_.nonEmpty)
+    val resultGen = for {
+      n <- nameGen
+      t <- Gen.choose(0.0, 1e4)
+      ok <- Gen.oneOf(true, false)
+    } yield (n, if (ok) t else 0.0, t, ok)
+    val listGen = Gen.choose(0, 200).flatMap(Gen.listOfN(_, resultGen))
+    val prop = Prop.forAll(listGen) { rs =>
+      val line = BenchRecord.compact(rs, extras, sf)
+      val node = mapper.readTree(line) // throws on malformed JSON
+      line.length <= 1600 &&
+        node.get("n_queries").asInt() == rs.size &&
+        node.get("n_failed").asInt() == rs.count(!_._4) &&
+        line.takeRight(300).contains("\"value\":")
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
