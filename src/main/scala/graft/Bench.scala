@@ -119,7 +119,8 @@ object Bench {
       extras("ivf_index_probe_sec") = math.min(p1, probeOnce())
       // measured recall of the pruned probe vs exact brute force at
       // this SF — the number behind every "recall-for-bound trade"
-      // claim in the IVF family docs (nprobe=3 of nlist=16 cells).
+      // claim in the IVF family docs (nprobe=3 of deriveNlist(n)
+      // cells; nlist ∝ corpus keeps this comparable across SF).
       // Before the append below, so the index holds each vector once.
       val bruteTop = sim.Similarity
         .bruteForceTopK(vecs, probes, 5)

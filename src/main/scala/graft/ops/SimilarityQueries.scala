@@ -45,7 +45,10 @@ object SimilarityQueries extends QueryPack {
     * struct(-sim, cid) sort, where a zero-norm centroid's NaN ranks
     * last.
     */
-  private def ivfOracleWith(cents: Array[(Int, Array[Double])]): String =
+  private def ivfOracleWith(cents: Array[(Int, Array[Double])]): String = {
+    // mirror of the probe path's default: nprobe = deriveNprobe(nlist),
+    // rendered as a literal because the centroid count is known here
+    val np = Similarity.deriveNprobe(cents.length)
     s"""WITH cents(cid, centroid) AS (
       |  VALUES ${DynamicOracle.centroidValues(cents)}),
       | v AS (
@@ -62,7 +65,7 @@ object SimilarityQueries extends QueryPack {
       |   FROM cells),
       | asgn AS (SELECT vec_id, vec, cid FROM ranked WHERE rn = 1),
       | probes AS (SELECT vec_id AS query_id, vec AS qv, cid
-      |            FROM ranked WHERE rn <= 3 AND vec_id < 8),
+      |            FROM ranked WHERE rn <= $np AND vec_id < 8),
       | sc AS (
       |   SELECT p.query_id, a.vec_id AS cand_id,
       |     list_dot_product(p.qv, a.vec) /
@@ -74,6 +77,7 @@ object SimilarityQueries extends QueryPack {
       |        ORDER BY round(cos, 6) DESC, cand_id) AS rank FROM sc)
       |SELECT query_id, rank, cand_id, round(cos, 4) AS cosine
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Cell-refined kNN-join replay for [[Similarity.knnJoinCells]]:
     * assign every vector to its argmax cell over the pinned centroid
@@ -324,11 +328,20 @@ object SimilarityQueries extends QueryPack {
       },
       Some("""WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-        | p AS (SELECT greatest(1, (SELECT count(*) FROM v) // 16)
-        |         AS stride),
+        | -- nlist mirrors Similarity.deriveNlist (ceil(n/256) in
+        | -- [16, 1024]: cell population constant as the corpus grows)
+        | -- and nprobe mirrors deriveNprobe (3/16 of the cells,
+        | -- floored at 3: probed COVERAGE constant)
+        | p AS (SELECT greatest(1, n // nlist) AS stride, nlist,
+        |         greatest(3, (3 * nlist + 8) // 16) AS nprobe FROM (
+        |         SELECT count(*) AS n,
+        |           least(1024, greatest(16, (count(*) + 255) // 256))
+        |             AS nlist
+        |         FROM v)),
         | seeds AS (
         |   SELECT CAST(vec_id // p.stride AS INT) AS cid, vec FROM v, p
-        |   WHERE vec_id % p.stride = 0 AND vec_id < p.stride * 16),
+        |   WHERE vec_id % p.stride = 0
+        |     AND vec_id < p.stride * p.nlist),
         | cells AS (
         |   SELECT v.vec_id, v.vec, s.cid,
         |     list_dot_product(v.vec, s.vec) /
@@ -344,7 +357,7 @@ object SimilarityQueries extends QueryPack {
         |   FROM cells),
         | asgn AS (SELECT vec_id, vec, cid FROM ranked WHERE rn = 1),
         | probes AS (SELECT vec_id AS query_id, vec AS qv, cid
-        |            FROM ranked WHERE rn <= 3 AND vec_id < 8),
+        |            FROM ranked, p WHERE rn <= p.nprobe AND vec_id < 8),
         | sc AS (
         |   SELECT p.query_id, a.vec_id AS cand_id,
         |     list_dot_product(p.qv, a.vec) /
@@ -369,8 +382,10 @@ object SimilarityQueries extends QueryPack {
     Q("sim_ann_ivf_trained",
       (s, d) => {
         val vecs = doubleVecs(s, d)
-        val cents = Similarity.trainCentroids(vecs, nlist = 16,
-          sampleN = 2000, iters = 4)
+        // nlist derives from the corpus count (deriveNlist: cell
+        // population held at ~TargetCellSize as the corpus grows) —
+        // the centroid-pinned oracle renders whatever list results
+        val cents = Similarity.trainCentroids(vecs)
         DynamicOracle.put("sim_ann_ivf_trained", ivfOracleWith(cents))
         Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 8), 5,
             centroids = Some(cents))
@@ -573,8 +588,10 @@ object SimilarityQueries extends QueryPack {
     Q("sim_knn_join_cell",
       (s, d) => {
         val vecs = doubleVecs(s, d)
-        val cents = Similarity.trainCentroids(vecs, nlist = 16,
-          sampleN = 2000, iters = 4)
+        // corpus-derived nlist (deriveNlist) — block size stays bounded
+        // by TargetCellSize at any corpus scale, the property this
+        // query exists to demonstrate
+        val cents = Similarity.trainCentroids(vecs)
         DynamicOracle.put("sim_knn_join_cell", knnCellOracle(cents))
         Similarity.knnJoinCells(vecs, 3, cents)
           .orderBy(col("vec_id"), col("rank"))

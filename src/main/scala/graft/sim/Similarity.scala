@@ -35,6 +35,65 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Default IVF cell population the scaled `nlist` targets: nlist =
+    * ceil(n / 256) keeps per-cell candidate count (and so probe cost at
+    * fixed nprobe, and block size in [[knnJoinCells]]) CONSTANT as the
+    * corpus grows — the knob every production ANN store turns
+    * (nlist ∝ corpus, VERDICT r6 item 1; measured recall-vs-SF table in
+    * BASELINE.md).
+    */
+  val TargetCellSize = 256
+
+  /** Hard ceiling on a derived nlist. The engine bakes centroids into
+    * the plan as literals and trains driver-side on a bounded sample —
+    * both are the right tools up to a few thousand cells (the ≤10⁶-
+    * vector scales this repo measures). Beyond the cap a deployment
+    * should shard training ([[refineCentroids]] is the distributed
+    * Lloyd) and broadcast-join the centroid table instead of inlining
+    * it; the cap makes that boundary explicit rather than letting
+    * codegen degrade silently.
+    */
+  val MaxDerivedNlist = 1024
+
+  /** nlist ∝ corpus: ceil(n / [[TargetCellSize]]), floored at 16 (the
+    * small-corpus regime where fewer cells than probes would be
+    * degenerate) and capped at [[MaxDerivedNlist]]. Every IVF entry
+    * point derives this when not given an explicit nlist. Oracle
+    * mirror (DuckDB): least(1024, greatest(16, (n + 255) // 256)).
+    */
+  def deriveNlist(n: Long): Int =
+    math.min(MaxDerivedNlist.toLong,
+      math.max(16L, (n + TargetCellSize - 1) / TargetCellSize)).toInt
+
+  /** Training-sample size for a given nlist: ≥32 points per centroid
+    * (k-means needs tens of points per cell to place it meaningfully),
+    * floored at the legacy 2000, capped so driver-side Lloyd stays
+    * sub-minute at the largest derived nlist (cost ∝ sampleN·nlist·dim
+    * per iteration).
+    */
+  def deriveSampleN(nlist: Int): Int =
+    math.min(32768, math.max(2000, 32 * nlist))
+
+  /** Default nprobe for a given nlist: 3/16 of the cells, floored at 3
+    * — i.e. the DEFAULT holds probed COVERAGE constant as nlist scales
+    * with the corpus, which is what holds measured recall flat on a
+    * decorrelated corpus (RecallProbe table in BASELINE.md: at fixed
+    * nprobe=3 recall decays with ANY quantizer — 16 fixed cells decay
+    * 0.65→0.45 across 10× data, corpus-scaled cells 0.65→0.25 — while
+    * fixed-coverage holds 0.65→0.65; planted near-identical neighbors,
+    * the dedup workload, stay found at fixed nprobe=3 regardless).
+    * Candidate count under the default is coverage·n — the same linear
+    * law the fixed-16-cell quantizer had — while cell size stays
+    * bounded, which is what the cell-refined kNN join and the
+    * partition-pruned probe actually need from nlist ∝ corpus. A
+    * caller that wants the bounded-candidate regime (cost ∝
+    * nprobe·TargetCellSize, recall decaying with scale) pins nprobe
+    * explicitly.
+    * Oracle mirror (DuckDB): greatest(3, (3*nlist + 8) // 16).
+    */
+  def deriveNprobe(nlist: Int): Int =
+    math.max(3, (3 * nlist + 8) / 16)
+
   /** Fused single-pass cosine (native codegen). */
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Native.cosine(a, b)
@@ -209,13 +268,17 @@ object Similarity {
     *    the FULL corpus when maximum quality is worth one nlist-key
     *    shuffle per iteration).
     */
-  def trainCentroids(corpus: DataFrame, nlist: Int, sampleN: Int,
-                     iters: Int,
+  def trainCentroids(corpus: DataFrame, nlist: Int = 0, sampleN: Int = 0,
+                     iters: Int = 4,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding")
       : Array[(Int, Array[Double])] = {
     val n = math.max(1L, corpus.count())
-    val num = math.min(1000000L, math.max(1L, sampleN * 1000000L / n))
+    // nlist/sampleN ≤ 0 → scale with the corpus (the default path;
+    // explicit values remain for tests and fixed-geometry callers)
+    val kWant = if (nlist > 0) nlist else deriveNlist(n)
+    val sN = if (sampleN > 0) sampleN else deriveSampleN(kWant)
+    val num = math.min(1000000L, math.max(1L, sN * 1000000L / n))
     val sample: Array[(Long, Array[Double])] = corpus
       .filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < num)
       .select(col(idCol), col(vecCol))
@@ -227,7 +290,7 @@ object Similarity {
       .sortBy(_._1)
     require(sample.nonEmpty, "centroid training sample is empty")
     val pts = sample.map(_._2)
-    val k = math.min(nlist, pts.length)
+    val k = math.min(kWant, pts.length)
 
     // cosine with a defined value (0) for zero-norm vectors: a NaN here
     // would poison every maxmin comparison below (NaN < x is always
@@ -315,13 +378,13 @@ object Similarity {
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 3,
+              nlist: Int = 0, nprobe: Int = 0,
               refineIters: Int = 0,
               centroids: Option[Array[(Int, Array[Double])]] = None,
               idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = centroids match {
-    case Some(cs) => ivfTopKWith(corpus, queries, k, cs, nprobe,
-      idCol, vecCol)
+    case Some(cs) => ivfTopKWith(corpus, queries, k, cs,
+      if (nprobe > 0) nprobe else deriveNprobe(cs.length), idCol, vecCol)
     case None => {
     // deterministic coarse quantizer: id-strided seed vectors — no
     // global sort/window (which wouldn't scale); one count() for the
@@ -331,11 +394,12 @@ object Similarity {
     // literals, so cell assignment is a pure per-row expression: no
     // crossJoin, no window, zero shuffle of the corpus.
     val n = corpus.count()
-    val stride = math.max(1L, n / nlist)
+    val nl = if (nlist > 0) nlist else deriveNlist(n)
+    val stride = math.max(1L, n / nl)
     // element type widened to double literals: float→double is exact, and
     // the cosine kernel upcasts its inputs to double regardless.
     val seeds: Array[(Int, Array[Double])] = corpus
-      .filter(col(idCol) % stride === 0 && col(idCol) < stride * nlist)
+      .filter(col(idCol) % stride === 0 && col(idCol) < stride * nl)
       .select(expr(s"cast($idCol div $stride as int)"), col(vecCol))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Any](1).map {
@@ -346,7 +410,8 @@ object Similarity {
     val cents =
       if (refineIters > 0) refineCentroids(corpus, seeds, refineIters, vecCol)
       else seeds
-    ivfTopKWith(corpus, queries, k, cents, nprobe, idCol, vecCol)
+    ivfTopKWith(corpus, queries, k, cents,
+      if (nprobe > 0) nprobe else deriveNprobe(cents.length), idCol, vecCol)
   }
   }
 
@@ -448,7 +513,7 @@ object Similarity {
     * IvfIndexSpec pins via `PartitionFilters` in the scan plan).
     */
   def buildIvfIndex(corpus: DataFrame, dir: String,
-                    nlist: Int = 16, sampleN: Int = 2000, iters: Int = 4,
+                    nlist: Int = 0, sampleN: Int = 0, iters: Int = 4,
                     idCol: String = "vec_id", vecCol: String = "embedding")
       : Unit = {
     val spark = corpus.sparkSession
@@ -647,15 +712,16 @@ object Similarity {
     * union corpus.
     */
   def ivfProbeIndexed(dir: String, queries: DataFrame, k: Int,
-                      nprobe: Int = 3,
+                      nprobe: Int = 0,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
     val ver = indexVersion(spark, dir)
     val cents = readCentroids(spark, dir, ver)
+    val np = if (nprobe > 0) nprobe else deriveNprobe(cents.length)
     val probedCells = queries
       .select(explode(slice(nearestCellStructs(col(vecCol), cents),
-        1, nprobe)).as("__c"))
+        1, np)).as("__c"))
       .select(col("__c.centroid_id")).distinct()
       .collect().map(_.getInt(0))
     // one pruned scan PER SEGMENT, unioned: segment roots are sibling
@@ -668,7 +734,7 @@ object Similarity {
       .filter(col("centroid_id").isin(probedCells.map(Int.box): _*))
       .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec2"),
         col("centroid_id"))
-    rankProbed(cells, queries, k, cents, nprobe, idCol, vecCol)
+    rankProbed(cells, queries, k, cents, np, idCol, vecCol)
   }
 
   /** Exact top-k over int8-QUANTIZED vectors — the memory-bandwidth

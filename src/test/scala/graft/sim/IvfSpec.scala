@@ -130,6 +130,25 @@ class IvfSpec extends SparkSpec {
         i1 == i2 && java.util.Arrays.equals(v1, v2) })
   }
 
+  test("deriveNlist holds cell population constant, floored and capped") {
+    assert(Similarity.deriveNlist(500L) == 16)        // small-corpus floor
+    assert(Similarity.deriveNlist(4096L) == 16)       // 4096/256 exactly
+    assert(Similarity.deriveNlist(4097L) == 17)       // ceil division
+    assert(Similarity.deriveNlist(50000L) == 196)     // sf1 scale: ∝ n
+    assert(Similarity.deriveNlist(500000L) == 1024)   // capped
+    // cell population stays ≤ TargetCellSize until the cap binds
+    Seq(10000L, 100000L, 260000L).foreach { n =>
+      val nl = Similarity.deriveNlist(n)
+      assert(n / nl <= Similarity.TargetCellSize, s"cell too big at n=$n")
+    }
+  }
+
+  test("trainCentroids derives nlist from the corpus when not given one") {
+    val n = vecs.count()
+    val want = math.min(Similarity.deriveNlist(n), n.toInt)
+    assert(Similarity.trainCentroids(vecs).length == want)
+  }
+
   test("IVF probes bound the scanned fraction of the corpus") {
     val queries = vecs.filter(col("vec_id") < 8)
     val top = Similarity.ivfTopK(vecs, queries, 1000, nlist = 16, nprobe = 2)
