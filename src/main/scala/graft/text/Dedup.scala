@@ -46,11 +46,21 @@ object Dedup {
     * an interpreted per-element lambda).
     */
   private def withShingleArray(docs: DataFrame, k: Int, idCol: String,
-                               textCol: String): DataFrame =
-    docs.where(expr(s"size(split($textCol, chr(32))) >= $k"))
+                               textCol: String): DataFrame = {
+    // graft_shingles is CPU-dense per row. When the source offers
+    // fewer splits than the cluster has cores (a single small parquet
+    // file at bench SF — measured: the kernel ran on 1-2 tasks, wall ≈
+    // task time), spread rows first; one round-robin exchange of the
+    // text bytes. On a lake-scale corpus splits outnumber cores and
+    // this is a no-op condition, so no gratuitous 100 TB shuffle.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    spread.where(expr(s"size(split($textCol, chr(32))) >= $k"))
       .select(col(idCol).as("doc_id"),
         org.apache.spark.sql.graft.Native
           .shingles(split(col(textCol), " "), k).as("sharr"))
+  }
 
   /** The pre-native HOF formulation — token hashes then k-shingle
     * combination via two interpreted `transform` lambdas. Kept as the
@@ -76,7 +86,12 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
                         maxPostings: Int = 1000): DataFrame = {
-    val sh = hashedShingleSet(docs, k).cache()
+    // localCheckpoint, not cache: downstream both aggregates sh (sizes)
+    // and self-joins it, and AQE materializes those exchanges
+    // CONCURRENTLY — with a lazy cache both races past the unfilled
+    // cache and the shingle kernel runs twice (measured, r7). The eager
+    // checkpoint computes it exactly once and truncates lineage.
+    val sh = hashedShingleSet(docs, k).localCheckpoint()
     naivePairs(sh, threshold, maxPostings)
   }
 
@@ -228,22 +243,75 @@ object Dedup {
     * `shingle` so probes shuffle only the (small) shard side; the
     * versioned-dir artifact itself is layout-agnostic.
     */
+  /** Bucket count for the registered postings table. At lake scale
+    * this is sized like any bucketed fact table (thousands); here it
+    * matches the session's parallelism so the probe's shard side
+    * shuffles into full-width buckets.
+    */
+  val IndexBuckets = 32
+
+  /** Catalog name for one version's bucketed postings table —
+    * deterministic from (dir, version) so any session re-derives it.
+    */
+  private def postingsTable(dir: String, version: String): String =
+    ("graft_shidx_" + Integer.toHexString(dir.hashCode) + "_" + version)
+      .replaceAll("[^A-Za-z0-9_]", "_")
+
   def buildShingleIndex(docs: DataFrame, dir: String, k: Int = 3): Unit = {
     val spark = docs.sparkSession
     val version = f"v-${System.currentTimeMillis()}%013d-${
       java.util.UUID.randomUUID().toString.take(8)}"
     val sh = hashedShingleSet(docs, k).cache()
-    sh.repartition(col("shingle"))
-      .write.mode("errorifexists").parquet(s"$dir/$version/postings")
+    // Postings are written BUCKETED on shingle (and registered in the
+    // catalog): every later probe joins on shingle, and a bucketed scan
+    // gives that join its postings side with ZERO Exchange — only the
+    // (small) incoming shard shuffles, into the bucket partitioning
+    // (plan-asserted in DedupIndexSpec). repartition to IndexBuckets on
+    // the same key first: repartition and bucketBy share the Murmur3
+    // partitioning, so each task holds exactly one bucket and each
+    // bucket lands in ONE file — the single-file-per-bucket layout the
+    // reader requires to also trust the per-bucket sort order.
+    sh.repartition(IndexBuckets, col("shingle"))
+      .write.mode("errorifexists")
+      .bucketBy(IndexBuckets, "shingle").sortBy("shingle")
+      .option("path", s"$dir/$version/postings")
+      .format("parquet").saveAsTable(postingsTable(dir, version))
     sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       .write.mode("errorifexists").parquet(s"$dir/$version/sizes")
     sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .write.mode("errorifexists").parquet(s"$dir/$version/dfreq")
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bucket-count metadata so a DIFFERENT session (or JVM) can
+    // re-register the table over the same files
+    val bf = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/$version/buckets"), true)
+    try bf.write(s"$IndexBuckets".getBytes("UTF-8")) finally bf.close()
     // marker + flip + committed-version-counting GC: a crashed build's
     // partial dir can't evict the last committed version (PointerFile)
     graft.sources.PointerFile.commitVersion(fs, base, version)
+  }
+
+  /** The version's postings as the registered BUCKETED table,
+    * re-registering from the `buckets` metadata when this session has
+    * not seen it (bucket ids recover from Spark's bucketed file
+    * names). Pre-bucketing versions (no `buckets` file) read as plain
+    * parquet — layout-compatible, just without the co-location.
+    */
+  private def readPostings(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, version: String): DataFrame = {
+    val bp = new org.apache.hadoop.fs.Path(s"$dir/$version/buckets")
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(bp)) spark.read.parquet(s"$dir/$version/postings")
+    else {
+      val n = graft.sources.PointerFile.read(fs, bp).trim.toInt
+      val tbl = postingsTable(dir, version)
+      if (!spark.catalog.tableExists(tbl))
+        spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, shingle BIGINT) " +
+          s"USING parquet CLUSTERED BY (shingle) SORTED BY (shingle) " +
+          s"INTO $n BUCKETS LOCATION '$dir/$version/postings'")
+      spark.table(tbl)
+    }
   }
 
   /** Probe the persisted index with an incoming shard: same answer as
@@ -262,7 +330,7 @@ object Dedup {
     val cur = new org.apache.hadoop.fs.Path(dir, "_CURRENT")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val version = graft.sources.PointerFile.read(fs, cur)
-    val postings = spark.read.parquet(s"$dir/$version/postings")
+    val postings = readPostings(spark, dir, version)
     val exSizes = spark.read.parquet(s"$dir/$version/sizes")
     val in = hashedShingleSet(incoming, k).cache()
     val posts =

@@ -148,6 +148,49 @@ class DedupSpec extends SparkSpec {
       .except(recomputed).isEmpty)
   }
 
+  test("probe joins the standing postings WITHOUT shuffling them " +
+       "(bucketed registration), and re-registers in a fresh catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("shidxb").toString
+    val existing = planted.filter(col("doc_id") < 1000000L)
+    val incoming = planted.filter(col("doc_id") >= 1000000L)
+    Dedup.buildShingleIndex(existing, dir)
+    val expected = Dedup.crossCorpusPairs(existing, incoming, k = 3,
+      threshold = 0.8).collect().toSet
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    // disable auto-broadcast: at test SF the shard side would
+    // broadcast (also shuffle-free), hiding the bucket co-location the
+    // registration exists for — the big-shard regime at lake scale
+    spark.conf.set(key, "-1")
+    def assertColocated(): Unit = {
+      val probed = Dedup.probeShingleIndex(dir, incoming, k = 3,
+        threshold = 0.8)
+      assert(probed.collect().toSet === expected)
+      // AQE's toString prints the Final AND Initial plans — count
+      // exchanges only in the final (executed) section
+      val plan = probed.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"), plan)
+      // the ONLY shingle-key exchange is the incoming shard moving
+      // into the bucket partitioning; the postings side reads in place
+      val shuffles = plan.linesIterator.count(
+        _.contains("Exchange hashpartitioning(shingle"))
+      assert(shuffles === 1,
+        s"expected only the shard-side shingle shuffle, got $shuffles:\n" +
+          plan)
+    }
+    try {
+      assertColocated()
+      // simulate a NEW session/JVM probing the standing artifact: drop
+      // every registered postings table, forcing re-registration from
+      // the on-disk `buckets` metadata over the already-written files
+      spark.sql("SHOW TABLES").collect()
+        .map(_.getString(1)).filter(_.startsWith("graft_shidx_"))
+        .foreach(t => spark.sql(s"DROP TABLE $t"))
+      assertColocated()
+    } finally spark.conf.set(key, prev)
+  }
+
   test("prefix paths on an EMPTY corpus return empty, not NPE") {
     // ADVICE r4: the driver-computed prefix bound was max over zero
     // rows → NULL → getLong NPE; an empty input must degrade to an
