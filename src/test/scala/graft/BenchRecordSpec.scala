@@ -63,6 +63,19 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(node.get("n_queries").asInt() === 138)
   }
 
+  test("round-wrapper shape: the full record nests under 'parsed' intact") {
+    // the driver wraps the stdout record as {"n":…,"rc":…,"parsed":{…}}
+    // in BENCH_rNN.json; compare_bench.py unwraps exactly this shape —
+    // pin the contract so a record change that breaks nesting fails here
+    val inner = BenchRecord.full(results, extras, sf)
+    val wrapper = s"""{"n":1,"rc":0,"cpus":"32","sf":"$sf",""" +
+      s""""tail":"…","parsed":$inner}"""
+    val node = mapper.readTree(wrapper)
+    assert(node.get("parsed").get("queries").size() === 138)
+    assert(node.get("parsed").get("failed").size() === 60)
+    assert(node.get("parsed").get("extras").size() === 12)
+  }
+
   test("property: ANY inventory shape yields bounded, parseable records") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val nameGen = Gen.alphaLowerStr.map(_.take(40)).suchThat(_.nonEmpty)

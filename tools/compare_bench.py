@@ -18,9 +18,16 @@ import json
 import sys
 
 
+def load(path: str) -> dict:
+    """A bench record, unwrapping the driver's round-wrapper shape
+    (BENCH_rNN.json stores the stdout record under "parsed")."""
+    rec = json.load(open(path))
+    return rec["parsed"] if "parsed" in rec and "queries" not in rec else rec
+
+
 def main() -> None:
-    old = json.load(open(sys.argv[1]))
-    new = json.load(open(sys.argv[2]))
+    old = load(sys.argv[1])
+    new = load(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
 
     def proxy(rec, name):
