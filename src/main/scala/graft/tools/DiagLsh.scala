@@ -12,6 +12,7 @@ object DiagLsh {
     val d = args.headOption.getOrElse("/root/repo/localdata/sf3")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val vecs = graft.ops.SimilarityQueries.doubleVecs(spark, d)

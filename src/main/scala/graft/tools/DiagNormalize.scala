@@ -11,6 +11,7 @@ object DiagNormalize {
     val d = args.headOption.getOrElse("/root/repo/localdata/sf1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time(label: String)(f: => Unit): Unit = {

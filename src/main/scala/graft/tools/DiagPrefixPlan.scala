@@ -10,6 +10,7 @@ object DiagPrefixPlan {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.sources.Tables.documents(spark, d)

@@ -87,9 +87,43 @@ class TablesSpec extends SparkSpec {
     }
   }
 
-  test("the NTZ branch pins the session zone to UTC (instant-stable cast)") {
+  test("the NTZ branch ASSERTS the UTC session zone instead of mutating " +
+       "it (a read must not reconfigure the session)") {
+    // happy path: session pinned UTC at construction (SparkSpec) —
+    // reads work and the conf is untouched
     Tables.events(spark, ntzDir).collect()
     assert(spark.conf.get("spark.sql.session.timeZone") === "UTC")
+    // a mis-pinned session fails LOUDLY (the silent alternative shifts
+    // every instant), and the loader leaves the caller's zone alone
+    val key = "spark.sql.session.timeZone"
+    spark.conf.set(key, "America/New_York")
+    try {
+      val e = intercept[IllegalStateException] {
+        Tables.events(spark, ntzDir).collect()
+      }
+      assert(e.getMessage.contains("America/New_York"))
+      assert(spark.conf.get(key) === "America/New_York",
+        "loader overwrote the session zone")
+    } finally spark.conf.set(key, "UTC")
+  }
+
+  test("re-encoding a dataset at the same path invalidates the type " +
+       "cache (mtime-keyed sniff)") {
+    val dir = tmp("reenc")
+    writeEvents(dir, (col("us") * 1000L).as("ts"))
+    assert(Tables.eventsTsType(spark, dir) === LongType)
+    assert(instants(Tables.events(spark, dir)) === usValues.sorted)
+    // regenerate IN PLACE with a different encoding (the GenScale
+    // write-then-read shape); ensure a distinct mtime even on a
+    // coarse-grained filesystem clock
+    new java.io.File(s"$dir/events.parquet").delete()
+    writeEvents(dir, timestamp_micros(col("us")).cast(TimestampNTZType)
+      .as("ts"))
+    new java.io.File(s"$dir/events.parquet")
+      .setLastModified(System.currentTimeMillis() + 5000)
+    assert(Tables.eventsTsType(spark, dir) === TimestampNTZType,
+      "stale cached encoding survived the re-encode")
+    assert(instants(Tables.events(spark, dir)) === usValues.sorted)
   }
 
   test("window bounds cut identically and push into the scan in every encoding") {
