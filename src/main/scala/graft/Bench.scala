@@ -146,6 +146,37 @@ object Bench {
       System.err.println(s"[bench] ivf extras FAILED: ${e.getMessage}")
     }
     try {
+      // sketch-only forms of the approx-distinct pair: since r6 the
+      // INVENTORY queries carry an exact countDistinct beside the
+      // sketch as their accuracy oracle, so their per-query numbers
+      // price contract-checking, not the sketch (ADVICE r6) — these
+      // extras measure the production sketch path in isolation (and
+      // r5→r6 per-query jumps on those two names are that oracle, not
+      // a regression).
+      import org.apache.spark.sql.functions.{approx_count_distinct,
+        hll_sketch_agg, hll_sketch_estimate}
+      val ev = sources.Tables.events(spark, sfDir)
+        .select(col("event_type"), col("user_id"))
+      def timeNoop2(df: => org.apache.spark.sql.DataFrame): Double = {
+        def once: Double = {
+          val t = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t) / 1e9
+        }
+        val f = once; math.min(f, once)
+      }
+      extras("approx_distinct_sketch_only_sec") = timeNoop2(
+        ev.groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), 0.01)
+            .as("approx_users")))
+      extras("hll_sketch_only_sec") = timeNoop2(
+        ev.groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+            .as("est_users")))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sketch extras FAILED: ${e.getMessage}")
+    }
+    try {
       // bucketed layout: shuffle-at-write-time vs the per-query join —
       // the inventory's join_bucketed_colocated charges both to one
       // number; here the one-off layout write and the exchange-free

@@ -385,7 +385,14 @@ object AnalyticQueries extends QueryPack {
         def rankOk(p: Double, c: Column): Column = {
           val le = avg((col("value") <= c).cast("double"))
           val lt = avg((col("value") < c).cast("double"))
-          le >= p - 0.01 && lt <= p + 0.01
+          // upper bound clamped BELOW 1.0: at p=0.99 a naive p+0.01
+          // is 1.0 and vacuously true for any estimate above the
+          // group's maximum (ADVICE r6) — the sketch returns a member
+          // value, so also assert membership's consequence directly:
+          // at least one value sits at or above the estimate
+          val notAboveMax = max((col("value") >= c).cast("int")) === 1
+          le >= p - 0.01 && lt <= math.min(p + 0.01, 1.0 - 1e-9) &&
+            notAboveMax
         }
         ev.join(broadcast(est), Seq("event_type"))
           .groupBy(col("event_type"))

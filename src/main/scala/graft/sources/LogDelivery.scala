@@ -51,9 +51,30 @@ object LogDelivery {
     private val buf = new ConcurrentLinkedQueue[Record]()
     private val flushSeq = new AtomicLong(0L)
 
+    // flush()'s own parquet write is an action on THIS session, so it
+    // re-enters the batch listener (ADVICE r6): left unchecked, every
+    // flush enqueues a record for itself — the buffer never settles at
+    // 0 on an idle engine and the log accumulates self-telemetry. The
+    // flush write is recognized by its PLAN (a file write into the
+    // delivery dir), not by a timing flag: execution-listener events
+    // are delivered asynchronously, so an in-flush boolean could clear
+    // before the event arrives.
+    private val deliveryPath = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toUri.getPath
+    }
+    private def isSelfWrite(qe: QueryExecution): Boolean =
+      qe.analyzed.collect {
+        case i: org.apache.spark.sql.execution.datasources
+            .InsertIntoHadoopFsRelationCommand => i.outputPath
+      }.exists(p => p.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toUri.getPath == deliveryPath)
+
     private val batchListener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
-          durationNs: Long): Unit = {
+          durationNs: Long): Unit = if (!isSelfWrite(qe)) {
         val rows = qe.executedPlan.metrics.get("numOutputRows")
           .map(_.value).getOrElse(-1L)
         buf.add(Record(System.currentTimeMillis(), "batch", funcName,
@@ -61,7 +82,7 @@ object LogDelivery {
           s"""{"plan_nodes":${qe.executedPlan.collectLeaves().size}}"""))
       }
       override def onFailure(funcName: String, qe: QueryExecution,
-          error: Exception): Unit =
+          error: Exception): Unit = if (!isSelfWrite(qe))
         buf.add(Record(System.currentTimeMillis(), "batch", funcName,
           -1L, -1L, "failure",
           s"""{"error":"${esc(String.valueOf(error.getMessage))}"}"""))
@@ -114,7 +135,11 @@ object LogDelivery {
 
     def flushes: Long = flushSeq.get()
 
-    /** Flush and detach both listeners. */
+    /** Flush and detach both listeners. Recording stops at unregister:
+      * an event still in flight on the async listener bus when close()
+      * runs is dropped — the contract is "telemetry up to close", not
+      * a transactional tail.
+      */
     def close(): Unit = {
       flush()
       spark.listenerManager.unregister(batchListener)

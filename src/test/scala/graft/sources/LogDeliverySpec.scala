@@ -76,4 +76,27 @@ class LogDeliverySpec extends SparkSpec {
       assert(LogDelivery.read(spark, dir).count() >= 2)
     } finally delivery.close()
   }
+
+  test("flush never records its own write: an idle engine settles at 0") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_logdelivery3").toString + "/log"
+    val delivery = LogDelivery.attach(spark, dir)
+    try {
+      Tables.nation(spark, sf).count()
+      val deadline = System.currentTimeMillis() + 30000
+      while (delivery.flush() == 0
+          && System.currentTimeMillis() < deadline) Thread.sleep(250)
+      // idle engine from here on: if a flush enqueued telemetry for
+      // its OWN parquet write (ADVICE r6), the next flush would drain
+      // ≥1 forever. Give the async listener bus time to deliver any
+      // such phantom, then require the buffer to have settled.
+      Thread.sleep(1500)
+      assert(delivery.flush() === 0, "flush recorded its own write")
+      Thread.sleep(1500)
+      assert(delivery.flush() === 0, "delivery never settles at 0")
+      // and the landed log carries no record of writes into the log dir
+      assert(LogDelivery.read(spark, dir)
+        .filter(col("detail").contains(dir)).count() === 0)
+    } finally delivery.close()
+  }
 }
