@@ -98,16 +98,22 @@ object Dedup {
   /** Naive inverted-index join over a precomputed (doc, shingle) set.
     * The postings-cap join (skew guard for degenerate ultra-common
     * shingles) is elided entirely when uncapped — one fewer shuffle.
+    * Under a cap, similarity is defined over the CAPPED shingle
+    * universe (sizes count only surviving shingles): counting dropped
+    * boilerplate in the denominators but never the numerator biases
+    * Jaccard down and loses genuine short-doc near-dups (measured:
+    * SkewProbe r7, 327 → 40 pairs) — stop-word-style removal is the
+    * production semantic.
     */
   private def naivePairs(sh: DataFrame, threshold: Double,
                          maxPostings: Int): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val filtered =
       if (maxPostings == Int.MaxValue) sh
       else sh.join(
         sh.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxPostings).select("shingle"),
         Seq("shingle"))
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = filtered.as("a")
       .join(filtered.as("b"), Seq("shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -147,13 +153,14 @@ object Dedup {
     // kernel — the intersection COUNT is hash-representation-invariant,
     // so the string-shingle oracle replays it exactly
     val sh = hashedShingleSet(docs, k).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val filtered =
       if (maxPostings == Int.MaxValue) sh
       else sh.join(
         sh.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxPostings).select("shingle"),
         Seq("shingle"))
+    // capped-universe sizes — same rationale as naivePairs
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // intersections counted once per UNordered pair (a<b halves the
     // pair-join volume), then expanded to both directed orientations —
     // |A∩B| is symmetric, only the denominator differs
@@ -332,20 +339,38 @@ object Dedup {
     val version = graft.sources.PointerFile.read(fs, cur)
     val postings = readPostings(spark, dir, version)
     val exSizes = spark.read.parquet(s"$dir/$version/sizes")
-    val in = hashedShingleSet(incoming, k).cache()
-    val posts =
-      if (maxPostings == Int.MaxValue) postings
-      else postings.join(
-        spark.read.parquet(s"$dir/$version/dfreq")
-          .filter(col("df") <= maxPostings).select("shingle"),
-        Seq("shingle"))
+    val in0 = hashedShingleSet(incoming, k).cache()
+    // Under a df-cap, similarity is defined over the CAPPED shingle
+    // universe on BOTH sides (cf. naivePairs): the persisted corpus
+    // sizes are uncapped, so subtract each doc's over-cap shingle
+    // count — that adjustment scan touches only the over-cap postings,
+    // i.e. cost ∝ the boilerplate mass being dropped, never the index.
+    // The shard keeps its novel (df-absent) shingles: only shingles
+    // KNOWN to be over-cap are removed from it.
+    val (posts, in, exSizesEff) =
+      if (maxPostings == Int.MaxValue) (postings, in0, exSizes)
+      else {
+        val dfreq = spark.read.parquet(s"$dir/$version/dfreq")
+        val overCap = dfreq.filter(col("df") > maxPostings)
+          .select("shingle")
+        val p = postings.join(
+          dfreq.filter(col("df") <= maxPostings).select("shingle"),
+          Seq("shingle"))
+        val i = in0.join(overCap, Seq("shingle"), "left_anti")
+        val drops = postings.join(overCap, Seq("shingle"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_drop"))
+        val adj = exSizes.join(drops, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (col("n_sh") - coalesce(col("n_drop"), lit(0L))).as("n_sh"))
+        (p, i, adj)
+      }
     val common = posts.select(col("doc_id").as("a_id"), col("shingle"))
       .join(in.select(col("doc_id").as("b_id"), col("shingle")),
         Seq("shingle"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_common"))
     common
-      .join(exSizes.select(col("doc_id").as("a_id"),
+      .join(exSizesEff.select(col("doc_id").as("a_id"),
         col("n_sh").as("n_a")), Seq("a_id"))
       .join(in.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
         .withColumnRenamed("doc_id", "b_id"), Seq("b_id"))

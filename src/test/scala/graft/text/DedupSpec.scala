@@ -191,6 +191,42 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("df-cap defines similarity over the CAPPED universe: exact dups " +
+       "survive a cap that drops their shared boilerplate") {
+    import spark.implicits._
+    // every doc: a shared header (all its shingles have df = corpus
+    // size, far over the cap) + an id-bearing body (df ≈ 2). A cap
+    // that counts dropped shingles in sizes but not intersections
+    // would score the copy pairs 6/(n+n-6) ≪ τ and lose them
+    // (SkewProbe r7: 327 → 40 pairs on the skewed sf1 corpus).
+    val boiler = "terms of use all rights reserved redistribution " +
+      "requires permission from the original publisher"
+    def text(i: Long) = s"$boiler document body $i alpha$i beta$i " +
+      s"gamma$i delta$i epsilon$i"
+    val corpus = (0L until 60L).map(i => (i, text(i)))
+      .toDF("doc_id", "text")
+    val copies = (0L until 10L).map(i => (i + 1000L, text(i)))
+      .toDF("doc_id", "text")
+
+    // persisted-index path
+    val dir = java.nio.file.Files.createTempDirectory("shidxcap").toString
+    Dedup.buildShingleIndex(corpus, dir)
+    val probed = Dedup.probeShingleIndex(dir, copies, k = 3,
+      threshold = 0.8, maxPostings = 10)
+      .select("a_id", "b_id", "jaccard").collect()
+    assert(probed.length === 10, probed.mkString(","))
+    assert(probed.forall(r => r.getLong(1) === r.getLong(0) + 1000L
+      && r.getDouble(2) === 1.0), probed.mkString(","))
+
+    // in-corpus naive path under the same cap
+    val pairs = Dedup.ngramJaccardPairs(corpus.unionAll(copies), k = 3,
+      threshold = 0.8, maxPostings = 10)
+      .select("a_id", "b_id", "jaccard").collect()
+    assert(pairs.length === 10 && pairs.forall(r =>
+      r.getLong(1) === r.getLong(0) + 1000L && r.getDouble(2) === 1.0),
+      pairs.mkString(","))
+  }
+
   test("prefix paths on an EMPTY corpus return empty, not NPE") {
     // ADVICE r4: the driver-computed prefix bound was max over zero
     // rows → NULL → getLong NPE; an empty input must degrade to an
