@@ -61,4 +61,21 @@ object DynamicOracle {
       s"($cid, [${v.map(java.lang.Double.toString).mkString(", ")}]" +
         "::DOUBLE[])"
     }.mkString(", ")
+
+  /** `(j, code, [codeword]::DOUBLE[], ‖codeword‖²)` rows for the PQ
+    * codebook VALUES literal. The rendered `c2` is the same left-fold
+    * Σcᵢ² the engine bakes into its encoding expression, so both
+    * engines compare bit-identical `c2 − 2·x·c` scores.
+    */
+  def codebookValues(books: Array[Array[Array[Double]]]): String =
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cw, code) =>
+        var c2 = 0.0
+        var i = 0
+        while (i < cw.length) { c2 += cw(i) * cw(i); i += 1 }
+        s"($j, $code, " +
+          s"[${cw.map(java.lang.Double.toString).mkString(", ")}]" +
+          s"::DOUBLE[], ${java.lang.Double.toString(c2)})"
+      }
+    }.mkString(", ")
 }

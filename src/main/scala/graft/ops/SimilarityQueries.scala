@@ -79,6 +79,68 @@ object SimilarityQueries extends QueryPack {
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF-PQ replay: the same pinned-centroid assignment/probe prefix
+    * as [[ivfOracleWith]], then PQ encoding (per-subspace argmin over
+    * the codebook literals — `ORDER BY c2 - 2*list_dot_product(sub,
+    * cw), code` is the exact op order and tie-break of
+    * [[Similarity.pqCodes]]), reconstruction (codewords concatenated
+    * in subspace order), and ADC ranking on cos(q, recon). Every
+    * score both engines compare is the same IEEE op sequence over the
+    * same rendered doubles, so the whole encode→probe→rank phase
+    * hash-verifies.
+    */
+  private def ivfPqOracle(cents: Array[(Int, Array[Double])],
+                          books: Array[Array[Array[Double]]]): String = {
+    val np = Similarity.deriveNprobe(cents.length)
+    val ds = books(0)(0).length
+    val js = books.indices.map(j => s"($j)").mkString(", ")
+    s"""WITH cents(cid, centroid) AS (
+      |  VALUES ${DynamicOracle.centroidValues(cents)}),
+      | cb(j, code, cw, c2) AS (
+      |  VALUES ${DynamicOracle.codebookValues(books)}),
+      | js(j) AS (VALUES $js),
+      | v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      | cells AS (
+      |   SELECT v.vec_id, v.vec, c.cid,
+      |     list_dot_product(v.vec, c.centroid) /
+      |       (sqrt(list_dot_product(v.vec, v.vec)) *
+      |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
+      |   FROM v CROSS JOIN cents c),
+      | ranked AS (
+      |   SELECT *, row_number() OVER (PARTITION BY vec_id
+      |     ORDER BY isnan(simc), simc DESC, cid) AS rn
+      |   FROM cells),
+      | asgn AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+      | probes AS (SELECT vec_id AS query_id, vec AS qv, cid
+      |            FROM ranked WHERE rn <= $np AND vec_id < 8),
+      | subs AS (
+      |   SELECT vec_id, j,
+      |     list_slice(vec, j*$ds + 1, j*$ds + $ds) AS sub
+      |   FROM v CROSS JOIN js),
+      | enc AS (
+      |   SELECT vec_id, j, code, row_number() OVER (
+      |     PARTITION BY vec_id, j
+      |     ORDER BY c2 - 2 * list_dot_product(sub, cw), code) AS rn
+      |   FROM subs JOIN cb USING (j)),
+      | recon AS (
+      |   SELECT e.vec_id, flatten(list(cb.cw ORDER BY cb.j)) AS rv
+      |   FROM enc e JOIN cb ON cb.j = e.j AND cb.code = e.code
+      |   WHERE e.rn = 1 GROUP BY e.vec_id),
+      | sc AS (
+      |   SELECT p.query_id, a.vec_id AS cand_id,
+      |     list_dot_product(p.qv, r.rv) /
+      |       (sqrt(list_dot_product(p.qv, p.qv)) *
+      |        sqrt(list_dot_product(r.rv, r.rv))) AS cos
+      |   FROM probes p JOIN asgn a USING (cid)
+      |     JOIN recon r ON r.vec_id = a.vec_id
+      |   WHERE p.query_id <> a.vec_id),
+      | r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY round(cos, 6) DESC, cand_id) AS rank FROM sc)
+      |SELECT query_id, rank, cand_id, round(cos, 4) AS pq_cosine
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Cell-refined kNN-join replay for [[Similarity.knnJoinCells]]:
     * assign every vector to its argmax cell over the pinned centroid
     * literals, then exact top-3 within (label, cell).
@@ -488,6 +550,31 @@ object SimilarityQueries extends QueryPack {
           Similarity.indexVersion(s, dir))
         DynamicOracle.put("sim_stream_ivf_ingest", ivfOracleWith(cents))
         Similarity.ivfProbeIndexed(dir, vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // IVF-PQ: the persisted index holds (cand_id, m PQ codes) per
+    // vector — no raw vectors — so index bytes/vector drop ~32× and
+    // probe I/O reads codes, not floats: the compression lever that
+    // lets a 100 TB embedding corpus live in cluster page cache.
+    // Coarse centroids AND sub-codebooks are trained deterministically
+    // on the bounded sample, pinned into a rendered oracle, and the
+    // full encode→prune→ADC-rank phase hash-verifies (approximate
+    // scores surfaced honestly as pq_cosine). IvfPqSpec holds the
+    // mechanical contracts: measured on-disk compression, pruned read,
+    // code range, train determinism.
+    Q("sim_ann_ivf_pq",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        val dir = "/tmp/graft_ivf_pq/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        Similarity.buildIvfPqIndex(vecs, dir)
+        val ver = Similarity.indexVersion(s, dir)
+        val cents = Similarity.readCentroids(s, dir, ver)
+        val books = Similarity.readCodebooks(s, dir, ver)
+        DynamicOracle.put("sim_ann_ivf_pq", ivfPqOracle(cents, books))
+        Similarity.ivfPqProbeIndexed(dir, vecs.filter(col("vec_id") < 8), 5)
           .orderBy(col("query_id"), col("rank"))
       },
       None),

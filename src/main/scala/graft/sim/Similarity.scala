@@ -249,6 +249,29 @@ object Similarity {
     cur
   }
 
+  /** Deterministic bounded training sample, sorted by id: hash-select
+    * ≈`sampleN` rows (`xxhash64(id) mod 10⁶ < p·10⁶`) and collect their
+    * vectors — no RNG to coordinate, no global sort; one pushed-down
+    * scan collects sampleN × dim doubles to the driver, a size
+    * independent of corpus scale. Shared by the IVF coarse quantizer
+    * ([[trainCentroids]]) and the PQ sub-codebooks ([[trainPqBooks]]).
+    */
+  private def hashSample(corpus: DataFrame, sampleN: Int, n: Long,
+                         idCol: String, vecCol: String)
+      : Array[Array[Double]] = {
+    val num = math.min(1000000L, math.max(1L, sampleN * 1000000L / n))
+    corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < num)
+      .select(col(idCol), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray))
+      .sortBy(_._1)
+      .map(_._2)
+  }
+
   /** Train IVF centroids on a BOUNDED deterministic sample — the way a
     * real vector store builds its coarse quantizer at 100 TB: you never
     * run k-means over the full corpus, you train on ~10⁴–10⁶ sampled
@@ -278,18 +301,8 @@ object Similarity {
     // explicit values remain for tests and fixed-geometry callers)
     val kWant = if (nlist > 0) nlist else deriveNlist(n)
     val sN = if (sampleN > 0) sampleN else deriveSampleN(kWant)
-    val num = math.min(1000000L, math.max(1L, sN * 1000000L / n))
-    val sample: Array[(Long, Array[Double])] = corpus
-      .filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < num)
-      .select(col(idCol), col(vecCol))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray))
-      .sortBy(_._1)
-    require(sample.nonEmpty, "centroid training sample is empty")
-    val pts = sample.map(_._2)
+    val pts = hashSample(corpus, sN, n, idCol, vecCol)
+    require(pts.nonEmpty, "centroid training sample is empty")
     val k = math.min(kWant, pts.length)
 
     // cosine with a defined value (0) for zero-norm vectors: a NaN here
@@ -735,6 +748,249 @@ object Similarity {
       .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec2"),
         col("centroid_id"))
     rankProbed(cells, queries, k, cents, np, idCol, vecCol)
+  }
+
+  // ───────────────────────── IVF-PQ ─────────────────────────
+  //
+  // Product quantization: split every vector into `m` contiguous
+  // subspaces and replace each sub-vector by the id of its nearest
+  // codeword from a per-subspace codebook of `ksub` entries. The
+  // persisted index then stores m SMALL INTS per vector instead of
+  // dim floats — at the defaults (m=4, ksub=16, dim=64 float) the
+  // per-vector payload drops 64×4 bytes → 4 codes (2 bytes of
+  // information; parquet dictionary-encodes them to ~that), which is
+  // THE memory/IO lever that lets a 100 TB embedding corpus fit a
+  // cluster's page cache. Scoring is ADC (asymmetric distance
+  // computation): the query stays exact, candidates are scored
+  // against their reconstruction decode(codes) — expressed here as
+  // cos(q, decode(codes)) through the proven fused cosine kernel,
+  // algebraically the classic per-subspace LUT sum
+  // (dot(q, decode(codes)) = Σⱼ dot(qⱼ, cw[j, codeⱼ])).
+  //
+  // Everything is deterministic (bounded hash sample + maxmin seeding
+  // + fixed Lloyd iterations, driver-side), so the codebooks — like
+  // the IVF centroids — are pinned into a rendered DuckDB oracle and
+  // the whole encode→probe→rank phase is hash-verified.
+
+  /** Driver-side L2 k-means for one PQ subspace: Gonzalez maxmin
+    * seeding (first sample point, then repeatedly the point farthest
+    * from its nearest chosen seed; ties → lower sample index) +
+    * `iters` Lloyd steps (argmin L2, ties → lower code; empty cells
+    * keep their codeword). Pure function of the sample — bit-
+    * deterministic across runs and hosts.
+    */
+  private def trainL2(pts: Array[Array[Double]], k: Int, iters: Int)
+      : Array[Array[Double]] = {
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val chosen = new Array[Int](k)
+    chosen(0) = 0
+    // bestD(i) = L2² to the nearest chosen seed; -1 marks chosen (never
+    // the maxmin argmax again, since distances are ≥ 0)
+    val bestD = pts.map(p => d2(p, pts(0)))
+    bestD(0) = -1.0
+    var c = 1
+    while (c < k) {
+      var arg = 0; var best = -1.0; var i = 0
+      while (i < pts.length) {
+        if (bestD(i) > best) { best = bestD(i); arg = i }
+        i += 1
+      }
+      chosen(c) = arg
+      i = 0
+      while (i < pts.length) {
+        val dd = d2(pts(i), pts(arg))
+        if (dd < bestD(i)) bestD(i) = dd
+        i += 1
+      }
+      bestD(arg) = -1.0
+      c += 1
+    }
+    var cents: Array[Array[Double]] = chosen.map(pts(_).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](pts.head.length))
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        var arg = 0; var best = Double.MaxValue; var j = 0
+        while (j < k) {
+          val s = d2(p, cents(j))
+          if (s < best) { best = s; arg = j }
+          j += 1
+        }
+        counts(arg) += 1
+        var d = 0
+        while (d < p.length) { sums(arg)(d) += p(d); d += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        if (counts(j) == 0) old else sums(j).map(_ / counts(j))
+      }
+    }
+    cents
+  }
+
+  /** Train the `m` PQ sub-codebooks (ksub codewords each) on the same
+    * bounded deterministic sample as [[trainCentroids]] — at 100 TB a
+    * PQ codebook, like the coarse quantizer, is trained on ~10⁴
+    * sampled vectors and broadcast; never on the corpus. Result shape:
+    * (m)(ksub)(dim/m).
+    */
+  def trainPqBooks(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
+                   iters: Int = 4, sampleN: Int = 0,
+                   idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Array[Double]]] = {
+    val n = math.max(1L, corpus.count())
+    val sN = if (sampleN > 0) sampleN else math.max(2000, 32 * ksub)
+    val pts = hashSample(corpus, sN, n, idCol, vecCol)
+    require(pts.nonEmpty, "PQ training sample is empty")
+    val dim = pts.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val ds = dim / m
+    Array.tabulate(m) { j =>
+      val sub = pts.map(_.slice(j * ds, j * ds + ds))
+      trainL2(sub, math.min(ksub, sub.length), iters)
+    }
+  }
+
+  /** ‖cw‖² as a left fold in index order — the exact op order DuckDB's
+    * `list_dot_product(cw, cw)` replays, so the rendered oracle
+    * compares bit-identical encoding scores.
+    */
+  private def sq(cw: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < cw.length) { s += cw(i) * cw(i); i += 1 }
+    s
+  }
+
+  /** The m PQ codes of a vector — zero-shuffle per-row argmin over
+    * codeword literals, the PQ mirror of [[nearestCellStructs]].
+    * Comparison key is ‖c‖² − 2·x·c (argmin-equal to L2, the ‖x‖²
+    * term is constant per sub-vector) computed with the exact literal
+    * + op order the DuckDB oracle replays
+    * (`c2 - 2 * list_dot_product(sub, cw)`); ties break to the lower
+    * code on both engines.
+    */
+  def pqCodes(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    val ds = books(0)(0).length
+    array(books.zipWithIndex.map { case (book, j) =>
+      val sub = slice(vec, j * ds + 1, ds)
+      element_at(sort_array(array(book.zipWithIndex.map {
+        case (cw, code) =>
+          struct(
+            (lit(sq(cw)) - lit(2.0) * dot(sub, typedlit(cw.toSeq)))
+              .as("d"),
+            lit(code).as("code"))
+      }: _*)), 1).getField("code")
+    }: _*)
+  }
+
+  /** Decode m codes back to their codeword concatenation. ADC scoring
+    * is `cosine(q_vec, pqRecon(codes))`: the reconstruction never
+    * materializes per row beyond the fused kernel's loop, and the
+    * codebooks ride into the plan as literals (m × ksub × dim/m
+    * doubles — bytes, not data).
+    */
+  def pqRecon(codes: Column, books: Array[Array[Array[Double]]])
+      : Column =
+    concat(books.zipWithIndex.map { case (book, j) =>
+      element_at(typedlit(book.map(_.toSeq).toSeq),
+        element_at(codes, j + 1) + 1)
+    }: _*)
+
+  /** Build a PERSISTED IVF-PQ index: trained coarse centroids +
+    * per-subspace codebooks + the corpus reduced to
+    * `(cand_id, codes)` hive-partitioned by nearest-centroid cell.
+    * The cells hold NO raw vectors — per-vector payload is the m
+    * codes, the on-disk compression the spec measures — and the same
+    * crash-safe version/pointer protocol as [[buildIvfIndex]] commits
+    * centroids, codebooks and cells atomically together.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, dir: String,
+                      m: Int = 4, ksub: Int = 16,
+                      nlist: Int = 0, sampleN: Int = 0, iters: Int = 4,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val cents = trainCentroids(corpus, nlist, sampleN, iters,
+      idCol, vecCol)
+    val books = trainPqBooks(corpus, m, ksub, iters, sampleN,
+      idCol, vecCol)
+    val version = f"v-${System.currentTimeMillis()}%013d-${
+      java.util.UUID.randomUUID().toString.take(8)}"
+    import spark.implicits._
+    cents.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cw, code) => (j, code, cw.toSeq) }
+    }.toSeq.toDF("j", "code", "codeword")
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dir/$version/codebooks")
+    corpus.select(col(idCol).as("cand_id"),
+        element_at(nearestCellStructs(col(vecCol), cents), 1)
+          .getField("centroid_id").as("centroid_id"),
+        pqCodes(col(vecCol), books).as("codes"))
+      .write.mode("errorifexists").partitionBy("centroid_id")
+      .parquet(s"$dir/$version/cells")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.PointerFile.commitVersion(fs, base, version)
+  }
+
+  /** The trained PQ codebooks of one committed index version,
+    * shape (m)(ksub)(dim/m).
+    */
+  def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, version: String)
+      : Array[Array[Array[Double]]] =
+    spark.read.parquet(s"$dir/$version/codebooks")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+
+  /** Probe a persisted IVF-PQ index. Same pruned-read shape as
+    * [[ivfProbeIndexed]] — the probed cell set becomes a static `isin`
+    * partition filter — but the scan reads only `(cand_id, codes)`:
+    * probe I/O per candidate is m codes, not dim floats (the ~32×
+    * read-volume drop that makes a 100 TB corpus probe-able), and
+    * ranking is ADC over the on-the-fly reconstruction. Approximate
+    * scores are surfaced honestly as `pq_cosine`.
+    */
+  def ivfPqProbeIndexed(dir: String, queries: DataFrame, k: Int,
+                        nprobe: Int = 0,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val ver = indexVersion(spark, dir)
+    val cents = readCentroids(spark, dir, ver)
+    val books = readCodebooks(spark, dir, ver)
+    val np = if (nprobe > 0) nprobe else deriveNprobe(cents.length)
+    val probedCells = queries
+      .select(explode(slice(nearestCellStructs(col(vecCol), cents),
+        1, np)).as("__c"))
+      .select(col("__c.centroid_id")).distinct()
+      .collect().map(_.getInt(0))
+    val cells = spark.read.parquet(s"$dir/$ver/cells")
+      .filter(col("centroid_id").isin(probedCells.map(Int.box): _*))
+      .select(col("cand_id"), col("codes"), col("centroid_id"))
+    val probed = broadcast(
+      assignCells(queries, cents, "query_id", "q_vec", np,
+        idCol, vecCol))
+    val scored = probed.join(cells, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("q_vec"), pqRecon(col("codes"), books)).as("cos"))
+      .withColumn("cos_r", round(col("cos"), 6))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cos"), 4).as("pq_cosine"))
   }
 
   /** Exact top-k over int8-QUANTIZED vectors — the memory-bandwidth

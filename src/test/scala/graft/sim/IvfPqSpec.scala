@@ -1,0 +1,101 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.SimilarityQueries
+
+/** IVF-PQ mechanical contracts: the oracle (driver gate) hash-verifies
+  * the encode→prune→ADC-rank values; this spec pins what the oracle
+  * can't see — the on-disk compression the index exists for, the
+  * pruned read path, code-range/determinism of training, and dup
+  * retrieval through the quantizer.
+  */
+class IvfPqSpec extends SparkSpec {
+
+  private def vecs = SimilarityQueries.doubleVecs(spark, sf)
+  private val dir = "/tmp/graft_ivf_pq_spec"
+  private val rawDir = "/tmp/graft_ivf_pq_spec_raw"
+
+  private def treeBytes(path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(p).getLength
+  }
+
+  test("PQ codes: m per row, every code in [0, ksub); training is " +
+       "bit-deterministic") {
+    val books = Similarity.trainPqBooks(vecs, m = 4, ksub = 16)
+    assert(books.length == 4 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 16))) // 64 dims / 4 subspaces
+    val again = Similarity.trainPqBooks(vecs, m = 4, ksub = 16)
+    assert(books.zip(again).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) }
+    }, "PQ training is not deterministic")
+    val codes = vecs.select(
+      Similarity.pqCodes(col("embedding"), books).as("codes"))
+    val stats = codes.select(
+      min(size(col("codes"))).as("mn"), max(size(col("codes"))).as("mx"),
+      min(array_min(col("codes"))).as("lo"),
+      max(array_max(col("codes"))).as("hi")).head()
+    assert(stats.getInt(0) == 4 && stats.getInt(1) == 4)
+    assert(stats.getInt(2) >= 0 && stats.getInt(3) < 16,
+      s"code out of range: $stats")
+  }
+
+  test("the persisted PQ cells hold codes only and are measurably " +
+       "smaller than the raw-vector cells") {
+    Similarity.buildIvfPqIndex(vecs, dir, nlist = 16)
+    Similarity.buildIvfIndex(vecs, rawDir, nlist = 16)
+    val ver = Similarity.indexVersion(spark, dir)
+    val cells = spark.read.parquet(s"$dir/$ver/cells")
+    assert(cells.columns.toSet == Set("cand_id", "codes", "centroid_id"),
+      s"PQ cells must not carry raw vectors: ${cells.columns.mkString(",")}")
+    val rawVer = Similarity.indexVersion(spark, rawDir)
+    val pqBytes = treeBytes(s"$dir/$ver/cells")
+    val rawBytes = treeBytes(s"$rawDir/$rawVer/cells")
+    // 500 vecs × (4 small ints vs 64 doubles): parquet overhead damps
+    // the raw ~60× payload ratio, but the direction must be decisive
+    assert(pqBytes * 3 < rawBytes,
+      s"PQ cells $pqBytes B not < 1/3 of raw cells $rawBytes B")
+  }
+
+  test("the PQ probe scan is partition-pruned and reads no vector " +
+       "column") {
+    Similarity.buildIvfPqIndex(vecs, dir, nlist = 16)
+    val probe = Similarity.ivfPqProbeIndexed(dir,
+      vecs.filter(col("vec_id") < 8), 5, nprobe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("cells") && l.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(scanLine.matches(".*PartitionFilters: \\[.*centroid_id.*\\].*"),
+      s"no partition filter on the PQ cells scan:\n$plan")
+    assert(!plan.contains("c_vec") && !scanLine.contains("embedding"),
+      "PQ probe should never read a raw vector column from the index")
+    assert(probe.count() > 0)
+  }
+
+  test("an exact duplicate survives quantization: same codes, found " +
+       "at rank 1") {
+    val dup = vecs.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val corpus = vecs.unionByName(dup)
+    Similarity.buildIvfPqIndex(corpus, dir, nlist = 16)
+    val ver = Similarity.indexVersion(spark, dir)
+    val books = Similarity.readCodebooks(spark, dir, ver)
+    // identical vectors encode to identical codes (pure function)
+    val codes = corpus.filter(col("vec_id").isin(3L, 1003L))
+      .select(Similarity.pqCodes(col("embedding"), books).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes(0) == codes(1), s"dup codes differ: ${codes.toSeq}")
+    // and the dup's reconstruction ties the query's own cell-best,
+    // so it surfaces at rank 1 (cand-id tiebreak: 1003 loses only to
+    // same-coded candidates with lower ids — none here)
+    val top = Similarity.ivfPqProbeIndexed(dir,
+      corpus.filter(col("vec_id") === 3), 1)
+      .select("cand_id").head().getLong(0)
+    assert(top == 1003L, s"exact duplicate not at rank 1 (got $top)")
+  }
+}
