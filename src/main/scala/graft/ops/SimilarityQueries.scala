@@ -141,6 +141,64 @@ object SimilarityQueries extends QueryPack {
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Semantic-decontamination replay: plant the same paraphrased eval
+    * leaks, assign train rows to their 1 nearest pinned centroid, probe
+    * each eval row's $np nearest cells, flag any train row at cosine ≥
+    * 0.99 of an eval row sharing a probed cell, and roll survivors up
+    * per document language. Same IEEE op order as the engine at every
+    * comparison, so the whole block→match→rollup phase hash-verifies.
+    */
+  private def semanticDecontOracle(cents: Array[(Int, Array[Double])])
+      : String = {
+    val np = Similarity.deriveNprobe(cents.length)
+    s"""WITH cents(cid, centroid) AS (
+      |  VALUES ${DynamicOracle.centroidValues(cents)}),
+      | v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      | ev AS (SELECT vec_id, vec FROM v WHERE vec_id % 10 = 0),
+      | train AS (
+      |   SELECT vec_id, vec FROM v WHERE vec_id % 10 <> 0
+      |   UNION ALL
+      |   SELECT vec_id + 200000, [vec[1] + 0.05] || vec[2:] FROM ev),
+      | tcells AS (
+      |   SELECT t.vec_id, t.vec, c.cid,
+      |     list_dot_product(t.vec, c.centroid) /
+      |       (sqrt(list_dot_product(t.vec, t.vec)) *
+      |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
+      |   FROM train t CROSS JOIN cents c),
+      | tasgn AS (
+      |   SELECT vec_id, vec, cid FROM (
+      |     SELECT *, row_number() OVER (PARTITION BY vec_id
+      |       ORDER BY isnan(simc), simc DESC, cid) AS rn FROM tcells)
+      |   WHERE rn = 1),
+      | ecells AS (
+      |   SELECT e.vec_id, e.vec, c.cid,
+      |     list_dot_product(e.vec, c.centroid) /
+      |       (sqrt(list_dot_product(e.vec, e.vec)) *
+      |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
+      |   FROM ev e CROSS JOIN cents c),
+      | eprobe AS (
+      |   SELECT vec_id, vec, cid FROM (
+      |     SELECT *, row_number() OVER (PARTITION BY vec_id
+      |       ORDER BY isnan(simc), simc DESC, cid) AS rn FROM ecells)
+      |   WHERE rn <= $np),
+      | hits AS (
+      |   SELECT DISTINCT t.vec_id
+      |   FROM tasgn t JOIN eprobe e USING (cid)
+      |   WHERE list_dot_product(t.vec, e.vec) /
+      |       (sqrt(list_dot_product(t.vec, t.vec)) *
+      |        sqrt(list_dot_product(e.vec, e.vec))) >= 0.99),
+      | flags AS (
+      |   SELECT vec_id % 200000 AS doc_id,
+      |     vec_id IN (SELECT vec_id FROM hits) AS hit
+      |   FROM train)
+      |SELECT d.lang, count(*) AS n_train,
+      |  count(*) FILTER (WHERE f.hit) AS n_contaminated,
+      |  count(*) - count(*) FILTER (WHERE f.hit) AS n_survivors
+      |FROM flags f JOIN documents d USING (doc_id)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   /** Cell-refined kNN-join replay for [[Similarity.knnJoinCells]]:
     * assign every vector to its argmax cell over the pinned centroid
     * literals, then exact top-3 within (label, cell).
@@ -551,6 +609,49 @@ object SimilarityQueries extends QueryPack {
         DynamicOracle.put("sim_stream_ivf_ingest", ivfOracleWith(cents))
         Similarity.ivfProbeIndexed(dir, vecs.filter(col("vec_id") < 8), 5)
           .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // SEMANTIC eval-set decontamination — the embedding-space
+    // complement of pipeline_decontaminate's exact-shingle overlap: a
+    // PARAPHRASED eval leak shares no 8-gram with its source but sits
+    // at cosine ≈ 1, so the hygiene pass must match in embedding
+    // space. Eval docs (every 10th) are planted back into the train
+    // split as perturbed copies (the leak), train rows assign to their
+    // 1 nearest trained-IVF cell (zero-shuffle argmax over centroid
+    // literals), the small eval side probes nprobe cells broadcast —
+    // compared pairs ∝ |eval| × bounded cell population, never
+    // |train| × |eval| — and survivors roll up per document language.
+    // Centroid-pinned rendered oracle; the planted leaks are exactly
+    // the contaminated rows the rollup counts.
+    Q("pipeline_semantic_decontaminate",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        val evalSet = vecs.filter(col("vec_id") % 10 === 0)
+        val planted = evalSet.select(
+          (col("vec_id") + 200000L).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.05)),
+            slice(col("embedding"), 2, 63)).as("embedding"),
+          col("label"))
+        val train = vecs.filter(col("vec_id") % 10 =!= 0)
+          .unionByName(planted)
+        val cents = Similarity.trainCentroids(vecs)
+        DynamicOracle.put("pipeline_semantic_decontaminate",
+          semanticDecontOracle(cents))
+        val hits = Similarity.semanticMatchedIds(train, evalSet, cents,
+          tau = 0.99)
+        val flagged = train
+          .select(col("vec_id"), (col("vec_id") % 200000L).as("doc_id"))
+          .join(hits.withColumn("hit", lit(true)), Seq("vec_id"),
+            "left_outer")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        flagged.join(docs, Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_train"),
+            count(col("hit")).as("n_contaminated"))
+          .withColumn("n_survivors",
+            col("n_train") - col("n_contaminated"))
+          .orderBy(col("lang"))
       },
       None),
 

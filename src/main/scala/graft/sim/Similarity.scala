@@ -750,6 +750,32 @@ object Similarity {
     rankProbed(cells, queries, k, cents, np, idCol, vecCol)
   }
 
+  /** Distinct ids of `train` rows whose cosine to ANY `evalSet` row
+    * is ≥ `tau`, candidate pairs blocked by trained IVF cell: every
+    * train row assigns to its 1 nearest cell (zero-shuffle per-row
+    * argmax over centroid literals), while the SMALL eval side probes
+    * `nprobe` cells (broadcast) so a leak sitting near a cell boundary
+    * is still caught. Compared pairs ∝ |eval| × cell population ×
+    * nprobe — never |train| × |eval| — and cell population stays
+    * bounded because nlist ∝ corpus. The semantic-decontamination
+    * primitive: an eval paraphrase shares no exact shingle with its
+    * source but sits at cosine ≈ 1.
+    */
+  def semanticMatchedIds(train: DataFrame, evalSet: DataFrame,
+                         cents: Array[(Int, Array[Double])],
+                         tau: Double, nprobe: Int = 0,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val np = if (nprobe > 0) nprobe else deriveNprobe(cents.length)
+    val t = assignCells(train, cents, "t_id", "t_vec", probes = 1,
+      idCol, vecCol)
+    val e = broadcast(assignCells(evalSet, cents, "e_id", "e_vec", np,
+      idCol, vecCol))
+    t.join(e, Seq("centroid_id"))
+      .filter(cosine(col("t_vec"), col("e_vec")) >= tau)
+      .select(col("t_id").as(idCol)).distinct()
+  }
+
   // ───────────────────────── IVF-PQ ─────────────────────────
   //
   // Product quantization: split every vector into `m` contiguous

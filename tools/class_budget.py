@@ -80,7 +80,7 @@ CLASSES = {
         "pipeline_dedup_apply", "pipeline_event_funnel",
         "pipeline_full_build", "pipeline_incremental_agg",
         "pipeline_mixture_sample", "pipeline_pack_sequences",
-        "pipeline_shuffle_shard",
+        "pipeline_semantic_decontaminate", "pipeline_shuffle_shard",
     ],
 }
 
