@@ -36,6 +36,45 @@ object TextQueries extends QueryPack {
       |  SELECT doc_id + 2000000, text || ' qq17' FROM documents
       |  WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** Shared replay for the three cross-boundary dedup forms
+    * (`dedup_cross_corpus`, `dedup_index_probe`, `dedup_index_append`):
+    * same plant, same pairs — recompute, persisted probe, and
+    * build+append+probe must all be bit-identical to this SQL.
+    */
+  private val crossBoundaryOracle: String =
+    """WITH ex AS (SELECT doc_id, text FROM documents),
+      | inc AS (
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' qq17' FROM documents
+      |  WHERE doc_id % 10 = 0),
+      | ta AS (SELECT doc_id, string_split(text, ' ') AS t FROM ex),
+      | tb AS (SELECT doc_id, string_split(text, ' ') AS t FROM inc),
+      | sa AS (SELECT DISTINCT doc_id,
+      |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                  FOR i IN generate_series(1, len(t) - 2)]) AS shingle
+      |        FROM ta),
+      | sb AS (SELECT DISTINCT doc_id,
+      |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                  FOR i IN generate_series(1, len(t) - 2)]) AS shingle
+      |        FROM tb),
+      | na AS (SELECT doc_id, count(*) AS n_a FROM sa GROUP BY doc_id),
+      | nb AS (SELECT doc_id, count(*) AS n_b FROM sb GROUP BY doc_id),
+      | common AS (
+      |  SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
+      |         count(*) AS n_common
+      |  FROM sa JOIN sb USING (shingle) GROUP BY 1, 2)
+      |SELECT a_id, b_id, n_common,
+      |       CAST(n_common AS DOUBLE) /
+      |         (na.n_a + nb.n_b - n_common) AS jaccard
+      |FROM common
+      |JOIN na ON na.doc_id = a_id
+      |JOIN nb ON nb.doc_id = b_id
+      |WHERE CAST(n_common AS DOUBLE) /
+      |      (na.n_a + nb.n_b - n_common) >= 0.8
+      |ORDER BY a_id, b_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
 
     // Edit-distance verification of near-dup candidates: MinHash/LSH
@@ -643,38 +682,7 @@ object TextQueries extends QueryPack {
             threshold = 0.8)
           .orderBy(col("a_id"), col("b_id"))
       },
-      Some("""WITH ex AS (SELECT doc_id, text FROM documents),
-        | inc AS (
-        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
-        |  WHERE doc_id % 7 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text || ' qq17' FROM documents
-        |  WHERE doc_id % 10 = 0),
-        | ta AS (SELECT doc_id, string_split(text, ' ') AS t FROM ex),
-        | tb AS (SELECT doc_id, string_split(text, ' ') AS t FROM inc),
-        | sa AS (SELECT DISTINCT doc_id,
-        |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                  FOR i IN generate_series(1, len(t) - 2)]) AS shingle
-        |        FROM ta),
-        | sb AS (SELECT DISTINCT doc_id,
-        |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                  FOR i IN generate_series(1, len(t) - 2)]) AS shingle
-        |        FROM tb),
-        | na AS (SELECT doc_id, count(*) AS n_a FROM sa GROUP BY doc_id),
-        | nb AS (SELECT doc_id, count(*) AS n_b FROM sb GROUP BY doc_id),
-        | common AS (
-        |  SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
-        |         count(*) AS n_common
-        |  FROM sa JOIN sb USING (shingle) GROUP BY 1, 2)
-        |SELECT a_id, b_id, n_common,
-        |       CAST(n_common AS DOUBLE) /
-        |         (na.n_a + nb.n_b - n_common) AS jaccard
-        |FROM common
-        |JOIN na ON na.doc_id = a_id
-        |JOIN nb ON nb.doc_id = b_id
-        |WHERE CAST(n_common AS DOUBLE) /
-        |      (na.n_a + nb.n_b - n_common) >= 0.8
-        |ORDER BY a_id, b_id""".stripMargin)),
+      Some(crossBoundaryOracle)),
 
     // PERSISTED DEDUP INDEX, build-once/probe-many: the standing
     // corpus's inverted shingle index (postings + sizes + df, versioned
@@ -697,38 +705,37 @@ object TextQueries extends QueryPack {
         Dedup.probeShingleIndex(idxDir, incoming, k = 3, threshold = 0.8)
           .orderBy(col("a_id"), col("b_id"))
       },
-      Some("""WITH ex AS (SELECT doc_id, text FROM documents),
-        | inc AS (
-        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
-        |  WHERE doc_id % 7 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text || ' qq17' FROM documents
-        |  WHERE doc_id % 10 = 0),
-        | ta AS (SELECT doc_id, string_split(text, ' ') AS t FROM ex),
-        | tb AS (SELECT doc_id, string_split(text, ' ') AS t FROM inc),
-        | sa AS (SELECT DISTINCT doc_id,
-        |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                  FOR i IN generate_series(1, len(t) - 2)]) AS shingle
-        |        FROM ta),
-        | sb AS (SELECT DISTINCT doc_id,
-        |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                  FOR i IN generate_series(1, len(t) - 2)]) AS shingle
-        |        FROM tb),
-        | na AS (SELECT doc_id, count(*) AS n_a FROM sa GROUP BY doc_id),
-        | nb AS (SELECT doc_id, count(*) AS n_b FROM sb GROUP BY doc_id),
-        | common AS (
-        |  SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
-        |         count(*) AS n_common
-        |  FROM sa JOIN sb USING (shingle) GROUP BY 1, 2)
-        |SELECT a_id, b_id, n_common,
-        |       CAST(n_common AS DOUBLE) /
-        |         (na.n_a + nb.n_b - n_common) AS jaccard
-        |FROM common
-        |JOIN na ON na.doc_id = a_id
-        |JOIN nb ON nb.doc_id = b_id
-        |WHERE CAST(n_common AS DOUBLE) /
-        |      (na.n_a + nb.n_b - n_common) >= 0.8
-        |ORDER BY a_id, b_id""".stripMargin)),
+      Some(crossBoundaryOracle)),
+
+    // INCREMENTAL ingest for the persisted dedup index — the text
+    // mirror of sim_ann_ivf_append: build the standing index on 2/3 of
+    // the corpus, APPEND the remaining third as a delta segment (its
+    // postings bucketed exactly like the base build's, `segments`
+    // manifest + one atomic pointer flip — I/O ∝ |delta|, never a
+    // rebuild), then probe. The probe fans out across the manifest's
+    // segments (per-segment zero-Exchange pair joins; a doc lives
+    // wholly in one segment so the union of per-segment pairs is
+    // exact), and since the post-append index holds the full corpus
+    // the same cross-boundary oracle replays it flat — the segmented
+    // read path hash-verifies against the single-table recompute.
+    Q("dedup_index_append",
+      (s, d) => {
+        val idxDir = "/tmp/graft_shingle_append/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val existing = Tables.documents(s, d).select("doc_id", "text")
+        val incoming = existing.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .unionAll(existing.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(col("text"), lit(" qq17")).as("text")))
+        Dedup.buildShingleIndex(
+          existing.filter(col("doc_id") % 3 =!= 0), idxDir)
+        Dedup.appendShingleIndex(idxDir,
+          existing.filter(col("doc_id") % 3 === 0))
+        Dedup.probeShingleIndex(idxDir, incoming, k = 3, threshold = 0.8)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(crossBoundaryOracle)),
 
     // TRAINING-MIX SAMPLING: select documents per language up to a
     // token budget, in a deterministic pseudo-random order (md5 of the

@@ -321,14 +321,112 @@ object Dedup {
     }
   }
 
+  /** The postings SEGMENTS a version's data lives in: the `segments`
+    * text manifest when present ([[appendShingleIndex]] versions), else
+    * the version itself (a base [[buildShingleIndex]] — backward
+    * compatible with pre-append indexes). Mirror of the IVF side's
+    * `Similarity.indexSegments`.
+    */
+  def indexSegments(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, version: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$version/segments")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq(version)
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  /** Tag file a tagged append drops in its version dir — the same
+    * exactly-once handle as the IVF side: a re-delivered micro-batch
+    * finds its tag on the committed chain and no-ops.
+    */
+  private val AppendTag = "_APPEND_TAG"
+
+  private def committedTags(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: String, segs: Seq[String]): Set[String] =
+    segs.flatMap { s =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$s/$AppendTag")
+      if (!fs.exists(p)) None
+      else Some(graft.sources.PointerFile.read(fs, p))
+    }.toSet
+
+  /** Append NEW documents to a persisted shingle index WITHOUT rebuild
+    * — continuous corpus ingestion for the standing dedup artifact,
+    * the text mirror of `Similarity.appendIvfIndex`. The incoming
+    * docs' postings/sizes/dfreq are written as a new SEGMENT (postings
+    * bucketed on shingle exactly like the base build, so every
+    * segment's pair join keeps its zero-Exchange co-location), plus a
+    * `segments` manifest = parent's manifest + itself; one atomic
+    * `_CURRENT` flip commits. I/O ∝ |delta| — never a rebuild — and
+    * probes fan out across ALL manifest segments. Doc ids must be new
+    * (a doc lives wholly in one segment; same contract as the IVF
+    * append), so per-segment candidate pairs are disjoint and the
+    * union is exact. Crash-safety inherits the build's protocol: a
+    * partial dir (no marker) is never pointed to, and the
+    * manifest-aware GC ([[graft.sources.PointerFile.commitVersion]])
+    * pins every segment a kept version still references.
+    */
+  def appendShingleIndex(dir: String, newDocs: DataFrame, k: Int = 3,
+                         tag: Option[String] = None): Unit = {
+    val spark = newDocs.sparkSession
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = graft.sources.PointerFile.read(
+      fs, new org.apache.hadoop.fs.Path(dir, "_CURRENT"))
+    val parentSegs = indexSegments(spark, dir, parent)
+    // exactly-once under foreachBatch replay (cf. appendIvfIndex)
+    if (tag.exists(committedTags(fs, dir, parentSegs))) return
+    // a quiet ingest tick commits nothing — an empty segment would be
+    // a schema-less parquet dir later probes choke on
+    if (newDocs.isEmpty) return
+    val version = f"v-${System.currentTimeMillis()}%013d-${
+      java.util.UUID.randomUUID().toString.take(8)}"
+    val sh = hashedShingleSet(newDocs, k).cache()
+    sh.repartition(IndexBuckets, col("shingle"))
+      .write.mode("errorifexists")
+      .bucketBy(IndexBuckets, "shingle").sortBy("shingle")
+      .option("path", s"$dir/$version/postings")
+      .format("parquet").saveAsTable(postingsTable(dir, version))
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .write.mode("errorifexists").parquet(s"$dir/$version/sizes")
+    sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .write.mode("errorifexists").parquet(s"$dir/$version/dfreq")
+    val bf = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/$version/buckets"), true)
+    try bf.write(s"$IndexBuckets".getBytes("UTF-8")) finally bf.close()
+    val segFile = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/$version/segments"), true)
+    try segFile.write((parentSegs :+ version).mkString("\n")
+      .getBytes("UTF-8"))
+    finally segFile.close()
+    tag.foreach { t =>
+      val tf = fs.create(
+        new org.apache.hadoop.fs.Path(s"$dir/$version/$AppendTag"), true)
+      try tf.write(t.getBytes("UTF-8")) finally tf.close()
+    }
+    graft.sources.PointerFile.commitVersion(fs, base, version)
+  }
+
   /** Probe the persisted index with an incoming shard: same answer as
     * [[crossCorpusPairs]](indexed corpus, incoming) — a_id from the
     * standing corpus, b_id from the shard — but the corpus-side
     * shingling, sizing, and document frequencies are READ, not
-    * recomputed. `maxPostings` drops degenerate boilerplate shingles
-    * via the precomputed df table (a df-capped probe is the production
-    * default; Int.MaxValue restores exact parity with the uncapped
-    * formulation).
+    * recomputed. The probe fans out across every SEGMENT the current
+    * version's manifest lists (one for a plain build, one more per
+    * append): a corpus doc lives wholly in one segment, so per-segment
+    * candidate pairs are disjoint and their union is exact, while each
+    * segment's pair join keeps its own bucketed zero-Exchange
+    * co-location. `maxPostings` drops degenerate boilerplate shingles
+    * via the precomputed df tables — document frequency is summed
+    * ACROSS segments first, so the capped universe is identical to a
+    * rebuilt index's (a per-segment cap would resurrect boilerplate
+    * that only crosses the threshold in aggregate). A df-capped probe
+    * is the production default; Int.MaxValue restores exact parity
+    * with the uncapped formulation.
     */
   def probeShingleIndex(dir: String, incoming: DataFrame, k: Int = 3,
                         threshold: Double = 0.8,
@@ -337,8 +435,10 @@ object Dedup {
     val cur = new org.apache.hadoop.fs.Path(dir, "_CURRENT")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val version = graft.sources.PointerFile.read(fs, cur)
-    val postings = readPostings(spark, dir, version)
-    val exSizes = spark.read.parquet(s"$dir/$version/sizes")
+    val segs = indexSegments(spark, dir, version)
+    val segPostings = segs.map(v => readPostings(spark, dir, v))
+    val exSizes = segs.map(v => spark.read.parquet(s"$dir/$v/sizes"))
+      .reduce(_ unionAll _)
     val in0 = hashedShingleSet(incoming, k).cache()
     // Under a df-cap, similarity is defined over the CAPPED shingle
     // universe on BOTH sides (cf. naivePairs): the persisted corpus
@@ -348,27 +448,33 @@ object Dedup {
     // The shard keeps its novel (df-absent) shingles: only shingles
     // KNOWN to be over-cap are removed from it.
     val (posts, in, exSizesEff) =
-      if (maxPostings == Int.MaxValue) (postings, in0, exSizes)
+      if (maxPostings == Int.MaxValue) (segPostings, in0, exSizes)
       else {
-        val dfreq = spark.read.parquet(s"$dir/$version/dfreq")
+        val dfreq = segs
+          .map(v => spark.read.parquet(s"$dir/$v/dfreq"))
+          .reduce(_ unionAll _)
+          .groupBy("shingle").agg(sum(col("df")).as("df"))
         val overCap = dfreq.filter(col("df") > maxPostings)
           .select("shingle")
-        val p = postings.join(
-          dfreq.filter(col("df") <= maxPostings).select("shingle"),
-          Seq("shingle"))
+        val under = dfreq.filter(col("df") <= maxPostings)
+          .select("shingle")
+        val p = segPostings.map(_.join(under, Seq("shingle")))
         val i = in0.join(overCap, Seq("shingle"), "left_anti")
-        val drops = postings.join(overCap, Seq("shingle"))
+        val drops = segPostings.reduce(_ unionAll _)
+          .join(overCap, Seq("shingle"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_drop"))
         val adj = exSizes.join(drops, Seq("doc_id"), "left")
           .select(col("doc_id"),
             (col("n_sh") - coalesce(col("n_drop"), lit(0L))).as("n_sh"))
         (p, i, adj)
       }
-    val common = posts.select(col("doc_id").as("a_id"), col("shingle"))
-      .join(in.select(col("doc_id").as("b_id"), col("shingle")),
-        Seq("shingle"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("n_common"))
+    val common = posts.map(pp =>
+        pp.select(col("doc_id").as("a_id"), col("shingle"))
+          .join(in.select(col("doc_id").as("b_id"), col("shingle")),
+            Seq("shingle"))
+          .groupBy("a_id", "b_id")
+          .agg(count(lit(1)).as("n_common")))
+      .reduce(_ unionAll _)
     common
       .join(exSizesEff.select(col("doc_id").as("a_id"),
         col("n_sh").as("n_a")), Seq("a_id"))

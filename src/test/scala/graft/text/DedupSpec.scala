@@ -191,6 +191,55 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("append ≡ flat: probing a built+appended index equals the " +
+       "cross-corpus recompute over the union; manifest chains; tagged " +
+       "replay no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("shidxapp").toString
+    val existing = planted.filter(col("doc_id") < 1000000L)
+    val incoming = planted.filter(col("doc_id") >= 1000000L)
+    val baseSlice = existing.filter(col("doc_id") % 3 =!= 0)
+    val delta = existing.filter(col("doc_id") % 3 === 0)
+    Dedup.buildShingleIndex(baseSlice, dir)
+    Dedup.appendShingleIndex(dir, delta, tag = Some("b0"))
+    val cur = Dedup.indexSegments(spark,
+      dir, graft.sources.PointerFile.read(
+        new org.apache.hadoop.fs.Path(dir, "_CURRENT")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(dir, "_CURRENT")))
+    assert(cur.size === 2, s"expected base+delta segments: $cur")
+    val probed = Dedup.probeShingleIndex(dir, incoming, k = 3,
+      threshold = 0.8)
+    val recomputed = Dedup.crossCorpusPairs(existing, incoming, k = 3,
+      threshold = 0.8)
+    assert(probed.count() > 0)
+    assert(probed.except(recomputed).isEmpty &&
+      recomputed.except(probed).isEmpty,
+      "segmented probe diverged from the flat recompute")
+    // capped probe sums df ACROSS segments: same answer as a capped
+    // probe of a REBUILT (single-segment) full index
+    val capped = Dedup.probeShingleIndex(dir, incoming, k = 3,
+      threshold = 0.8, maxPostings = 50)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("shidxflat").toString
+    Dedup.buildShingleIndex(existing, rebuilt)
+    val cappedFlat = Dedup.probeShingleIndex(rebuilt, incoming, k = 3,
+      threshold = 0.8, maxPostings = 50)
+    assert(capped.except(cappedFlat).isEmpty &&
+      cappedFlat.except(capped).isEmpty,
+      "cross-segment df-cap diverged from the rebuilt index's cap")
+    // exactly-once: a replayed tag commits nothing (no new version)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nVersions = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
+    val before = nVersions
+    Dedup.appendShingleIndex(dir, delta, tag = Some("b0"))
+    assert(nVersions === before, "replayed tagged append committed")
+    // and an empty delta commits nothing either
+    Dedup.appendShingleIndex(dir, delta.filter(lit(false)))
+    assert(nVersions === before, "empty append committed a segment")
+  }
+
   test("df-cap defines similarity over the CAPPED universe: exact dups " +
        "survive a cap that drops their shared boilerplate") {
     import spark.implicits._
