@@ -737,6 +737,52 @@ object TextQueries extends QueryPack {
       },
       Some(crossBoundaryOracle)),
 
+    // STREAMING corpus ingest into the standing dedup index — the
+    // text mirror of sim_stream_ivf_ingest: document micro-batches
+    // append delta segments through foreachBatch under the real
+    // Structured Streaming scheduler, batchId-tagged so a
+    // checkpoint-replayed batch no-ops instead of duplicating a
+    // segment. Docs are whole per batch, so the probe's per-segment
+    // pair union is batch-split-invariant: streamed ingest ≡ flat
+    // append ≡ rebuilt index, and the same cross-boundary oracle
+    // replays the post-shutdown probe against the flat recompute.
+    Q("dedup_stream_ingest",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        val root = "/tmp/graft_shingle_stream/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val fs = new Path(root).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        val idxDir = s"$root/index"
+        val existing = Tables.documents(s, d).select("doc_id", "text")
+        val incoming = existing.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .unionAll(existing.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(col("text"), lit(" qq17")).as("text")))
+        Dedup.buildShingleIndex(
+          existing.filter(col("doc_id") % 3 =!= 0), idxDir)
+        val delta = existing.filter(col("doc_id") % 3 === 0)
+        // several source files + maxFilesPerTrigger → a REAL multi-
+        // micro-batch run (cf. sim_stream_ivf_ingest)
+        delta.repartition(4).write.mode("overwrite")
+          .parquet(s"$root/in")
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val q = s2.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", 2).parquet(s"$root/in")
+          .writeStream
+          .option("checkpointLocation", s"$root/cp")
+          .foreachBatch(Dedup.shingleStreamSink(idxDir, s"$root/cp"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Dedup.probeShingleIndex(idxDir, incoming, k = 3, threshold = 0.8)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(crossBoundaryOracle)),
+
     // TRAINING-MIX SAMPLING: select documents per language up to a
     // token budget, in a deterministic pseudo-random order (md5 of the
     // doc id — an unbiased shuffle any engine replays). The exact

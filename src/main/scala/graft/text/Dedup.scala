@@ -411,6 +411,36 @@ object Dedup {
     graft.sources.PointerFile.commitVersion(fs, base, version)
   }
 
+  /** foreachBatch sink for STREAMING corpus ingest into a persisted
+    * shingle index — the text mirror of `Similarity.ivfStreamSink`,
+    * with the same exactly-once construction: each append is tagged
+    * `<streamId>#<batchId>`, where streamId is the query's stable id
+    * from the checkpoint's `metadata` file, so a checkpoint-replayed
+    * micro-batch finds its tag on the committed segment chain and
+    * no-ops, while a RESET checkpoint mints a fresh tag namespace.
+    * Appending whole documents per batch keeps the segment invariant
+    * (a doc lives wholly in one segment), so the probe's per-segment
+    * pair union is batch-split-invariant — streamed ingest ≡ one flat
+    * append ≡ a rebuilt index.
+    */
+  def shingleStreamSink(dir: String, checkpointDir: String, k: Int = 3)
+      : (DataFrame, Long) => Unit = {
+    @volatile var streamId: String = null
+    (batch: DataFrame, batchId: Long) => {
+      if (streamId == null) {
+        val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
+        val fs = p.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        val json = graft.sources.PointerFile.read(fs, p)
+        val m = """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json)
+        require(m.isDefined, s"no query id in $checkpointDir/metadata")
+        streamId = m.get.group(1)
+      }
+      appendShingleIndex(dir, batch, k,
+        tag = Some(s"$streamId#$batchId"))
+    }
+  }
+
   /** Probe the persisted index with an incoming shard: same answer as
     * [[crossCorpusPairs]](indexed corpus, incoming) — a_id from the
     * standing corpus, b_id from the shard — but the corpus-side

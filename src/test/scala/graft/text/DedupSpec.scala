@@ -240,6 +240,37 @@ class DedupSpec extends SparkSpec {
     assert(nVersions === before, "empty append committed a segment")
   }
 
+  test("streamed ingest runs ≥2 real micro-batches and the probe " +
+       "equals the flat cross-corpus recompute") {
+    val probed = TextQueries.queries
+      .find(_.name == "dedup_stream_ingest").get.fn(spark, sf)
+    // the query's own plant (cf. dedup_cross_corpus), not plantedDocs
+    val existing = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text")
+    val incoming = existing.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionAll(existing.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" qq17")).as("text")))
+    val recomputed = Dedup.crossCorpusPairs(existing, incoming, k = 3,
+      threshold = 0.8).select("a_id", "b_id", "n_common", "jaccard")
+    assert(probed.count() > 0)
+    assert(probed.select("a_id", "b_id", "n_common", "jaccard")
+      .except(recomputed).isEmpty &&
+      recomputed.except(probed.select("a_id", "b_id", "n_common",
+        "jaccard")).isEmpty,
+      "streamed-ingest probe diverged from the flat recompute")
+    val idxDir = "/tmp/graft_shingle_stream/" +
+      sf.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = graft.sources.PointerFile.read(fs,
+      new org.apache.hadoop.fs.Path(idxDir, "_CURRENT"))
+    val segs = Dedup.indexSegments(spark, idxDir, cur)
+    assert(segs.size >= 3,
+      s"expected base + ≥2 streamed micro-batch segments: $segs")
+  }
+
   test("df-cap defines similarity over the CAPPED universe: exact dups " +
        "survive a cap that drops their shared boilerplate") {
     import spark.implicits._

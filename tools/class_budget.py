@@ -57,7 +57,7 @@ CLASSES = {
         "dedup_clusters", "dedup_containment", "dedup_cross_corpus",
         "dedup_edit_verify", "dedup_embedding_cosine", "dedup_exact",
         "dedup_index_append", "dedup_index_probe", "dedup_minhash",
-        "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard", "dedup_stream_ingest",
         "dedup_simhash", "text_substring_dedup",
     ],
     "similarity/ANN": [
