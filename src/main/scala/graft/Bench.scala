@@ -136,12 +136,44 @@ object Bench {
       // (3/16 cells) and the buy-recall-back setting (8/16)
       extras("ivf_probe_recall_at5") = recallAt(3)
       extras("ivf_probe_recall_at5_np8") = recallAt(8)
+      // raw cells bytes/vector, measured BEFORE the append below (so
+      // the divisor is the corpus count) — the baseline for the PQ
+      // compression ratio in the pq extras
+      val nVecs = vecs.count().toDouble
+      def cellsBytes(dir: String): Double = {
+        val ver = sim.Similarity.indexVersion(spark, dir)
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$ver/cells")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength.toDouble
+      }
+      extras("ivf_cells_bytes_per_vec") = cellsBytes(idxDir) / nVecs
       // incremental ingest: appending a 1/10 shard must cost ∝ |delta|,
       // not a rebuild — compare against ivf_index_build_sec
       val ta0 = System.nanoTime()
       sim.Similarity.appendIvfIndex(idxDir,
         vecs.filter(col("vec_id") % 10 === 0))
       extras("ivf_append_sec") = (System.nanoTime() - ta0) / 1e9
+      // IVF-PQ: the index-compression lever (BASELINE.md round-7) —
+      // build, pruned codes-only probe, measured ADC recall vs exact,
+      // and on-disk bytes/vector against the raw cells above (file-
+      // overhead-bound at toy SF; the claim is the payload ratio)
+      val pqDir = "/tmp/graft_bench_ivf_pq"
+      val tq0 = System.nanoTime()
+      sim.Similarity.buildIvfPqIndex(vecs, pqDir)
+      extras("pq_index_build_sec") = (System.nanoTime() - tq0) / 1e9
+      def pqProbeOnce(): Double = {
+        val t0 = System.nanoTime()
+        sim.Similarity.ivfPqProbeIndexed(pqDir, probes, 5)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val q1 = pqProbeOnce()
+      extras("pq_index_probe_sec") = math.min(q1, pqProbeOnce())
+      val pqTop = sim.Similarity.ivfPqProbeIndexed(pqDir, probes, 5)
+        .select(col("query_id"), col("cand_id"))
+      extras("pq_probe_recall_at5") =
+        pqTop.intersect(bruteTop).count() / nBrute
+      extras("pq_cells_bytes_per_vec") = cellsBytes(pqDir) / nVecs
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ivf extras FAILED: ${e.getMessage}")
     }

@@ -680,6 +680,33 @@ object SimilarityQueries extends QueryPack {
       },
       None),
 
+    // INCREMENTAL ingest for the PQ index: the delta shard is assigned
+    // to the existing centroids and encoded with the FROZEN codebooks
+    // (the standard frozen-quantizer trade: drift costs quantization
+    // error, never correctness), landing as a codes-only delta segment
+    // — encode work and I/O ∝ |delta|. After the append the index
+    // holds the full corpus under the base-trained quantizers, so the
+    // same codebook-pinned oracle replays the multi-segment pruned
+    // probe flat over the embeddings table.
+    Q("sim_ann_ivf_pq_append",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        val dir = "/tmp/graft_ivf_pq_append/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        Similarity.buildIvfPqIndex(
+          vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), dir)
+        Similarity.appendIvfPqIndex(dir,
+          vecs.filter(pmod(col("vec_id"), lit(3)) === 0))
+        val ver = Similarity.indexVersion(s, dir)
+        val cents = Similarity.readCentroids(s, dir, ver)
+        val books = Similarity.readCodebooks(s, dir, ver)
+        DynamicOracle.put("sim_ann_ivf_pq_append",
+          ivfPqOracle(cents, books))
+        Similarity.ivfPqProbeIndexed(dir, vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // Embedding-cosine near-dup pairs within a coarse partition (IVF
     // shape), over planted perturbed copies.
     Q("dedup_embedding_cosine",

@@ -978,9 +978,65 @@ object Similarity {
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3))
 
+  /** Append NEW vectors to a persisted IVF-PQ index WITHOUT rebuild:
+    * the incoming shard is assigned to the EXISTING centroids and
+    * encoded with the FROZEN codebooks (the PQ analog of the standard
+    * frozen-quantizer trade — drifted data degrades quantization
+    * error, never correctness), then lands as a delta segment of
+    * codes-only cells + `segments` manifest + one atomic flip — I/O
+    * and encode work ∝ |delta|. Same tag protocol as
+    * [[appendIvfIndex]] for foreachBatch exactly-once.
+    */
+  def appendIvfPqIndex(dir: String, incoming: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       tag: Option[String] = None): Unit = {
+    val spark = incoming.sparkSession
+    val parent = indexVersion(spark, dir)
+    val parentSegs = indexSegments(spark, dir, parent)
+    val fs0 = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (tag.exists(committedTags(fs0, dir, parentSegs))) return
+    if (incoming.isEmpty) return
+    val cents = readCentroids(spark, dir, parent)
+    val books = readCodebooks(spark, dir, parent)
+    val version = f"v-${System.currentTimeMillis()}%013d-${
+      java.util.UUID.randomUUID().toString.take(8)}"
+    import spark.implicits._
+    cents.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cw, code) => (j, code, cw.toSeq) }
+    }.toSeq.toDF("j", "code", "codeword")
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dir/$version/codebooks")
+    incoming.select(col(idCol).as("cand_id"),
+        element_at(nearestCellStructs(col(vecCol), cents), 1)
+          .getField("centroid_id").as("centroid_id"),
+        pqCodes(col(vecCol), books).as("codes"))
+      .write.mode("errorifexists").partitionBy("centroid_id")
+      .parquet(s"$dir/$version/cells")
+    val segs = parentSegs :+ version
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segFile = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/$version/segments"), true)
+    try segFile.write(segs.mkString("\n").getBytes("UTF-8"))
+    finally segFile.close()
+    tag.foreach { t =>
+      val tf = fs.create(
+        new org.apache.hadoop.fs.Path(s"$dir/$version/$AppendTag"), true)
+      try tf.write(t.getBytes("UTF-8")) finally tf.close()
+    }
+    graft.sources.PointerFile.commitVersion(fs, base, version)
+  }
+
   /** Probe a persisted IVF-PQ index. Same pruned-read shape as
     * [[ivfProbeIndexed]] — the probed cell set becomes a static `isin`
-    * partition filter — but the scan reads only `(cand_id, codes)`:
+    * partition filter, applied to every segment the current version's
+    * manifest lists — but the scan reads only `(cand_id, codes)`:
     * probe I/O per candidate is m codes, not dim floats (the ~32×
     * read-volume drop that makes a 100 TB corpus probe-able), and
     * ranking is ADC over the on-the-fly reconstruction. Approximate
@@ -1000,7 +1056,11 @@ object Similarity {
         1, np)).as("__c"))
       .select(col("__c.centroid_id")).distinct()
       .collect().map(_.getInt(0))
-    val cells = spark.read.parquet(s"$dir/$ver/cells")
+    // one pruned scan per manifest segment, unioned (cf.
+    // ivfProbeIndexed: sibling hive trees need their own discovery)
+    val cells = indexSegments(spark, dir, ver)
+      .map(s => spark.read.parquet(s"$dir/$s/cells"))
+      .reduce(_ unionByName _)
       .filter(col("centroid_id").isin(probedCells.map(Int.box): _*))
       .select(col("cand_id"), col("codes"), col("centroid_id"))
     val probed = broadcast(

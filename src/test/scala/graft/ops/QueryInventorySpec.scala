@@ -26,7 +26,7 @@ class QueryInventorySpec extends SparkSpec {
     // (centroid literals) — run them so the registration is visible
     Seq("sim_ann_ivf_trained", "sim_ann_ivf_indexed", "sim_knn_join_cell",
         "sim_ann_ivf_append", "sim_stream_ivf_ingest", "sim_ann_ivf_pq",
-        "pipeline_semantic_decontaminate")
+        "sim_ann_ivf_pq_append", "pipeline_semantic_decontaminate")
       .foreach(n => SparkEntry.queries(n)(spark, sf).count())
     val effective = SparkEntry.oracleSql.keySet ++
       DynamicOracle.snapshot.keySet

@@ -76,6 +76,44 @@ class IvfPqSpec extends SparkSpec {
     assert(probe.count() > 0)
   }
 
+  test("append: delta encodes with the FROZEN codebooks into its own " +
+       "segment; tagged replay and empty deltas commit nothing") {
+    val dir2 = "/tmp/graft_ivf_pq_append_spec"
+    val p = new org.apache.hadoop.fs.Path(dir2)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(p)) fsys.delete(p, true)
+    val base = vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val delta = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
+    Similarity.buildIvfPqIndex(base, dir2, nlist = 16)
+    Similarity.appendIvfPqIndex(dir2, delta, tag = Some("b0"))
+    val ver = Similarity.indexVersion(spark, dir2)
+    val segs = Similarity.indexSegments(spark, dir2, ver)
+    assert(segs.size == 2, s"expected base+delta segments: $segs")
+    // the delta segment's stored codes == re-encoding the delta with
+    // the CURRENT (frozen, copied-forward) codebooks
+    val books = Similarity.readCodebooks(spark, dir2, ver)
+    val stored = spark.read.parquet(s"$dir2/${segs.last}/cells")
+      .select(col("cand_id"), col("codes"))
+    val expected = delta.select(col("vec_id").as("cand_id"),
+      Similarity.pqCodes(col("embedding"), books).as("codes"))
+    assert(stored.exceptAll(expected).isEmpty &&
+      expected.exceptAll(stored).isEmpty,
+      "delta codes diverge from frozen-codebook encoding")
+    // probing the appended index surfaces delta candidates too
+    val cand = Similarity.ivfPqProbeIndexed(dir2,
+      vecs.filter(col("vec_id") < 8), 5)
+      .select("cand_id").collect().map(_.getLong(0)).toSet
+    assert(cand.exists(_ % 3 == 0), s"no delta candidate in $cand")
+    // exactly-once + quiet ticks
+    def nVersions = fsys.listStatus(p)
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
+    val before = nVersions
+    Similarity.appendIvfPqIndex(dir2, delta, tag = Some("b0"))
+    assert(nVersions == before, "replayed tagged append committed")
+    Similarity.appendIvfPqIndex(dir2, delta.filter(lit(false)))
+    assert(nVersions == before, "empty append committed a segment")
+  }
+
   test("an exact duplicate survives quantization: same codes, found " +
        "at rank 1") {
     val dup = vecs.filter(col("vec_id") === 3)

@@ -62,8 +62,8 @@ CLASSES = {
     ],
     "similarity/ANN": [
         "sim_ann_ivf", "sim_ann_ivf_append", "sim_ann_ivf_indexed",
-        "sim_ann_ivf_pq", "sim_ann_ivf_trained", "sim_ann_lsh",
-        "sim_cosine_topk",
+        "sim_ann_ivf_pq", "sim_ann_ivf_pq_append", "sim_ann_ivf_trained",
+        "sim_ann_lsh", "sim_cosine_topk",
         "sim_knn_join", "sim_knn_join_cell", "sim_quantized_topk",
         "sim_stream_ivf_ingest",
     ],
