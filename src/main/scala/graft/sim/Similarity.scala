@@ -759,7 +759,9 @@ object Similarity {
     * nprobe — never |train| × |eval| — and cell population stays
     * bounded because nlist ∝ corpus. The semantic-decontamination
     * primitive: an eval paraphrase shares no exact shingle with its
-    * source but sits at cosine ≈ 1.
+    * source but sits at cosine ≈ 1 (embedding-space dedup in the
+    * SemDeDup mold — Abbas et al. 2023 — applied to eval-set
+    * contamination rather than intra-corpus duplication).
     */
   def semanticMatchedIds(train: DataFrame, evalSet: DataFrame,
                          cents: Array[(Int, Array[Double])],
@@ -777,6 +779,12 @@ object Similarity {
   }
 
   // ───────────────────────── IVF-PQ ─────────────────────────
+  //
+  // Design per the published IVFADC scheme (Jégou, Douze & Schmid,
+  // "Product Quantization for Nearest Neighbor Search", IEEE TPAMI
+  // 2011 — the construction FAISS popularized), re-expressed
+  // Spark-first: quantizers as plan literals, cells as hive
+  // partitions, ADC inside whole-stage codegen.
   //
   // Product quantization: split every vector into `m` contiguous
   // subspaces and replace each sub-vector by the id of its nearest
