@@ -93,6 +93,12 @@ object Native {
   /** Exact integer dot product over int8 codes. */
   def dotI8(a: Column, b: Column): Column = c(DotProductI8(e(a), e(b)))
 
+  /** Per-row PQ encoding against trained codebooks (plan-bound, not an
+    * expression subtree) — oracle-exact argmin per subspace.
+    */
+  def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    c(PqEncode(e(vec), books))
+
   /** Min MD5-hex over 3-shingles of a token array (1-perm MinHash). */
   def minShingleMd5(tokens: Column): Column = c(MinShingleMd5(e(tokens)))
 

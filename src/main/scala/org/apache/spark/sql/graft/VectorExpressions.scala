@@ -337,3 +337,116 @@ case class VectorSum(
       newChildren: IndexedSeq[Expression]): VectorSum =
     copy(child = newChildren(0))
 }
+
+/** PQ encoder: `array<double>` vector → the `m` per-subspace code ids,
+  * argmin over the trained codebooks (carried as a plan-bound object,
+  * not an expression subtree — the sort_array-over-ksub-structs SQL
+  * formulation this replaces generated O(m·ksub) expression nodes,
+  * megabytes of janino source and a per-row sort; this is the same
+  * arithmetic as a flat primitive loop, which is what lets the encode
+  * defaults afford FAISS-grade code books instead of toy ones).
+  *
+  * Numeric contract (pinned by the rendered DuckDB oracle's
+  * `ORDER BY c2 - 2*list_dot_product(sub, cw), code`): the comparison
+  * key for subspace j, code c is `‖cw‖² − 2·(sub·cw)` with both the
+  * norm (precomputed, driver-side) and the dot as sequential left
+  * folds in index order, and ties — plus the all-NaN edge, where no
+  * strict `<` ever fires — resolve to the LOWEST code, exactly like
+  * the ascending (d, code) sort both engines replay.
+  */
+case class PqEncode(child: Expression,
+                    books: Array[Array[Array[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType,
+      containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  // ‖cw‖² per (subspace, code), the same left fold the build's sq()
+  // and the oracle's list_dot_product(cw, cw) evaluate
+  @transient private lazy val c2: Array[Array[Double]] =
+    books.map(_.map { cw =>
+      var s = 0.0; var i = 0
+      while (i < cw.length) { s += cw(i) * cw(i); i += 1 }
+      s
+    })
+
+  private def encode(x: ArrayData): Array[Int] = {
+    val m = books.length
+    val ds = books(0)(0).length
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      val cc2 = c2(j)
+      var best = Double.PositiveInfinity
+      var bestCode = 0
+      var code = 0
+      while (code < book.length) {
+        val cw = book(code)
+        var s = 0.0
+        var i = 0
+        while (i < ds) { s += x.getDouble(j * ds + i) * cw(i); i += 1 }
+        val d = cc2(code) - 2.0 * s
+        if (d < best) { best = d; bestCode = code }
+        code += 1
+      }
+      codes(j) = bestCode
+      j += 1
+    }
+    codes
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(encode(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    // the codebooks ride along as reference objects — flat primitive
+    // loops in the generated code, O(1) generated-source size in
+    // (m, ksub)
+    val b = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    val n2 = ctx.addReferenceObj("pqC2", c2, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val (m, ds) = (ctx.freshName("m"), ctx.freshName("ds"))
+      val (j, code, i) =
+        (ctx.freshName("j"), ctx.freshName("code"), ctx.freshName("i"))
+      val (best, bestCode) =
+        (ctx.freshName("best"), ctx.freshName("bestCode"))
+      val (book, cc2, cw) =
+        (ctx.freshName("book"), ctx.freshName("cc2"), ctx.freshName("cw"))
+      val (s, d, out) =
+        (ctx.freshName("s"), ctx.freshName("d"), ctx.freshName("out"))
+      s"""
+         |int $m = $b.length;
+         |int $ds = $b[0][0].length;
+         |int[] $out = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  double[][] $book = $b[$j];
+         |  double[] $cc2 = $n2[$j];
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $bestCode = 0;
+         |  for (int $code = 0; $code < $book.length; $code++) {
+         |    double[] $cw = $book[$code];
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $ds; $i++) {
+         |      $s += $a.getDouble($j * $ds + $i) * $cw[$i];
+         |    }
+         |    double $d = $cc2[$code] - 2.0 * $s;
+         |    if ($d < $best) { $best = $d; $bestCode = $code; }
+         |  }
+         |  $out[$j] = $bestCode;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PqEncode = copy(child = newChild)
+}
