@@ -287,6 +287,9 @@ object Dedup {
       .write.mode("errorifexists").parquet(s"$dir/$version/sizes")
     sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .write.mode("errorifexists").parquet(s"$dir/$version/dfreq")
+    // all three consumers are done — release the kernel cache rather
+    // than letting builds accumulate blocks for the session's lifetime
+    sh.unpersist(false)
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // bucket-count metadata so a DIFFERENT session (or JVM) can
@@ -395,6 +398,9 @@ object Dedup {
       .write.mode("errorifexists").parquet(s"$dir/$version/sizes")
     sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .write.mode("errorifexists").parquet(s"$dir/$version/dfreq")
+    // delta kernel fully consumed — release (streaming ingest calls
+    // this once per micro-batch; leaked blocks would grow ∝ stream age)
+    sh.unpersist(false)
     val bf = fs.create(
       new org.apache.hadoop.fs.Path(s"$dir/$version/buckets"), true)
     try bf.write(s"$IndexBuckets".getBytes("UTF-8")) finally bf.close()

@@ -88,15 +88,30 @@ CLASSES = {
 # BASELINE.md §round-4 budgets (seconds, clean sf0.1 run, min-of-2,
 # noop sink). A breach means "investigate", a >2x breach means "real
 # regression in that class".
+#
+# Round-7 amendment (BASELINE.md "Round-7 budget amendment"): classes
+# that gained members after the round-4 derivation get +1.4x (mid of
+# the original 1.3-1.5x band) the new members' clean min-of-2 warm
+# time, so the floor keeps pricing the SAME work the original floors
+# priced and a breach still means a regression, not inventory growth:
+#   dedup family       25.0 + 1.4*(4.99 + 7.41)  -> 42.0
+#     (dedup_index_append, dedup_stream_ingest — index-lifecycle
+#      composites: full bucketed build + streamed appends + probe
+#      inside one query)
+#   similarity/ANN     12.0 + 1.4*(1.92 + 2.49)  -> 18.0
+#     (sim_ann_ivf_pq, sim_ann_ivf_pq_append at the m=16/ksub=64
+#      native-encode operating point)
+#   pipeline composites 8.0 + 1.4*0.70           -> 9.0
+#     (pipeline_semantic_decontaminate)
 BUDGETS = {
     "scan/agg/window": 32.0,
     "joins/sets": 16.0,
     "cdc materialize/timeline": 22.0,
     "streaming/state-store": 28.0,
-    "dedup family": 25.0,
-    "similarity/ANN": 12.0,
+    "dedup family": 42.0,
+    "similarity/ANN": 18.0,
     "text/multimodal per-row": 11.0,
-    "pipeline composites": 8.0,
+    "pipeline composites": 9.0,
 }
 
 
