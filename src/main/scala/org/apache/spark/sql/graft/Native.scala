@@ -99,6 +99,13 @@ object Native {
   def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column =
     c(PqEncode(e(vec), books))
 
+  /** Top-`np` IVF cell assignment against trained centroids
+    * (plan-bound) — oracle-exact ascending (−cosine, cid) prefix.
+    */
+  def nearestCells(vec: Column, cents: Array[(Int, Array[Double])],
+                   np: Int): Column =
+    c(NearestCells(e(vec), cents, np))
+
   /** Min MD5-hex over 3-shingles of a token array (1-perm MinHash). */
   def minShingleMd5(tokens: Column): Column = c(MinShingleMd5(e(tokens)))
 

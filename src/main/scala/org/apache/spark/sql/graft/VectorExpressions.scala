@@ -450,3 +450,129 @@ case class PqEncode(child: Expression,
   override protected def withNewChildInternal(newChild: Expression)
       : PqEncode = copy(child = newChild)
 }
+
+/** Shared kernel for [[NearestCells]]: top-`np` (by ascending
+  * (−cosine, cid)) centroid assignments of one vector, as the same
+  * `array<struct<neg_sim, centroid_id>>` the sort_array SQL
+  * formulation produced. Lives as a static-forwardable object method
+  * so the expression's generated code is ONE call — O(1) janino
+  * source in nlist, where the sort_array form was O(nlist) expression
+  * nodes and a full per-row sort.
+  *
+  * Numeric contract: per centroid, cos = xy / (sqrt(xx) * sqrt(yy))
+  * with xy and xx as sequential left folds over the row vector and yy
+  * pre-folded once per centroid — bit-identical to the fused
+  * [[CosineSimilarity]] kernel's per-pair values (same adds in the
+  * same order; xx/yy do not change across pairs). Selection keeps the
+  * first `np` of the ascending (Double.compare, cid) order — NaN
+  * (zero-norm) ranks last, ties take the lower cid — exactly the
+  * prefix sort_array produced.
+  */
+object NearestCellsKernel {
+  def compute(x: ArrayData, cents: Array[Array[Double]], cids: Array[Int],
+              norms: Array[Double], np: Int): ArrayData = {
+    val dim = x.numElements()
+    var xx = 0.0
+    var i = 0
+    while (i < dim) { val v = x.getDouble(i); xx += v * v; i += 1 }
+    val xNorm = math.sqrt(xx)
+    val k = math.min(np, cents.length)
+    val bestD = new Array[Double](k)
+    val bestC = new Array[Int](k)
+    var size = 0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(dim, cent.length)
+      var xy = 0.0
+      i = 0
+      while (i < n) { xy += x.getDouble(i) * cent(i); i += 1 }
+      val d = -(xy / (xNorm * norms(c)))
+      val cid = cids(c)
+      // insertion position: first slot whose (d, cid) sorts after ours
+      var pos = size
+      while (pos > 0 && {
+        val cmp = java.lang.Double.compare(d, bestD(pos - 1))
+        cmp < 0 || (cmp == 0 && cid < bestC(pos - 1))
+      }) pos -= 1
+      if (pos < k) {
+        val last = math.min(size, k - 1)
+        var m = last
+        while (m > pos) {
+          bestD(m) = bestD(m - 1); bestC(m) = bestC(m - 1); m -= 1
+        }
+        bestD(pos) = d
+        bestC(pos) = cid
+        if (size < k) size += 1
+      }
+      c += 1
+    }
+    val rows = new Array[Any](size)
+    i = 0
+    while (i < size) {
+      rows(i) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](bestD(i), bestC(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+/** Top-`np` IVF cell assignment: `array<double>` vector → the `np`
+  * nearest trained centroids as `array<struct<neg_sim, centroid_id>>`
+  * in ascending (−cosine, cid) order — the native replacement for
+  * sorting an nlist-length struct array per row. Centroids ride as
+  * plan-bound reference objects, so generated-source size is O(1) in
+  * nlist and per-row cost is nlist fused cosines + an np-bounded
+  * insertion — the property that keeps a corpus-scaled nlist viable
+  * (the sort_array form degraded janino compile and per-row time
+  * together as nlist grew toward the derived cap).
+  */
+case class NearestCells(child: Expression,
+                        cents: Array[(Int, Array[Double])],
+                        np: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("neg_sim", DoubleType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("centroid_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+      containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+
+  @transient private lazy val centVecs: Array[Array[Double]] =
+    cents.map(_._2)
+  @transient private lazy val cids: Array[Int] = cents.map(_._1)
+  // ‖c‖ pre-folded once per centroid — the same sqrt(Σc²) the fused
+  // cosine kernel recomputed per pair (identical adds, identical order)
+  @transient private lazy val norms: Array[Double] =
+    cents.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  override protected def nullSafeEval(a: Any): Any =
+    NearestCellsKernel.compute(a.asInstanceOf[ArrayData], centVecs,
+      cids, norms, np)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val cs = ctx.addReferenceObj("cellCents", centVecs, "double[][]")
+    val ci = ctx.addReferenceObj("cellCids", cids, "int[]")
+    val nm = ctx.addReferenceObj("cellNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.NearestCellsKernel
+         |  .compute($a, $cs, $ci, $nm, $np);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NearestCells = copy(child = newChild)
+}
