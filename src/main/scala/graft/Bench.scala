@@ -174,6 +174,13 @@ object Bench {
       extras("pq_probe_recall_at5") =
         pqTop.intersect(bruteTop).count() / nBrute
       extras("pq_cells_bytes_per_vec") = cellsBytes(pqDir) / nVecs
+      // the recall-at-scale lever: ADC top-20 retrieve + exact re-rank
+      // (sim_ann_ivf_pq_refined) measured against the same brute oracle
+      val pqrTop = sim.Similarity
+        .ivfPqProbeRefined(pqDir, vecs, probes, 5)
+        .select(col("query_id"), col("cand_id"))
+      extras("pq_refined_recall_at5") =
+        pqrTop.intersect(bruteTop).count() / nBrute
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ivf extras FAILED: ${e.getMessage}")
     }

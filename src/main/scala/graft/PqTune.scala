@@ -36,13 +36,16 @@ object PqTune {
         .select(col("query_id"), col("cand_id"))
       val rec = pqTop.intersect(bruteTop).count() / nBrute
       val probeSec = (System.nanoTime() - t1) / 1e9
+      val refTop = sim.Similarity.ivfPqProbeRefined(dir, vecs, probes, 5)
+        .select(col("query_id"), col("cand_id"))
+      val recRef = refTop.intersect(bruteTop).count() / nBrute
       val bytes = fs.getContentSummary(
         new org.apache.hadoop.fs.Path(
           s"$dir/${sim.Similarity.indexVersion(spark, dir)}/cells"))
         .getLength
       println(f"m=$m%2d ksub=$ksub%3d build=$build%6.2fs " +
         f"probe+recall=$probeSec%6.2fs recall@5=$rec%.3f " +
-        f"cellsBytes=$bytes%d")
+        f"refined@5=$recRef%.3f cellsBytes=$bytes%d")
     }
     spark.stop()
   }

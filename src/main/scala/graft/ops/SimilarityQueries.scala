@@ -141,6 +141,35 @@ object SimilarityQueries extends QueryPack {
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Refined-PQ replay: the [[ivfPqOracle]] ADC pipeline through the
+    * rank CTE, then the top `refine × k` candidates per query fetch
+    * their RAW vectors from `v` for an exact-cosine re-rank — the same
+    * retrieve-then-rerank the engine runs, op-for-op (fused-cosine =
+    * `list_dot_product / (sqrt · sqrt)`, rank on round-6 + cand_id).
+    */
+  private def ivfPqRefinedOracle(cents: Array[(Int, Array[Double])],
+                                 books: Array[Array[Array[Double]]],
+                                 k: Int, refine: Int): String = {
+    val adc = ivfPqOracle(cents, books)
+    // splice: reuse the full ADC oracle as a prefix by rewriting its
+    // final SELECT into a CTE boundary
+    val prefix = adc.substring(0, adc.indexOf("SELECT query_id, rank,"))
+    s"""${prefix.stripSuffix("\n")}, cand AS (
+      |   SELECT query_id, cand_id FROM r WHERE rank <= ${k * refine}),
+      | qv1 AS (SELECT DISTINCT query_id, qv FROM probes),
+      | ex AS (
+      |   SELECT c.query_id, c.cand_id,
+      |     list_dot_product(q.qv, v.vec) /
+      |       (sqrt(list_dot_product(q.qv, q.qv)) *
+      |        sqrt(list_dot_product(v.vec, v.vec))) AS cos
+      |   FROM cand c JOIN qv1 q USING (query_id)
+      |     JOIN v ON v.vec_id = c.cand_id),
+      | rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY round(cos, 6) DESC, cand_id) AS rank FROM ex)
+      |SELECT query_id, rank, cand_id, round(cos, 4) AS cosine
+      |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Semantic-decontamination replay: plant the same paraphrased eval
     * leaks, assign train rows to their 1 nearest pinned centroid, probe
     * each eval row's $np nearest cells, flag any train row at cosine ≥
@@ -703,6 +732,32 @@ object SimilarityQueries extends QueryPack {
         DynamicOracle.put("sim_ann_ivf_pq_append",
           ivfPqOracle(cents, books))
         Similarity.ivfPqProbeIndexed(dir, vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // REFINED PQ probe — ADC retrieve, exact re-rank (IVFPQ+R): the
+    // codes-only index ranks refine×k candidates by ADC, then only
+    // those ids fetch raw vectors (broadcast candidate set against one
+    // corpus scan) for an exact-cosine top-k. This is the recall-at-
+    // scale lever: ADC recall@5 at fixed code length decays as the
+    // corpus grows (0.575 at sf0.1 → 0.350 at sf1, extras), while
+    // P(true top-5 ⊆ ADC top-20) holds far higher — measured as
+    // pq_refined_recall_at5 beside the unrefined number. Same pinned
+    // quantizers, so the whole retrieve→fetch→re-rank hash-verifies.
+    Q("sim_ann_ivf_pq_refined",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        val dir = "/tmp/graft_ivf_pq_refined/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        Similarity.buildIvfPqIndex(vecs, dir)
+        val ver = Similarity.indexVersion(s, dir)
+        val cents = Similarity.readCentroids(s, dir, ver)
+        val books = Similarity.readCodebooks(s, dir, ver)
+        DynamicOracle.put("sim_ann_ivf_pq_refined",
+          ivfPqRefinedOracle(cents, books, k = 5, refine = 4))
+        Similarity.ivfPqProbeRefined(dir, vecs,
+            vecs.filter(col("vec_id") < 8), 5, refine = 4)
           .orderBy(col("query_id"), col("rank"))
       },
       None),

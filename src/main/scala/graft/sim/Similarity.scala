@@ -44,14 +44,14 @@ object Similarity {
     */
   val TargetCellSize = 256
 
-  /** Hard ceiling on a derived nlist. The engine bakes centroids into
-    * the plan as literals and trains driver-side on a bounded sample —
-    * both are the right tools up to a few thousand cells (the ≤10⁶-
+  /** Hard ceiling on a derived nlist. The engine carries centroids as
+    * plan-bound objects (the native [[nearestCellStructs]] kernel —
+    * O(1) generated source and per-row cost nlist fused cosines, so
+    * codegen no longer bounds nlist) and trains driver-side on a
+    * bounded sample — right up to a few thousand cells (the ≤10⁶-
     * vector scales this repo measures). Beyond the cap a deployment
     * should shard training ([[refineCentroids]] is the distributed
-    * Lloyd) and broadcast-join the centroid table instead of inlining
-    * it; the cap makes that boundary explicit rather than letting
-    * codegen degrade silently.
+    * Lloyd); the cap makes that training boundary explicit.
     */
   val MaxDerivedNlist = 1024
 
@@ -208,13 +208,18 @@ object Similarity {
     * struct(-sim, centroid_id) under ascending sort ranks sim DESC with
     * id-ASC tie-break.
     */
+  /** The `np` nearest centroids of a row vector, ascending
+    * (−cosine, cid) — runs as the native
+    * [[org.apache.spark.sql.graft.NearestCells]] kernel (centroids as
+    * a plan-bound object, np-bounded insertion instead of sorting an
+    * nlist struct array per row), bit-identical to the sort_array
+    * formulation it replaced: same fused-cosine values, same NaN-last
+    * ordering, same lower-cid tie-break.
+    */
   private def nearestCellStructs(vec: Column,
-                                 cents: Array[(Int, Array[Double])])
-      : Column =
-    sort_array(array(cents.map { case (cid, v) =>
-      struct((-cosine(vec, typedlit(v))).as("neg_sim"),
-        lit(cid).as("centroid_id"))
-    }: _*))
+                                 cents: Array[(Int, Array[Double])],
+                                 np: Int): Column =
+    org.apache.spark.sql.graft.Native.nearestCells(vec, cents, np)
 
   /** Lloyd refinement of a centroid table: assign every corpus vector to
     * its nearest centroid (per-row argmax over literals, zero shuffle),
@@ -232,7 +237,7 @@ object Similarity {
     var cur = seeds
     (0 until iters).foreach { _ =>
       val assigned = corpus.select(
-        element_at(nearestCellStructs(col(vecCol), cur), 1)
+        element_at(nearestCellStructs(col(vecCol), cur, 1), 1)
           .getField("centroid_id").as("centroid_id"),
         col(vecCol).as("v"))
       val agg = assigned.groupBy("centroid_id")
@@ -436,7 +441,7 @@ object Similarity {
                           id: String, vec: String, probes: Int,
                           idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as(id), col(vecCol).as(vec),
-        explode(slice(nearestCellStructs(col(vecCol), cents), 1, probes))
+        explode(nearestCellStructs(col(vecCol), cents, probes))
           .as("__cell"))
       .select(col(id), col(vec),
         col("__cell.centroid_id").as("centroid_id"))
@@ -489,7 +494,7 @@ object Similarity {
                    idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
     val assigned = base.select(col(idCol), col(vecCol), col(blockCol),
-      element_at(nearestCellStructs(col(vecCol), cents), 1)
+      element_at(nearestCellStructs(col(vecCol), cents, 1), 1)
         .getField("centroid_id").as("cell"))
     val a = assigned.select(col(idCol).as("a_id"),
       col(vecCol).as("a_vec"), col(blockCol), col("cell"))
@@ -733,8 +738,8 @@ object Similarity {
     val cents = readCentroids(spark, dir, ver)
     val np = if (nprobe > 0) nprobe else deriveNprobe(cents.length)
     val probedCells = queries
-      .select(explode(slice(nearestCellStructs(col(vecCol), cents),
-        1, np)).as("__c"))
+      .select(explode(nearestCellStructs(col(vecCol), cents, np))
+        .as("__c"))
       .select(col("__c.centroid_id")).distinct()
       .collect().map(_.getInt(0))
     // one pruned scan PER SEGMENT, unioned: segment roots are sibling
@@ -954,7 +959,7 @@ object Similarity {
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dir/$version/codebooks")
     corpus.select(col(idCol).as("cand_id"),
-        element_at(nearestCellStructs(col(vecCol), cents), 1)
+        element_at(nearestCellStructs(col(vecCol), cents, 1), 1)
           .getField("centroid_id").as("centroid_id"),
         pqCodes(col(vecCol), books).as("codes"))
       .write.mode("errorifexists").partitionBy("centroid_id")
@@ -1011,7 +1016,7 @@ object Similarity {
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dir/$version/codebooks")
     incoming.select(col(idCol).as("cand_id"),
-        element_at(nearestCellStructs(col(vecCol), cents), 1)
+        element_at(nearestCellStructs(col(vecCol), cents, 1), 1)
           .getField("centroid_id").as("centroid_id"),
         pqCodes(col(vecCol), books).as("codes"))
       .write.mode("errorifexists").partitionBy("centroid_id")
@@ -1050,8 +1055,8 @@ object Similarity {
     val books = readCodebooks(spark, dir, ver)
     val np = if (nprobe > 0) nprobe else deriveNprobe(cents.length)
     val probedCells = queries
-      .select(explode(slice(nearestCellStructs(col(vecCol), cents),
-        1, np)).as("__c"))
+      .select(explode(nearestCellStructs(col(vecCol), cents, np))
+        .as("__c"))
       .select(col("__c.centroid_id")).distinct()
       .collect().map(_.getInt(0))
     // one pruned scan per manifest segment, unioned (cf.
@@ -1075,6 +1080,55 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"),
         round(col("cos"), 4).as("pq_cosine"))
+  }
+
+  /** Refined PQ probe — ADC retrieve, exact re-rank (the IVFPQ+R
+    * construction of Jégou et al. 2011 §V, with the refinement read
+    * from the source corpus instead of a second code layer): the
+    * codes-only index ranks `refine × k` candidates per query by ADC,
+    * then ONLY those ids fetch their raw vectors for an exact cosine
+    * re-rank. ADC recall@k at fixed code length decays as the corpus
+    * (and so the probed candidate count) grows — the standard failure
+    * mode this construction exists for; recall of the refined probe is
+    * P(true top-k ⊆ ADC top-refine·k), which degrades far slower.
+    *
+    * Scale shape: the candidate set is |queries| × refine·k ids —
+    * BROADCAST against the corpus scan, so the refinement costs one
+    * pass over the corpus with a hash-probe filter (at deployment
+    * scale, an id-lookup against the vector store: refine·k random
+    * reads per query, the retrieve-then-rerank pattern every
+    * production ANN service runs). Probe I/O through the index stays
+    * codes-only; raw vectors move ONLY for candidates that survived
+    * ADC. Fully deterministic given the pinned quantizers (ADC
+    * boundary ties break by cand_id), so the whole
+    * retrieve→fetch→re-rank phase hash-verifies against the rendered
+    * codebook-pinned oracle.
+    */
+  def ivfPqProbeRefined(dir: String, corpus: DataFrame,
+                        queries: DataFrame, k: Int, refine: Int = 4,
+                        nprobe: Int = 0,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val cand = ivfPqProbeIndexed(dir, queries, k * refine, nprobe,
+        idCol, vecCol)
+      .select(col("query_id"), col("cand_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"))
+    // candidates (with their query vectors) broadcast; the corpus
+    // side streams through one scan — no shuffle of raw vectors
+    val withQ = broadcast(cand.join(q, Seq("query_id")))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).as("c_vec"))
+    val scored = c.join(withQ, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cos"))
+      .withColumn("cos_r", round(col("cos"), 6))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cos"), 4).as("cosine"))
   }
 
   /** Exact top-k over int8-QUANTIZED vectors — the memory-bandwidth

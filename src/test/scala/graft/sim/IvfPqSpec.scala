@@ -114,6 +114,39 @@ class IvfPqSpec extends SparkSpec {
     assert(nVersions == before, "empty append committed a segment")
   }
 
+  test("refined probe: candidates come only from the ADC retrieve " +
+       "set, scores are exact cosine, and recall never drops below " +
+       "the unrefined probe's") {
+    Similarity.buildIvfPqIndex(vecs, dir, nlist = 16)
+    val probes = vecs.filter(col("vec_id") < 8)
+    val adc20 = Similarity.ivfPqProbeIndexed(dir, probes, 20)
+      .select(col("query_id"), col("cand_id"))
+    val refined = Similarity.ivfPqProbeRefined(dir, vecs, probes, 5,
+      refine = 4)
+    // containment: the re-rank may only reorder the ADC top-20
+    assert(refined.select(col("query_id"), col("cand_id"))
+      .exceptAll(adc20).isEmpty,
+      "refined surfaced a candidate outside the ADC retrieve set")
+    // exactness: every refined score equals the brute-force cosine
+    // for that (query, cand) pair — quantization error is gone
+    val brute = Similarity.bruteForceTopK(vecs, probes, vecs.count().toInt)
+      .select(col("query_id"), col("cand_id"), col("cosine"))
+    assert(refined.select(col("query_id"), col("cand_id"), col("cosine"))
+      .exceptAll(brute).isEmpty,
+      "refined cosine diverges from the exact pairwise score")
+    // monotonicity on the planted geometry: refined top-5 hits at
+    // least as many true neighbors as ADC top-5
+    val bruteTop = Similarity.bruteForceTopK(vecs, probes, 5)
+      .select(col("query_id"), col("cand_id"))
+    val adcHits = Similarity.ivfPqProbeIndexed(dir, probes, 5)
+      .select(col("query_id"), col("cand_id"))
+      .intersect(bruteTop).count()
+    val refHits = refined.select(col("query_id"), col("cand_id"))
+      .intersect(bruteTop).count()
+    assert(refHits >= adcHits,
+      s"refined recall $refHits < unrefined $adcHits")
+  }
+
   test("an exact duplicate survives quantization: same codes, found " +
        "at rank 1") {
     val dup = vecs.filter(col("vec_id") === 3)
