@@ -62,7 +62,8 @@ CLASSES = {
     ],
     "similarity/ANN": [
         "sim_ann_ivf", "sim_ann_ivf_append", "sim_ann_ivf_indexed",
-        "sim_ann_ivf_pq", "sim_ann_ivf_pq_append", "sim_ann_ivf_trained",
+        "sim_ann_ivf_pq", "sim_ann_ivf_pq_append",
+        "sim_ann_ivf_pq_refined", "sim_ann_ivf_trained",
         "sim_ann_lsh", "sim_cosine_topk",
         "sim_knn_join", "sim_knn_join_cell", "sim_quantized_topk",
         "sim_stream_ivf_ingest",
@@ -98,9 +99,9 @@ CLASSES = {
 #     (dedup_index_append, dedup_stream_ingest — index-lifecycle
 #      composites: full bucketed build + streamed appends + probe
 #      inside one query)
-#   similarity/ANN     12.0 + 1.4*(1.92 + 2.49)  -> 18.0
-#     (sim_ann_ivf_pq, sim_ann_ivf_pq_append at the m=16/ksub=64
-#      native-encode operating point)
+#   similarity/ANN     12.0 + 1.4*(1.92 + 2.49 + 1.93) -> 21.0
+#     (sim_ann_ivf_pq, sim_ann_ivf_pq_append, sim_ann_ivf_pq_refined
+#      at the m=16/ksub=64 native-encode operating point)
 #   pipeline composites 8.0 + 1.4*0.70           -> 9.0
 #     (pipeline_semantic_decontaminate)
 BUDGETS = {
@@ -109,7 +110,7 @@ BUDGETS = {
     "cdc materialize/timeline": 22.0,
     "streaming/state-store": 28.0,
     "dedup family": 42.0,
-    "similarity/ANN": 18.0,
+    "similarity/ANN": 21.0,
     "text/multimodal per-row": 11.0,
     "pipeline composites": 9.0,
 }
