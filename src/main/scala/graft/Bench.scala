@@ -181,6 +181,18 @@ object Bench {
         .select(col("query_id"), col("cand_id"))
       extras("pq_refined_recall_at5") =
         pqrTop.intersect(bruteTop).count() / nBrute
+      // SQ8 — the middle of the compression spectrum: exact
+      // quantized-space scoring, so recall should track the raw-vector
+      // probe's (ivf_probe_recall_at5) at ~1/8 the cell bytes
+      val sq8Dir = "/tmp/graft_bench_ivf_sq8"
+      val ts0b = System.nanoTime()
+      sim.Similarity.buildIvfSq8Index(vecs, sq8Dir)
+      extras("sq8_index_build_sec") = (System.nanoTime() - ts0b) / 1e9
+      val sq8Top = sim.Similarity.ivfSq8ProbeIndexed(sq8Dir, probes, 5)
+        .select(col("query_id"), col("cand_id"))
+      extras("sq8_probe_recall_at5") =
+        sq8Top.intersect(bruteTop).count() / nBrute
+      extras("sq8_cells_bytes_per_vec") = cellsBytes(sq8Dir) / nVecs
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ivf extras FAILED: ${e.getMessage}")
     }

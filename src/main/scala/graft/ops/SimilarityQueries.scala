@@ -170,6 +170,58 @@ object SimilarityQueries extends QueryPack {
       |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF-SQ8 replay: the pinned-centroid assignment/probe prefix of
+    * [[ivfOracleWith]], then the bit-portable symmetric int8
+    * quantization of the `sim_quantized_topk` oracle (⌊x/scale + 0.5⌋
+    * floor rule, clamp ±127, zero-norm codes ineligible both sides)
+    * scoring candidates that share a probed cell. Integer dots are
+    * exact, so the whole assign→prune→rank phase hash-verifies.
+    */
+  private def ivfSq8Oracle(cents: Array[(Int, Array[Double])]): String = {
+    val np = Similarity.deriveNprobe(cents.length)
+    s"""WITH cents(cid, centroid) AS (
+      |  VALUES ${DynamicOracle.centroidValues(cents)}),
+      | v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      | cells AS (
+      |   SELECT v.vec_id, v.vec, c.cid,
+      |     list_dot_product(v.vec, c.centroid) /
+      |       (sqrt(list_dot_product(v.vec, v.vec)) *
+      |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
+      |   FROM v CROSS JOIN cents c),
+      | ranked AS (
+      |   SELECT *, row_number() OVER (PARTITION BY vec_id
+      |     ORDER BY isnan(simc), simc DESC, cid) AS rn
+      |   FROM cells),
+      | asgn AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+      | probes AS (SELECT vec_id AS query_id, cid
+      |            FROM ranked WHERE rn <= $np AND vec_id < 8),
+      | mx AS (
+      |  SELECT vec_id, vec,
+      |         list_max(list_transform(vec, x -> abs(x))) AS m
+      |  FROM v),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    CASE WHEN m = 0 THEN list_transform(vec, x -> 0.0)
+      |         ELSE list_transform(vec, x -> least(127.0, greatest(-127.0,
+      |                floor(x / (m / 127.0) + 0.5)))) END AS qv
+      |  FROM mx),
+      | n8 AS (
+      |  SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm
+      |  FROM q8 WHERE sqrt(list_dot_product(qv, qv)) > 0),
+      | sc AS (
+      |  SELECT p.query_id, a.vec_id AS cand_id,
+      |    list_dot_product(q.qv, c.qv) / (q.nrm * c.nrm) AS cos
+      |  FROM probes p JOIN asgn a USING (cid)
+      |    JOIN n8 q ON q.vec_id = p.query_id
+      |    JOIN n8 c ON c.vec_id = a.vec_id
+      |  WHERE p.query_id <> a.vec_id),
+      | r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY round(cos, 6) DESC, cand_id) AS rank FROM sc)
+      |SELECT query_id, rank, cand_id, round(cos, 4) AS cosine
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Semantic-decontamination replay: plant the same paraphrased eval
     * leaks, assign train rows to their 1 nearest pinned centroid, probe
     * each eval row's $np nearest cells, flag any train row at cosine ≥
@@ -732,6 +784,29 @@ object SimilarityQueries extends QueryPack {
         DynamicOracle.put("sim_ann_ivf_pq_append",
           ivfPqOracle(cents, books))
         Similarity.ivfPqProbeIndexed(dir, vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // IVF-SQ8 — the MIDDLE point of the index-compression spectrum
+    // (raw 512 B/vec → SQ8 ~64 B → PQ ~12 B): cells store one
+    // symmetric int8 code per dimension, probes read codes through the
+    // same pruned-partition shape, and scoring is the EXACT quantized-
+    // space cosine (integer dots, no fp reassociation; per-vector
+    // scales cancel) — so unlike ADC, recall does not decay with
+    // candidate count, at 8× the PQ footprint. Same pinned centroids +
+    // floor-rule quantization as sim_quantized_topk → hash-verified.
+    Q("sim_ann_ivf_sq8",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        val dir = "/tmp/graft_ivf_sq8/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        Similarity.buildIvfSq8Index(vecs, dir)
+        val ver = Similarity.indexVersion(s, dir)
+        val cents = Similarity.readCentroids(s, dir, ver)
+        DynamicOracle.put("sim_ann_ivf_sq8", ivfSq8Oracle(cents))
+        Similarity.ivfSq8ProbeIndexed(dir,
+            vecs.filter(col("vec_id") < 8), 5)
           .orderBy(col("query_id"), col("rank"))
       },
       None),

@@ -1131,6 +1131,98 @@ object Similarity {
         round(col("cos"), 4).as("cosine"))
   }
 
+  // ───────────────────────── IVF-SQ8 ─────────────────────────
+  //
+  // Scalar quantization (FAISS's IVF-SQ8 construction): cells store
+  // one symmetric int8 code per dimension — 64 B/vec against 512 B
+  // raw and ~12 B PQ — the middle point of the compression spectrum.
+  // Unlike ADC, scoring is EXACT in quantized space (integer dots
+  // have no fp reassociation and the per-vector scales cancel in the
+  // cosine), so recall does not decay with candidate count the way
+  // PQ's does, and the probe hash-verifies through the same
+  // floor-rule oracle as sim_quantized_topk.
+
+  /** Build a PERSISTED IVF-SQ8 index: trained coarse centroids + the
+    * corpus reduced to `(cand_id, int8 codes)` hive-partitioned by
+    * nearest-centroid cell, under the crash-safe version/pointer
+    * protocol. Norms are NOT stored — they recompute exactly from the
+    * codes (integer dot), keeping the payload at one byte per
+    * dimension.
+    */
+  def buildIvfSq8Index(corpus: DataFrame, dir: String,
+                       nlist: Int = 0, sampleN: Int = 0, iters: Int = 4,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val cents = trainCentroids(corpus, nlist, sampleN, iters,
+      idCol, vecCol)
+    val version = f"v-${System.currentTimeMillis()}%013d-${
+      java.util.UUID.randomUUID().toString.take(8)}"
+    import spark.implicits._
+    cents.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
+    corpus.select(col(idCol).as("cand_id"),
+        element_at(nearestCellStructs(col(vecCol), cents, 1), 1)
+          .getField("centroid_id").as("centroid_id"),
+        org.apache.spark.sql.graft.Native.quantizeI8(col(vecCol))
+          .as("codes"))
+      .write.mode("errorifexists").partitionBy("centroid_id")
+      .parquet(s"$dir/$version/cells")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.PointerFile.commitVersion(fs, base, version)
+  }
+
+  /** Probe a persisted IVF-SQ8 index: the same pruned partition-read
+    * shape as [[ivfProbeIndexed]], but the scan moves int8 codes (1
+    * byte/dim) and ranking is the exact quantized-space cosine of
+    * [[quantizedTopK]] — integer dot over codes, norms recomputed
+    * exactly, zero-norm codes ineligible on both sides. Queries
+    * quantize at probe time with the same ⌊x/scale + 0.5⌋ rule, so
+    * every compared value is bit-portable and the whole
+    * assign→prune→rank phase hash-verifies.
+    */
+  def ivfSq8ProbeIndexed(dir: String, queries: DataFrame, k: Int,
+                         nprobe: Int = 0,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.Native
+    val spark = queries.sparkSession
+    val ver = indexVersion(spark, dir)
+    val cents = readCentroids(spark, dir, ver)
+    val np = if (nprobe > 0) nprobe else deriveNprobe(cents.length)
+    val probed = broadcast(
+      assignCells(queries, cents, "query_id", "q_vec", np,
+          idCol, vecCol)
+        .withColumn("q_code", Native.quantizeI8(col("q_vec")))
+        .withColumn("q_norm",
+          sqrt(Native.dotI8(col("q_code"), col("q_code")).cast("double")))
+        .filter(col("q_norm") > 0)
+        .select(col("centroid_id"), col("query_id"), col("q_code"),
+          col("q_norm")))
+    val probedCells = probed.select("centroid_id").distinct()
+      .collect().map(_.getInt(0))
+    val cells = spark.read.parquet(s"$dir/$ver/cells")
+      .filter(col("centroid_id").isin(probedCells.map(Int.box): _*))
+      .withColumn("c_norm",
+        sqrt(Native.dotI8(col("codes"), col("codes")).cast("double")))
+      .filter(col("c_norm") > 0)
+    val scored = probed.join(cells, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (Native.dotI8(col("q_code"), col("codes")).cast("double") /
+          (col("q_norm") * col("c_norm"))).as("cos"))
+      .withColumn("cos_r", round(col("cos"), 6))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
   /** Exact top-k over int8-QUANTIZED vectors — the memory-bandwidth
     * scale path: per-vector symmetric codes (scale = max|x|/127) are 8×
     * smaller than doubles, so the corpus scan moves 8× fewer bytes and

@@ -1,0 +1,82 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.SimilarityQueries
+
+/** IVF-SQ8 mechanical contracts — the oracle (driver gate)
+  * hash-verifies the assign→prune→rank values; this spec pins what the
+  * oracle can't see: the on-disk footprint between raw and PQ, the
+  * pruned codes-only read, and that exact quantized-space scoring
+  * keeps recall at the raw-vector probe's level (the property that
+  * distinguishes SQ8 from ADC).
+  */
+class IvfSq8Spec extends SparkSpec {
+
+  private def vecs = SimilarityQueries.doubleVecs(spark, sf)
+  private val dir = "/tmp/graft_ivf_sq8_spec"
+  private val rawDir = "/tmp/graft_ivf_sq8_spec_raw"
+  private val pqDir = "/tmp/graft_ivf_sq8_spec_pq"
+
+  private def treeBytes(path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(p).getLength
+  }
+
+  test("SQ8 cells sit between raw and PQ on disk and carry codes only") {
+    Similarity.buildIvfSq8Index(vecs, dir, nlist = 16)
+    Similarity.buildIvfIndex(vecs, rawDir, nlist = 16)
+    Similarity.buildIvfPqIndex(vecs, pqDir, nlist = 16)
+    val ver = Similarity.indexVersion(spark, dir)
+    val cells = spark.read.parquet(s"$dir/$ver/cells")
+    assert(cells.columns.toSet == Set("cand_id", "codes", "centroid_id"),
+      s"SQ8 cells must carry codes only: ${cells.columns.mkString(",")}")
+    val sq8B = treeBytes(s"$dir/$ver/cells")
+    val rawB = treeBytes(
+      s"$rawDir/${Similarity.indexVersion(spark, rawDir)}/cells")
+    val pqB = treeBytes(
+      s"$pqDir/${Similarity.indexVersion(spark, pqDir)}/cells")
+    // parquet overhead damps the 8x payload ratio at spec scale, but
+    // the ordering raw > sq8 > pq must be decisive
+    assert(sq8B * 2 < rawB, s"SQ8 $sq8B B not < 1/2 raw $rawB B")
+    assert(pqB < sq8B, s"PQ $pqB B not < SQ8 $sq8B B")
+  }
+
+  test("the SQ8 probe scan is partition-pruned and reads no raw " +
+       "vector column") {
+    Similarity.buildIvfSq8Index(vecs, dir, nlist = 16)
+    val probe = Similarity.ivfSq8ProbeIndexed(dir,
+      vecs.filter(col("vec_id") < 8), 5, nprobe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("cells") && l.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(scanLine.matches(".*PartitionFilters: \\[.*centroid_id.*\\].*"),
+      s"no partition filter on the SQ8 cells scan:\n$plan")
+    assert(!scanLine.contains("embedding"),
+      "SQ8 probe should never read a raw vector column from the index")
+    assert(probe.count() > 0)
+  }
+
+  test("exact quantized-space scoring: SQ8 recall matches the " +
+       "raw-vector probe's on the same cells (no ADC-style decay)") {
+    Similarity.buildIvfSq8Index(vecs, dir, nlist = 16)
+    Similarity.buildIvfIndex(vecs, rawDir, nlist = 16)
+    val probes = vecs.filter(col("vec_id") < 8)
+    val bruteTop = Similarity.bruteForceTopK(vecs, probes, 5)
+      .select(col("query_id"), col("cand_id"))
+    val n = bruteTop.count().toDouble
+    val rawHits = Similarity.ivfProbeIndexed(rawDir, probes, 5)
+      .select(col("query_id"), col("cand_id"))
+      .intersect(bruteTop).count()
+    val sq8Hits = Similarity.ivfSq8ProbeIndexed(dir, probes, 5)
+      .select(col("query_id"), col("cand_id"))
+      .intersect(bruteTop).count()
+    // int8 rounding can flip a near-tie either way; within one hit of
+    // the raw probe (PQ at the same geometry loses far more)
+    assert(math.abs(sq8Hits - rawHits) <= math.max(1, (0.1 * n).toInt),
+      s"SQ8 recall $sq8Hits/$n far from raw probe's $rawHits/$n")
+  }
+}
