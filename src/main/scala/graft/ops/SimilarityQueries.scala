@@ -708,6 +708,14 @@ object SimilarityQueries extends QueryPack {
     Q("pipeline_semantic_decontaminate",
       (s, d) => {
         val vecs = doubleVecs(s, d)
+        // the planted-leak id arithmetic (plant = vec_id + 200000,
+        // doc_id = vec_id % 200000) is MIRRORED in the oracle, so a
+        // genuine train id at/above the offset would collide silently
+        // on both sides and never hash-fail — fail loudly instead
+        val maxId = vecs.agg(max(col("vec_id"))).head.getLong(0)
+        require(maxId < 200000L,
+          s"embeddings vec_id space reaches $maxId >= the planted-leak " +
+            "offset 200000 — raise the offset (and its oracle mirror)")
         val evalSet = vecs.filter(col("vec_id") % 10 === 0)
         val planted = evalSet.select(
           (col("vec_id") + 200000L).as("vec_id"),
@@ -805,6 +813,33 @@ object SimilarityQueries extends QueryPack {
         val ver = Similarity.indexVersion(s, dir)
         val cents = Similarity.readCentroids(s, dir, ver)
         DynamicOracle.put("sim_ann_ivf_sq8", ivfSq8Oracle(cents))
+        Similarity.ivfSq8ProbeIndexed(dir,
+            vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // INCREMENTAL ingest for the SQ8 index — lifecycle parity with its
+    // PQ and shingle siblings, and the EASIEST append of the family:
+    // the symmetric per-vector int8 quantizer derives its scale per
+    // ROW, so beyond the frozen coarse centroids there is no trained
+    // state at all and the delta's codes are bit-identical to a full
+    // rebuild's. Build on the base 2/3, append the remaining shard as
+    // a codes-only delta segment (work ∝ |delta|), probe across the
+    // manifest — the same centroid-pinned oracle replays the probe
+    // flat over the full embeddings table.
+    Q("sim_ann_ivf_sq8_append",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        val dir = "/tmp/graft_ivf_sq8_append/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        Similarity.buildIvfSq8Index(
+          vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), dir)
+        Similarity.appendIvfSq8Index(dir,
+          vecs.filter(pmod(col("vec_id"), lit(3)) === 0))
+        val ver = Similarity.indexVersion(s, dir)
+        val cents = Similarity.readCentroids(s, dir, ver)
+        DynamicOracle.put("sim_ann_ivf_sq8_append", ivfSq8Oracle(cents))
         Similarity.ivfSq8ProbeIndexed(dir,
             vecs.filter(col("vec_id") < 8), 5)
           .orderBy(col("query_id"), col("rank"))

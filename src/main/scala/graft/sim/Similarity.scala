@@ -570,11 +570,8 @@ object Similarity {
     * about the commit protocol.
     */
   def indexVersion(spark: org.apache.spark.sql.SparkSession,
-                   dir: String): String = {
-    val cur = new org.apache.hadoop.fs.Path(dir, "_CURRENT")
-    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sources.PointerFile.read(fs, cur)
-  }
+                   dir: String): String =
+    graft.sources.SegmentedIndex.currentVersion(spark, dir)
 
   /** The trained centroid table of one committed index version. */
   def readCentroids(spark: org.apache.spark.sql.SparkSession,
@@ -591,17 +588,8 @@ object Similarity {
     * with pre-append indexes).
     */
   def indexSegments(spark: org.apache.spark.sql.SparkSession,
-                    dir: String, version: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$version/segments")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq(version)
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in).getLines()
-        .map(_.trim).filter(_.nonEmpty).toList
-      finally in.close()
-    }
-  }
+                    dir: String, version: String): Seq[String] =
+    graft.sources.SegmentedIndex.segments(spark, dir, version)
 
   /** Append NEW vectors to a persisted IVF index WITHOUT rebuild — the
     * continuous-ingestion path for embeddings, the vector mirror of the
@@ -624,45 +612,24 @@ object Similarity {
     * standard IVF trade (drifted data degrades recall, not
     * correctness); retraining is a [[buildIvfIndex]] rebuild.
     */
-  /** Tag file a tagged append drops in its version dir — the
-    * foreachBatch exactly-once handle (cf. `CdcPipeline.mergeBatch`'s
-    * batchId manifests): a re-delivered micro-batch finds its tag on
-    * the committed chain and no-ops instead of duplicating vectors.
-    */
-  private val AppendTag = "_APPEND_TAG"
-
-  /** Batch tags already committed on the CURRENT version's segment
-    * chain (single-writer streaming: a replayed batch's segment is by
-    * construction on the chain it committed to).
-    */
-  private def committedTags(fs: org.apache.hadoop.fs.FileSystem,
-                            dir: String, segs: Seq[String]): Set[String] =
-    segs.flatMap { s =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$s/$AppendTag")
-      if (!fs.exists(p)) None
-      else Some(graft.sources.PointerFile.read(fs, p))
-    }.toSet
-
   def appendIvfIndex(dir: String, incoming: DataFrame,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
                      tag: Option[String] = None): Unit = {
+    import graft.sources.SegmentedIndex
     val spark = incoming.sparkSession
     val parent = indexVersion(spark, dir)
     val parentSegs = indexSegments(spark, dir, parent)
-    val fs0 = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     // exactly-once under foreachBatch replay: a batch whose tag is
     // already on the committed chain was fully ingested before the
     // crash (segment commit precedes checkpoint commit) — re-delivery
     // must not duplicate its vectors
-    if (tag.exists(committedTags(fs0, dir, parentSegs))) return
+    if (SegmentedIndex.tagCommitted(spark, dir, parentSegs, tag)) return
     // a quiet ingest tick commits nothing: an empty delta segment
     // would be a schema-less parquet dir every later probe chokes on
     if (incoming.isEmpty) return
     val cents = readCentroids(spark, dir, parent)
-    val version = f"v-${System.currentTimeMillis()}%013d-${
-      java.util.UUID.randomUUID().toString.take(8)}"
+    val version = SegmentedIndex.newVersionName()
     import spark.implicits._
     cents.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("centroid_id", "centroid")
@@ -671,22 +638,11 @@ object Similarity {
     assignCells(incoming, cents, idCol, vecCol, probes = 1, idCol, vecCol)
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
-    val segs = parentSegs :+ version
-    val base = new org.apache.hadoop.fs.Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segFile = fs.create(
-      new org.apache.hadoop.fs.Path(s"$dir/$version/segments"), true)
-    try segFile.write(segs.mkString("\n").getBytes("UTF-8"))
-    finally segFile.close()
-    tag.foreach { t =>
-      val tf = fs.create(
-        new org.apache.hadoop.fs.Path(s"$dir/$version/$AppendTag"), true)
-      try tf.write(t.getBytes("UTF-8")) finally tf.close()
-    }
     // GC is manifest-aware (commitVersion pins every segment a KEPT
     // version's manifest references), so committing here can never
     // collect a parent segment this manifest still needs.
-    graft.sources.PointerFile.commitVersion(fs, base, version)
+    SegmentedIndex.commitAppend(spark, dir, version, parent,
+      parentSegs, tag)
   }
 
   /** foreachBatch sink for streaming ingest into a persisted index.
@@ -703,23 +659,10 @@ object Similarity {
   def ivfStreamSink(dir: String, checkpointDir: String,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding")
-      : (DataFrame, Long) => Unit = {
-    @volatile var streamId: String = null
-    (batch: DataFrame, batchId: Long) => {
-      if (streamId == null) {
-        val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
-        val fs = p.getFileSystem(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        val json = graft.sources.PointerFile.read(fs, p)
-        val m = """"id"\s*:\s*"([^"]+)"""".r
-          .findFirstMatchIn(json)
-        require(m.isDefined, s"no query id in $checkpointDir/metadata")
-        streamId = m.get.group(1)
-      }
-      appendIvfIndex(dir, batch, idCol, vecCol,
-        tag = Some(s"$streamId#$batchId"))
+      : (DataFrame, Long) => Unit =
+    graft.sources.SegmentedIndex.streamSink(checkpointDir) {
+      (batch, tag) => appendIvfIndex(dir, batch, idCol, vecCol, tag)
     }
-  }
 
   /** Probe a persisted index: the probed cell set (≤ queries × nprobe
     * ids, computed from the small query side) becomes a STATIC `isin`
@@ -994,17 +937,15 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        tag: Option[String] = None): Unit = {
+    import graft.sources.SegmentedIndex
     val spark = incoming.sparkSession
     val parent = indexVersion(spark, dir)
     val parentSegs = indexSegments(spark, dir, parent)
-    val fs0 = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    if (tag.exists(committedTags(fs0, dir, parentSegs))) return
+    if (SegmentedIndex.tagCommitted(spark, dir, parentSegs, tag)) return
     if (incoming.isEmpty) return
     val cents = readCentroids(spark, dir, parent)
     val books = readCodebooks(spark, dir, parent)
-    val version = f"v-${System.currentTimeMillis()}%013d-${
-      java.util.UUID.randomUUID().toString.take(8)}"
+    val version = SegmentedIndex.newVersionName()
     import spark.implicits._
     cents.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("centroid_id", "centroid")
@@ -1021,19 +962,8 @@ object Similarity {
         pqCodes(col(vecCol), books).as("codes"))
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
-    val segs = parentSegs :+ version
-    val base = new org.apache.hadoop.fs.Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segFile = fs.create(
-      new org.apache.hadoop.fs.Path(s"$dir/$version/segments"), true)
-    try segFile.write(segs.mkString("\n").getBytes("UTF-8"))
-    finally segFile.close()
-    tag.foreach { t =>
-      val tf = fs.create(
-        new org.apache.hadoop.fs.Path(s"$dir/$version/$AppendTag"), true)
-      try tf.write(t.getBytes("UTF-8")) finally tf.close()
-    }
-    graft.sources.PointerFile.commitVersion(fs, base, version)
+    SegmentedIndex.commitAppend(spark, dir, version, parent,
+      parentSegs, tag)
   }
 
   /** Probe a persisted IVF-PQ index. Same pruned-read shape as
@@ -1175,6 +1105,44 @@ object Similarity {
     graft.sources.PointerFile.commitVersion(fs, base, version)
   }
 
+  /** Append NEW vectors to a persisted IVF-SQ8 index WITHOUT rebuild —
+    * the easiest member of the append family: the symmetric per-vector
+    * int8 quantizer (scale = max|x|/127, derived per ROW) has no
+    * trained state to freeze beyond the coarse centroids, so the delta
+    * shard's codes are bit-identical to what a full rebuild would
+    * store. Assign to the FROZEN centroids, quantize, land as a
+    * codes-only delta segment + `segments` manifest + one atomic flip
+    * — I/O and encode work ∝ |delta|. Same tag protocol as
+    * [[appendIvfIndex]] for foreachBatch exactly-once.
+    */
+  def appendIvfSq8Index(dir: String, incoming: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        tag: Option[String] = None): Unit = {
+    import graft.sources.SegmentedIndex
+    val spark = incoming.sparkSession
+    val parent = indexVersion(spark, dir)
+    val parentSegs = indexSegments(spark, dir, parent)
+    if (SegmentedIndex.tagCommitted(spark, dir, parentSegs, tag)) return
+    if (incoming.isEmpty) return
+    val cents = readCentroids(spark, dir, parent)
+    val version = SegmentedIndex.newVersionName()
+    import spark.implicits._
+    cents.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
+    incoming.select(col(idCol).as("cand_id"),
+        element_at(nearestCellStructs(col(vecCol), cents, 1), 1)
+          .getField("centroid_id").as("centroid_id"),
+        org.apache.spark.sql.graft.Native.quantizeI8(col(vecCol))
+          .as("codes"))
+      .write.mode("errorifexists").partitionBy("centroid_id")
+      .parquet(s"$dir/$version/cells")
+    SegmentedIndex.commitAppend(spark, dir, version, parent,
+      parentSegs, tag)
+  }
+
   /** Probe a persisted IVF-SQ8 index: the same pruned partition-read
     * shape as [[ivfProbeIndexed]], but the scan moves int8 codes (1
     * byte/dim) and ranking is the exact quantized-space cosine of
@@ -1182,7 +1150,10 @@ object Similarity {
     * exactly, zero-norm codes ineligible on both sides. Queries
     * quantize at probe time with the same ⌊x/scale + 0.5⌋ rule, so
     * every compared value is bit-portable and the whole
-    * assign→prune→rank phase hash-verifies.
+    * assign→prune→rank phase hash-verifies. The scan fans out across
+    * every SEGMENT the current version's manifest lists
+    * ([[appendIvfSq8Index]] deltas included), each partition-pruned to
+    * the probed cells.
     */
   def ivfSq8ProbeIndexed(dir: String, queries: DataFrame, k: Int,
                          nprobe: Int = 0,
@@ -1204,7 +1175,11 @@ object Similarity {
           col("q_norm")))
     val probedCells = probed.select("centroid_id").distinct()
       .collect().map(_.getInt(0))
-    val cells = spark.read.parquet(s"$dir/$ver/cells")
+    // one pruned scan per manifest segment, unioned (cf.
+    // ivfPqProbeIndexed: sibling hive trees need their own discovery)
+    val cells = indexSegments(spark, dir, ver)
+      .map(s => spark.read.parquet(s"$dir/$s/cells"))
+      .reduce(_ unionByName _)
       .filter(col("centroid_id").isin(probedCells.map(Int.box): _*))
       .withColumn("c_norm",
         sqrt(Native.dotI8(col("codes"), col("codes")).cast("double")))

@@ -331,31 +331,8 @@ object Dedup {
     * `Similarity.indexSegments`.
     */
   def indexSegments(spark: org.apache.spark.sql.SparkSession,
-                    dir: String, version: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$version/segments")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq(version)
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in).getLines()
-        .map(_.trim).filter(_.nonEmpty).toList
-      finally in.close()
-    }
-  }
-
-  /** Tag file a tagged append drops in its version dir — the same
-    * exactly-once handle as the IVF side: a re-delivered micro-batch
-    * finds its tag on the committed chain and no-ops.
-    */
-  private val AppendTag = "_APPEND_TAG"
-
-  private def committedTags(fs: org.apache.hadoop.fs.FileSystem,
-                            dir: String, segs: Seq[String]): Set[String] =
-    segs.flatMap { s =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$s/$AppendTag")
-      if (!fs.exists(p)) None
-      else Some(graft.sources.PointerFile.read(fs, p))
-    }.toSet
+                    dir: String, version: String): Seq[String] =
+    graft.sources.SegmentedIndex.segments(spark, dir, version)
 
   /** Append NEW documents to a persisted shingle index WITHOUT rebuild
     * — continuous corpus ingestion for the standing dedup artifact,
@@ -375,19 +352,17 @@ object Dedup {
     */
   def appendShingleIndex(dir: String, newDocs: DataFrame, k: Int = 3,
                          tag: Option[String] = None): Unit = {
+    import graft.sources.SegmentedIndex
     val spark = newDocs.sparkSession
-    val base = new org.apache.hadoop.fs.Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parent = graft.sources.PointerFile.read(
-      fs, new org.apache.hadoop.fs.Path(dir, "_CURRENT"))
+    val fs = SegmentedIndex.fsFor(spark, dir)
+    val parent = SegmentedIndex.currentVersion(spark, dir)
     val parentSegs = indexSegments(spark, dir, parent)
     // exactly-once under foreachBatch replay (cf. appendIvfIndex)
-    if (tag.exists(committedTags(fs, dir, parentSegs))) return
+    if (SegmentedIndex.tagCommitted(spark, dir, parentSegs, tag)) return
     // a quiet ingest tick commits nothing — an empty segment would be
     // a schema-less parquet dir later probes choke on
     if (newDocs.isEmpty) return
-    val version = f"v-${System.currentTimeMillis()}%013d-${
-      java.util.UUID.randomUUID().toString.take(8)}"
+    val version = SegmentedIndex.newVersionName()
     val sh = hashedShingleSet(newDocs, k).cache()
     sh.repartition(IndexBuckets, col("shingle"))
       .write.mode("errorifexists")
@@ -404,17 +379,8 @@ object Dedup {
     val bf = fs.create(
       new org.apache.hadoop.fs.Path(s"$dir/$version/buckets"), true)
     try bf.write(s"$IndexBuckets".getBytes("UTF-8")) finally bf.close()
-    val segFile = fs.create(
-      new org.apache.hadoop.fs.Path(s"$dir/$version/segments"), true)
-    try segFile.write((parentSegs :+ version).mkString("\n")
-      .getBytes("UTF-8"))
-    finally segFile.close()
-    tag.foreach { t =>
-      val tf = fs.create(
-        new org.apache.hadoop.fs.Path(s"$dir/$version/$AppendTag"), true)
-      try tf.write(t.getBytes("UTF-8")) finally tf.close()
-    }
-    graft.sources.PointerFile.commitVersion(fs, base, version)
+    SegmentedIndex.commitAppend(spark, dir, version, parent,
+      parentSegs, tag)
   }
 
   /** foreachBatch sink for STREAMING corpus ingest into a persisted
@@ -430,22 +396,10 @@ object Dedup {
     * append ≡ a rebuilt index.
     */
   def shingleStreamSink(dir: String, checkpointDir: String, k: Int = 3)
-      : (DataFrame, Long) => Unit = {
-    @volatile var streamId: String = null
-    (batch: DataFrame, batchId: Long) => {
-      if (streamId == null) {
-        val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
-        val fs = p.getFileSystem(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        val json = graft.sources.PointerFile.read(fs, p)
-        val m = """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json)
-        require(m.isDefined, s"no query id in $checkpointDir/metadata")
-        streamId = m.get.group(1)
-      }
-      appendShingleIndex(dir, batch, k,
-        tag = Some(s"$streamId#$batchId"))
+      : (DataFrame, Long) => Unit =
+    graft.sources.SegmentedIndex.streamSink(checkpointDir) {
+      (batch, tag) => appendShingleIndex(dir, batch, k, tag)
     }
-  }
 
   /** Probe the persisted index with an incoming shard: same answer as
     * [[crossCorpusPairs]](indexed corpus, incoming) — a_id from the

@@ -377,6 +377,12 @@ case class PqEncode(child: Expression,
   private def encode(x: ArrayData): Array[Int] = {
     val m = books.length
     val ds = books(0)(0).length
+    // UnsafeArrayData.getDouble does no bounds check — a short vector
+    // would silently encode garbage codes, so fail loudly instead
+    // (dim % m is only validated on the training sample, not per row)
+    require(x.numElements() >= m * ds,
+      s"pq_encode: vector has ${x.numElements()} dims, codebooks " +
+        s"need ${m * ds}")
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -424,6 +430,11 @@ case class PqEncode(child: Expression,
       s"""
          |int $m = $b.length;
          |int $ds = $b[0][0].length;
+         |if ($a.numElements() < $m * $ds) {
+         |  throw new IllegalArgumentException(
+         |    "pq_encode: vector has " + $a.numElements() +
+         |    " dims, codebooks need " + ($m * $ds));
+         |}
          |int[] $out = new int[$m];
          |for (int $j = 0; $j < $m; $j++) {
          |  double[][] $book = $b[$j];

@@ -79,4 +79,45 @@ class IvfSq8Spec extends SparkSpec {
     assert(math.abs(sq8Hits - rawHits) <= math.max(1, (0.1 * n).toInt),
       s"SQ8 recall $sq8Hits/$n far from raw probe's $rawHits/$n")
   }
+
+  test("append: delta lands as its own codes-only segment bit-equal " +
+       "to a rebuild's codes; tagged replay and empty deltas commit " +
+       "nothing") {
+    val dir2 = "/tmp/graft_ivf_sq8_append_spec"
+    val p = new org.apache.hadoop.fs.Path(dir2)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(p)) fsys.delete(p, true)
+    val base = vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val delta = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
+    Similarity.buildIvfSq8Index(base, dir2, nlist = 16)
+    Similarity.appendIvfSq8Index(dir2, delta, tag = Some("b0"))
+    val ver = Similarity.indexVersion(spark, dir2)
+    val segs = Similarity.indexSegments(spark, dir2, ver)
+    assert(segs.size == 2, s"expected base+delta segments: $segs")
+    // the per-row symmetric quantizer has NO trained state beyond the
+    // frozen centroids, so the delta's stored codes are bit-identical
+    // to quantizing the delta directly (what a full rebuild stores)
+    val stored = spark.read.parquet(s"$dir2/${segs.last}/cells")
+      .select(col("cand_id"), col("codes"))
+    val expected = delta.select(col("vec_id").as("cand_id"),
+      org.apache.spark.sql.graft.Native.quantizeI8(col("embedding"))
+        .as("codes"))
+    assert(stored.exceptAll(expected).isEmpty &&
+      expected.exceptAll(stored).isEmpty,
+      "delta codes diverge from a direct re-quantization")
+    // probing the appended index fans out across segments and
+    // surfaces delta candidates too
+    val cand = Similarity.ivfSq8ProbeIndexed(dir2,
+      vecs.filter(col("vec_id") < 8), 5)
+      .select("cand_id").collect().map(_.getLong(0)).toSet
+    assert(cand.exists(_ % 3 == 0), s"no delta candidate in $cand")
+    // exactly-once + quiet ticks
+    def nVersions = fsys.listStatus(p)
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
+    val before = nVersions
+    Similarity.appendIvfSq8Index(dir2, delta, tag = Some("b0"))
+    assert(nVersions == before, "replayed tagged append committed")
+    Similarity.appendIvfSq8Index(dir2, delta.filter(lit(false)))
+    assert(nVersions == before, "empty append committed a segment")
+  }
 }

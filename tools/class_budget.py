@@ -63,7 +63,8 @@ CLASSES = {
     "similarity/ANN": [
         "sim_ann_ivf", "sim_ann_ivf_append", "sim_ann_ivf_indexed",
         "sim_ann_ivf_pq", "sim_ann_ivf_pq_append",
-        "sim_ann_ivf_pq_refined", "sim_ann_ivf_trained",
+        "sim_ann_ivf_pq_refined", "sim_ann_ivf_sq8",
+        "sim_ann_ivf_sq8_append", "sim_ann_ivf_trained",
         "sim_ann_lsh", "sim_cosine_topk",
         "sim_knn_join", "sim_knn_join_cell", "sim_quantized_topk",
         "sim_stream_ivf_ingest",
@@ -104,13 +105,21 @@ CLASSES = {
 #      at the m=16/ksub=64 native-encode operating point)
 #   pipeline composites 8.0 + 1.4*0.70           -> 9.0
 #     (pipeline_semantic_decontaminate)
+#
+# Round-8 amendment (BASELINE.md "Round-8 budget amendment"): same
+# 1.4x formula for the members that landed after the round-7
+# derivation:
+#   similarity/ANN     21.0 + 1.4*(1.19 + 2.01)   -> 25.5
+#     (sim_ann_ivf_sq8 — committed clean warm 1.185 s;
+#      sim_ann_ivf_sq8_append — r8 lifecycle parity, warm 2.014 s:
+#      a build + append + segmented probe lifecycle in one query)
 BUDGETS = {
     "scan/agg/window": 32.0,
     "joins/sets": 16.0,
     "cdc materialize/timeline": 22.0,
     "streaming/state-store": 28.0,
     "dedup family": 42.0,
-    "similarity/ANN": 21.0,
+    "similarity/ANN": 25.5,
     "text/multimodal per-row": 11.0,
     "pipeline composites": 9.0,
 }
