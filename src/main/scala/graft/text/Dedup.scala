@@ -268,38 +268,89 @@ object Dedup {
     val spark = docs.sparkSession
     val version = f"v-${System.currentTimeMillis()}%013d-${
       java.util.UUID.randomUUID().toString.take(8)}"
-    val sh = hashedShingleSet(docs, k).cache()
-    // Postings are written BUCKETED on shingle (and registered in the
-    // catalog): every later probe joins on shingle, and a bucketed scan
-    // gives that join its postings side with ZERO Exchange — only the
-    // (small) incoming shard shuffles, into the bucket partitioning
-    // (plan-asserted in DedupIndexSpec). repartition to IndexBuckets on
-    // the same key first: repartition and bucketBy share the Murmur3
-    // partitioning, so each task holds exactly one bucket and each
-    // bucket lands in ONE file — the single-file-per-bucket layout the
-    // reader requires to also trust the per-bucket sort order.
-    sh.repartition(IndexBuckets, col("shingle"))
-      .write.mode("errorifexists")
-      .bucketBy(IndexBuckets, "shingle").sortBy("shingle")
-      .option("path", s"$dir/$version/postings")
-      .format("parquet").saveAsTable(postingsTable(dir, version))
-    sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      .write.mode("errorifexists").parquet(s"$dir/$version/sizes")
-    sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .write.mode("errorifexists").parquet(s"$dir/$version/dfreq")
-    // all three consumers are done — release the kernel cache rather
-    // than letting builds accumulate blocks for the session's lifetime
-    sh.unpersist(false)
+    // cache the PRE-explode kernel (doc_id, sharr): sizes then cost a
+    // narrow size(sharr) projection instead of a groupBy over the
+    // exploded set, and df comes zero-Exchange off the bucketed
+    // postings after they land — the r8 reduction pass that cut the
+    // segment write from three 4M-row shuffles to one (BASELINE.md
+    // round-8).
+    val arr = withShingleArray(docs, k, "doc_id", "text").cache()
+    // no separate materialization wave: the two concurrent writes are
+    // independent top-level jobs over the same cached RDD, and the
+    // BlockManager's per-block compute lock dedupes their cache fill
+    // (one task computes a partition, the other blocks then reads) —
+    // unlike the AQE-internal exchange race ngramJaccardPairs
+    // documents, which bypasses an unfilled lazy cache plan-side.
+    // The append path keeps its eager count as the emptiness check.
+    writeSegmentFiles(arr, dir, version)
+    // all consumers are done — release the kernel cache rather than
+    // letting builds accumulate blocks for the session's lifetime
+    arr.unpersist(false)
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // bucket-count metadata so a DIFFERENT session (or JVM) can
-    // re-register the table over the same files
-    val bf = fs.create(
-      new org.apache.hadoop.fs.Path(s"$dir/$version/buckets"), true)
-    try bf.write(s"$IndexBuckets".getBytes("UTF-8")) finally bf.close()
     // marker + flip + committed-version-counting GC: a crashed build's
     // partial dir can't evict the last committed version (PointerFile)
     graft.sources.PointerFile.commitVersion(fs, base, version)
+  }
+
+  /** The three data files of one postings segment — shared by build
+    * and append so both get the same bucketed layout and the same
+    * write shape. Input is the PRE-explode kernel `arr` =
+    * (doc_id, sharr), already materialized (cached + counted).
+    *
+    * Postings are written BUCKETED on shingle (and registered in the
+    * catalog): every later probe joins on shingle, and a bucketed scan
+    * gives that join its postings side with ZERO Exchange — only the
+    * (small) incoming shard shuffles, into the bucket partitioning
+    * (plan-asserted in DedupIndexSpec). repartition to IndexBuckets on
+    * the same key first: repartition and bucketBy share the Murmur3
+    * partitioning, so each task holds exactly one bucket and each
+    * bucket lands in ONE file — the single-file-per-bucket layout the
+    * reader requires to also trust the per-bucket sort order.
+    *
+    * Write-cost shape (r8 reduction pass): the exploded set used to
+    * feed THREE shuffled jobs (postings repartition, sizes groupBy
+    * doc_id, df groupBy shingle). Off the array kernel, sizes are a
+    * NARROW size(sharr) projection (runs concurrently with the
+    * postings shuffle), and df aggregates zero-Exchange off the
+    * just-written bucketed postings — the segment now pays exactly one
+    * row-level shuffle, the one that defines its layout.
+    */
+  private def writeSegmentFiles(arr: DataFrame, dir: String,
+                                version: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val spark = arr.sparkSession
+    val writes = Seq(
+      Future {
+        arr.select(col("doc_id"), explode(col("sharr")).as("shingle"))
+          .repartition(IndexBuckets, col("shingle"))
+          .write.mode("errorifexists")
+          .bucketBy(IndexBuckets, "shingle").sortBy("shingle")
+          .option("path", s"$dir/$version/postings")
+          .format("parquet").saveAsTable(postingsTable(dir, version))
+      },
+      Future {
+        // sharr is the per-doc DISTINCT shingle set, so size(sharr)
+        // IS the exploded per-doc count — same n_sh, no shuffle
+        arr.select(col("doc_id"),
+            size(col("sharr")).cast("long").as("n_sh"))
+          .write.mode("errorifexists").parquet(s"$dir/$version/sizes")
+      })
+    Await.result(Future.sequence(writes), Duration.Inf)
+    // bucket-count metadata FIRST so readPostings can re-register
+    val fs = graft.sources.SegmentedIndex.fsFor(spark, dir)
+    val bf = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/$version/buckets"), true)
+    try bf.write(s"$IndexBuckets".getBytes("UTF-8")) finally bf.close()
+    // df per shingle = count over this segment's postings — computed
+    // off the BUCKETED table just written, so the aggregation's
+    // required hash-partitioning on shingle is satisfied by the scan
+    // itself: no Exchange, cost = one local re-read of the segment
+    readPostings(spark, dir, version)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .write.mode("errorifexists").parquet(s"$dir/$version/dfreq")
   }
 
   /** The version's postings as the registered BUCKETED table,
@@ -354,31 +405,24 @@ object Dedup {
                          tag: Option[String] = None): Unit = {
     import graft.sources.SegmentedIndex
     val spark = newDocs.sparkSession
-    val fs = SegmentedIndex.fsFor(spark, dir)
     val parent = SegmentedIndex.currentVersion(spark, dir)
     val parentSegs = indexSegments(spark, dir, parent)
     // exactly-once under foreachBatch replay (cf. appendIvfIndex)
     if (SegmentedIndex.tagCommitted(spark, dir, parentSegs, tag)) return
-    // a quiet ingest tick commits nothing — an empty segment would be
-    // a schema-less parquet dir later probes choke on
-    if (newDocs.isEmpty) return
     val version = SegmentedIndex.newVersionName()
-    val sh = hashedShingleSet(newDocs, k).cache()
-    sh.repartition(IndexBuckets, col("shingle"))
-      .write.mode("errorifexists")
-      .bucketBy(IndexBuckets, "shingle").sortBy("shingle")
-      .option("path", s"$dir/$version/postings")
-      .format("parquet").saveAsTable(postingsTable(dir, version))
-    sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      .write.mode("errorifexists").parquet(s"$dir/$version/sizes")
-    sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .write.mode("errorifexists").parquet(s"$dir/$version/dfreq")
+    val arr = withShingleArray(newDocs, k, "doc_id", "text").cache()
+    // one eager job materializes the kernel AND decides emptiness: a
+    // quiet ingest tick (no docs, or none long enough to shingle)
+    // commits nothing — an empty segment would be a schema-less
+    // parquet dir later probes choke on. Folding the old separate
+    // newDocs.isEmpty scan into the count saves one job per
+    // micro-batch; skipping the shingle-less case also skips the
+    // zero-row segment the old path would have committed.
+    if (arr.count() == 0) { arr.unpersist(false); return }
+    writeSegmentFiles(arr, dir, version)
     // delta kernel fully consumed — release (streaming ingest calls
     // this once per micro-batch; leaked blocks would grow ∝ stream age)
-    sh.unpersist(false)
-    val bf = fs.create(
-      new org.apache.hadoop.fs.Path(s"$dir/$version/buckets"), true)
-    try bf.write(s"$IndexBuckets".getBytes("UTF-8")) finally bf.close()
+    arr.unpersist(false)
     SegmentedIndex.commitAppend(spark, dir, version, parent,
       parentSegs, tag)
   }
@@ -429,7 +473,17 @@ object Dedup {
     val segPostings = segs.map(v => readPostings(spark, dir, v))
     val exSizes = segs.map(v => spark.read.parquet(s"$dir/$v/sizes"))
       .reduce(_ unionAll _)
-    val in0 = hashedShingleSet(incoming, k).cache()
+    // localCheckpoint, not cache (cf. ngramJaccardPairs): the probe
+    // references the shard kernel once per segment join PLUS the n_b
+    // sizes, and AQE materializes those exchanges concurrently — a
+    // lazy cache lets them race past the unfilled cache and run the
+    // kernel several times. The eager checkpoint computes it exactly
+    // once and truncates lineage. Checkpointing the PRE-explode array
+    // kernel keeps the materialized blocks small and makes the
+    // uncapped n_b a narrow size(sharr) projection (no shuffle).
+    val arr0 = withShingleArray(incoming, k, "doc_id", "text")
+      .localCheckpoint()
+    val in0 = arr0.select(col("doc_id"), explode(col("sharr")).as("shingle"))
     // Under a df-cap, similarity is defined over the CAPPED shingle
     // universe on BOTH sides (cf. naivePairs): the persisted corpus
     // sizes are uncapped, so subtract each doc's over-cap shingle
@@ -458,18 +512,36 @@ object Dedup {
             (col("n_sh") - coalesce(col("n_drop"), lit(0L))).as("n_sh"))
         (p, i, adj)
       }
+    // ONE shard subtree shared by every segment branch (a per-branch
+    // select would mint fresh exprIds and defeat ReuseExchange — the
+    // shard's move into the bucket partitioning, or its broadcast,
+    // then materializes once instead of once per segment), and ONE
+    // pair aggregation above the union: per-segment candidate sets
+    // are disjoint (a doc lives wholly in one segment), so the
+    // map-side partial aggs run inside each branch and a single
+    // exchange carries the same total rows S per-segment exchanges
+    // did — minus (S−1) stages of fixed overhead.
+    val inSel = in.select(col("doc_id").as("b_id"), col("shingle"))
     val common = posts.map(pp =>
         pp.select(col("doc_id").as("a_id"), col("shingle"))
-          .join(in.select(col("doc_id").as("b_id"), col("shingle")),
-            Seq("shingle"))
-          .groupBy("a_id", "b_id")
-          .agg(count(lit(1)).as("n_common")))
+          .join(inSel, Seq("shingle"))
+          .select(col("a_id"), col("b_id")))
       .reduce(_ unionAll _)
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_common"))
+    // uncapped, n_b is a NARROW projection off the checkpointed array
+    // kernel (sharr is the per-doc distinct set); under a cap the
+    // shard lost its over-cap shingles, so count what survived
+    val nB =
+      if (maxPostings == Int.MaxValue)
+        arr0.select(col("doc_id").as("b_id"),
+          size(col("sharr")).cast("long").as("n_b"))
+      else in.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
+        .withColumnRenamed("doc_id", "b_id")
     common
       .join(exSizesEff.select(col("doc_id").as("a_id"),
         col("n_sh").as("n_a")), Seq("a_id"))
-      .join(in.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
-        .withColumnRenamed("doc_id", "b_id"), Seq("b_id"))
+      .join(nB, Seq("b_id"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
