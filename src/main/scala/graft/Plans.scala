@@ -61,7 +61,10 @@ object Plans {
     // round 7 (late): ADC retrieve + broadcast-candidate exact re-rank
     "sim_ann_ivf_pq_refined",
     // round 8: SQ8 codes-only pruned probe (exact in quantized space)
-    "sim_ann_ivf_sq8")
+    // + its append/streaming lifecycle (segment-fan-out probe over
+    // the shared SegmentedIndex manifest)
+    "sim_ann_ivf_sq8", "sim_ann_ivf_sq8_append",
+    "sim_stream_sq8_ingest")
 
   /** Per-query caveats rendered under the plan heading — the place a
     * reader shopping the inventory learns a query's scale status

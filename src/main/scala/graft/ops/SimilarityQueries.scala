@@ -229,8 +229,8 @@ object SimilarityQueries extends QueryPack {
     * per document language. Same IEEE op order as the engine at every
     * comparison, so the whole block→match→rollup phase hash-verifies.
     */
-  private def semanticDecontOracle(cents: Array[(Int, Array[Double])])
-      : String = {
+  private def semanticDecontOracle(cents: Array[(Int, Array[Double])],
+                                   off: Long): String = {
     val np = Similarity.deriveNprobe(cents.length)
     s"""WITH cents(cid, centroid) AS (
       |  VALUES ${DynamicOracle.centroidValues(cents)}),
@@ -240,7 +240,7 @@ object SimilarityQueries extends QueryPack {
       | train AS (
       |   SELECT vec_id, vec FROM v WHERE vec_id % 10 <> 0
       |   UNION ALL
-      |   SELECT vec_id + 200000, [vec[1] + 0.05] || vec[2:] FROM ev),
+      |   SELECT vec_id + $off, [vec[1] + 0.05] || vec[2:] FROM ev),
       | tcells AS (
       |   SELECT t.vec_id, t.vec, c.cid,
       |     list_dot_product(t.vec, c.centroid) /
@@ -270,7 +270,7 @@ object SimilarityQueries extends QueryPack {
       |       (sqrt(list_dot_product(t.vec, t.vec)) *
       |        sqrt(list_dot_product(e.vec, e.vec))) >= 0.99),
       | flags AS (
-      |   SELECT vec_id % 200000 AS doc_id,
+      |   SELECT vec_id % $off AS doc_id,
       |     vec_id IN (SELECT vec_id FROM hits) AS hit
       |   FROM train)
       |SELECT d.lang, count(*) AS n_train,
@@ -708,17 +708,17 @@ object SimilarityQueries extends QueryPack {
     Q("pipeline_semantic_decontaminate",
       (s, d) => {
         val vecs = doubleVecs(s, d)
-        // the planted-leak id arithmetic (plant = vec_id + 200000,
-        // doc_id = vec_id % 200000) is MIRRORED in the oracle, so a
-        // genuine train id at/above the offset would collide silently
-        // on both sides and never hash-fail — fail loudly instead
+        // the planted-leak id arithmetic (plant = vec_id + off,
+        // doc_id = vec_id % off) is MIRRORED in the oracle, so the
+        // offset must clear the genuine id space — derive it from
+        // max(vec_id) and render it into the oracle (a fixed constant
+        // hard-failed the sf10 replica, whose ids reach ~2M; bounded
+        // driver read — one aggregated row)
         val maxId = vecs.agg(max(col("vec_id"))).head.getLong(0)
-        require(maxId < 200000L,
-          s"embeddings vec_id space reaches $maxId >= the planted-leak " +
-            "offset 200000 — raise the offset (and its oracle mirror)")
+        val off = math.max(200000L, maxId + 1)
         val evalSet = vecs.filter(col("vec_id") % 10 === 0)
         val planted = evalSet.select(
-          (col("vec_id") + 200000L).as("vec_id"),
+          (col("vec_id") + off).as("vec_id"),
           concat(array(element_at(col("embedding"), 1) + lit(0.05)),
             slice(col("embedding"), 2, 63)).as("embedding"),
           col("label"))
@@ -726,11 +726,11 @@ object SimilarityQueries extends QueryPack {
           .unionByName(planted)
         val cents = Similarity.trainCentroids(vecs)
         DynamicOracle.put("pipeline_semantic_decontaminate",
-          semanticDecontOracle(cents))
+          semanticDecontOracle(cents, off))
         val hits = Similarity.semanticMatchedIds(train, evalSet, cents,
           tau = 0.99)
         val flagged = train
-          .select(col("vec_id"), (col("vec_id") % 200000L).as("doc_id"))
+          .select(col("vec_id"), (col("vec_id") % off).as("doc_id"))
           .join(hits.withColumn("hit", lit(true)), Seq("vec_id"),
             "left_outer")
         val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
@@ -840,6 +840,50 @@ object SimilarityQueries extends QueryPack {
         val ver = Similarity.indexVersion(s, dir)
         val cents = Similarity.readCentroids(s, dir, ver)
         DynamicOracle.put("sim_ann_ivf_sq8_append", ivfSq8Oracle(cents))
+        Similarity.ivfSq8ProbeIndexed(dir,
+            vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // STREAMING ingest for the SQ8 index — completes the lifecycle
+    // parity the verdict asked for (append landed in the same round's
+    // earlier commit): the delta shard arrives as a REAL multi-micro-
+    // batch Structured Streaming run (several source files +
+    // maxFilesPerTrigger), each batch committing a codes-only delta
+    // segment through the shared SegmentedIndex tag protocol
+    // (streamId#batchId = exactly-once under checkpoint replay). The
+    // per-row symmetric quantizer has no trained state, so streamed
+    // segments are bit-identical to a flat append's — the same
+    // centroid-pinned oracle replays the manifest-fan-out probe flat
+    // over the full embeddings table.
+    Q("sim_stream_sq8_ingest",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        val vecs = doubleVecs(s, d)
+        val root = "/tmp/graft_sq8_stream/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val fs = new Path(root).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        val dir = s"$root/index"
+        Similarity.buildIvfSq8Index(
+          vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), dir)
+        val delta = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
+        delta.repartition(4).write.mode("overwrite").parquet(s"$root/in")
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val q = s2.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", 2).parquet(s"$root/in")
+          .writeStream
+          .option("checkpointLocation", s"$root/cp")
+          .foreachBatch(Similarity.sq8StreamSink(dir, s"$root/cp"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val cents = Similarity.readCentroids(s, dir,
+          Similarity.indexVersion(s, dir))
+        DynamicOracle.put("sim_stream_sq8_ingest", ivfSq8Oracle(cents))
         Similarity.ivfSq8ProbeIndexed(dir,
             vecs.filter(col("vec_id") < 8), 5)
           .orderBy(col("query_id"), col("rank"))

@@ -1143,6 +1143,21 @@ object Similarity {
       parentSegs, tag)
   }
 
+  /** foreachBatch sink for streaming ingest into a persisted IVF-SQ8
+    * index — the SQ8 leg of the same `<streamId>#<batchId>` tag
+    * protocol [[ivfStreamSink]] documents (exactly-once under
+    * checkpoint replay, fresh namespace on a reset checkpoint). Each
+    * micro-batch lands via [[appendIvfSq8Index]]: assign to the frozen
+    * centroids, quantize per row, commit a codes-only delta segment.
+    */
+  def sq8StreamSink(dir: String, checkpointDir: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding")
+      : (DataFrame, Long) => Unit =
+    graft.sources.SegmentedIndex.streamSink(checkpointDir) {
+      (batch, tag) => appendIvfSq8Index(dir, batch, idCol, vecCol, tag)
+    }
+
   /** Probe a persisted IVF-SQ8 index: the same pruned partition-read
     * shape as [[ivfProbeIndexed]], but the scan moves int8 codes (1
     * byte/dim) and ranking is the exact quantized-space cosine of

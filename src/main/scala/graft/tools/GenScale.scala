@@ -37,6 +37,15 @@ import org.apache.spark.sql.functions._
   *    row-group clustering and min/max stats scale faithfully instead
   *    of being shuffled away by a repartition.
   *
+  * ALWAYS generate from the BASE testdata dir, never chain replicas:
+  * the perturbation keys (`hash(word, i)`, `hash(idx, i)`) are keyed
+  * by the replica index of ONE generation, so chaining sf1→sf10 makes
+  * copy (j,0) and copy (0,j) of a source row byte-identical (gen-2
+  * replica j applies the same function to unperturbed gen-1 replica 0
+  * that gen-1 replica j applied to the source) — measured: 181k
+  * cross-replica exact-dup pairs where linearity demands 800. Direct
+  * rep=100 from sf0.1 keeps every invariant (check_scale green).
+  *
   * Usage: runMain graft.tools.GenScale <srcSfDir> <outDir> [rep=10] [tables]
   * `tables` is an optional comma-separated subset (e.g.
   * `documents,embeddings` for the sf10 standing-artifact probes —

@@ -28,6 +28,7 @@ class QueryInventorySpec extends SparkSpec {
         "sim_ann_ivf_append", "sim_stream_ivf_ingest", "sim_ann_ivf_pq",
         "sim_ann_ivf_pq_append", "sim_ann_ivf_pq_refined",
         "sim_ann_ivf_sq8", "sim_ann_ivf_sq8_append",
+        "sim_stream_sq8_ingest",
         "pipeline_semantic_decontaminate")
       .foreach(n => SparkEntry.queries(n)(spark, sf).count())
     val effective = SparkEntry.oracleSql.keySet ++

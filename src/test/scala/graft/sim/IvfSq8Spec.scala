@@ -120,4 +120,42 @@ class IvfSq8Spec extends SparkSpec {
     Similarity.appendIvfSq8Index(dir2, delta.filter(lit(false)))
     assert(nVersions == before, "empty append committed a segment")
   }
+
+  test("streaming ingest runs multiple micro-batches and converges " +
+       "to the flat-append index") {
+    import graft.ops.SimilarityQueries
+    SimilarityQueries.queries
+      .find(_.name == "sim_stream_sq8_ingest").get.fn(spark, sf).count()
+    val dir = "/tmp/graft_sq8_stream/" +
+      sf.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+    val ver = Similarity.indexVersion(spark, dir)
+    val segs = Similarity.indexSegments(spark, dir, ver)
+    assert(segs.size >= 3,
+      s"expected base + >=2 streamed segments, got $segs")
+    // streamed segments carry codes bit-identical to a flat append's
+    // (per-row quantizer, frozen centroids): probe results must match
+    // an index built+appended in one batch over the same split
+    val flatDir = "/tmp/graft_sq8_stream_flat_spec"
+    val p = new org.apache.hadoop.fs.Path(flatDir)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(p)) fsys.delete(p, true)
+    val vs = vecs
+    Similarity.buildIvfSq8Index(
+      vs.filter(pmod(col("vec_id"), lit(3)) =!= 0), flatDir)
+    // flat twin must rank against the SAME frozen centroids the
+    // streamed index trained, or cell assignment (and thus candidate
+    // sets) legitimately differ — compare the full stored code sets
+    val streamedCodes = segs.map(s =>
+        spark.read.parquet(s"$dir/$s/cells"))
+      .reduce(_ unionByName _).select("cand_id", "codes")
+    Similarity.appendIvfSq8Index(flatDir,
+      vs.filter(pmod(col("vec_id"), lit(3)) === 0))
+    val flatVer = Similarity.indexVersion(spark, flatDir)
+    val flatCodes = Similarity.indexSegments(spark, flatDir, flatVer)
+      .map(s => spark.read.parquet(s"$flatDir/$s/cells"))
+      .reduce(_ unionByName _).select("cand_id", "codes")
+    assert(streamedCodes.exceptAll(flatCodes).isEmpty &&
+      flatCodes.exceptAll(streamedCodes).isEmpty,
+      "streamed SQ8 codes diverge from a flat append's")
+  }
 }

@@ -67,7 +67,7 @@ CLASSES = {
         "sim_ann_ivf_sq8_append", "sim_ann_ivf_trained",
         "sim_ann_lsh", "sim_cosine_topk",
         "sim_knn_join", "sim_knn_join_cell", "sim_quantized_topk",
-        "sim_stream_ivf_ingest",
+        "sim_stream_ivf_ingest", "sim_stream_sq8_ingest",
     ],
     "text/multimodal per-row": [
         "mm_batch_embed", "mm_decode_meta", "mm_dedup_binary",
@@ -113,13 +113,17 @@ CLASSES = {
 #     (sim_ann_ivf_sq8 — committed clean warm 1.185 s;
 #      sim_ann_ivf_sq8_append — r8 lifecycle parity, warm 2.014 s:
 #      a build + append + segmented probe lifecycle in one query)
+#   similarity/ANN     25.5 + 1.4*2.92            -> 29.6
+#     (sim_stream_sq8_ingest — r8 streaming-ingest lifecycle parity:
+#      base build + multi-micro-batch Structured Streaming appends +
+#      manifest fan-out probe in one query, clean warm 2.919 s)
 BUDGETS = {
     "scan/agg/window": 32.0,
     "joins/sets": 16.0,
     "cdc materialize/timeline": 22.0,
     "streaming/state-store": 28.0,
     "dedup family": 42.0,
-    "similarity/ANN": 25.5,
+    "similarity/ANN": 29.6,
     "text/multimodal per-row": 11.0,
     "pipeline composites": 9.0,
 }
