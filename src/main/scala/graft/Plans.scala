@@ -64,7 +64,11 @@ object Plans {
     // + its append/streaming lifecycle (segment-fan-out probe over
     // the shared SegmentedIndex manifest)
     "sim_ann_ivf_sq8", "sim_ann_ivf_sq8_append",
-    "sim_stream_sq8_ingest")
+    "sim_stream_sq8_ingest",
+    // round 8: compaction — the chain folds to one segment; the plan
+    // to check is the POST-compact probe (back to the fresh-build
+    // shape: one bucketed pair join / one-file-per-cell pruned scan)
+    "dedup_index_compact", "sim_ann_ivf_compact")
 
   /** Per-query caveats rendered under the plan heading — the place a
     * reader shopping the inventory learns a query's scale status

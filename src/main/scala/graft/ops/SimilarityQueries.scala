@@ -642,6 +642,39 @@ object SimilarityQueries extends QueryPack {
       },
       None),
 
+    // COMPACTION for the persisted IVF index — the third lifecycle
+    // verb (build/append/compact): each append leaves a delta segment
+    // whose hive cell dirs hold a few small files, so after N appends
+    // a probed cell opens O(N) files and per-file fixed cost dominates
+    // probe latency. Build on 2/3 of the corpus, append the last third
+    // as TWO delta segments, COMPACT the three-segment chain into one
+    // (cells unioned and re-clustered one-file-per-cell; frozen
+    // centroids copied forward — probes of the compacted index are
+    // bit-identical to segmented probes), then probe. The post-compact
+    // index holds the full corpus assigned to base-trained centroids,
+    // so the same centroid-pinned oracle replays the probe flat. One
+    // routine serves raw/PQ/SQ8 alike (shared version-dir shape);
+    // CompactionSpec pins the PQ and SQ8 legs plus tag carry-forward.
+    Q("sim_ann_ivf_compact",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        val dir = "/tmp/graft_ivf_compact/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        Similarity.buildIvfIndex(
+          vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), dir)
+        Similarity.appendIvfIndex(dir,
+          vecs.filter(pmod(col("vec_id"), lit(6)) === 0))
+        Similarity.appendIvfIndex(dir,
+          vecs.filter(pmod(col("vec_id"), lit(6)) === 3))
+        Similarity.compactIvfIndex(s, dir)
+        val cents = Similarity.readCentroids(s, dir,
+          Similarity.indexVersion(s, dir))
+        DynamicOracle.put("sim_ann_ivf_compact", ivfOracleWith(cents))
+        Similarity.ivfProbeIndexed(dir, vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // STREAMING VECTOR INGEST, driver-verified: the embedding delta
     // arrives as a file stream and every micro-batch appends to the
     // standing IVF index through foreachBatch — Structured Streaming

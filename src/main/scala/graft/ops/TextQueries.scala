@@ -783,6 +783,40 @@ object TextQueries extends QueryPack {
       },
       Some(crossBoundaryOracle)),
 
+    // COMPACTION for the standing dedup index — the third verb of the
+    // lifecycle (build/append/compact, the LSM minor-compaction role):
+    // appends keep ingest ∝ |delta| but each adds a segment the probe
+    // fans out over, and after N appends that per-segment fixed cost
+    // dominates probe latency. Build on 2/3 of the corpus, append the
+    // last third as TWO delta segments, COMPACT the three-segment
+    // chain back into one bucketed segment (reads index files only —
+    // no re-shingling; summed-across-segments df ≡ the compacted
+    // segment's recomputed df for disjoint docs), then probe. The
+    // post-compact index holds the full corpus in one segment, so the
+    // same cross-boundary oracle replays it flat — and the probe is
+    // bit-identical to the segmented path dedup_index_append verifies.
+    Q("dedup_index_compact",
+      (s, d) => {
+        val idxDir = "/tmp/graft_shingle_compact/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val existing = Tables.documents(s, d).select("doc_id", "text")
+        val incoming = existing.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .unionAll(existing.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(col("text"), lit(" qq17")).as("text")))
+        Dedup.buildShingleIndex(
+          existing.filter(col("doc_id") % 3 =!= 0), idxDir)
+        Dedup.appendShingleIndex(idxDir,
+          existing.filter(col("doc_id") % 6 === 0))
+        Dedup.appendShingleIndex(idxDir,
+          existing.filter(col("doc_id") % 6 === 3))
+        Dedup.compactShingleIndex(s, idxDir)
+        Dedup.probeShingleIndex(idxDir, incoming, k = 3, threshold = 0.8)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(crossBoundaryOracle)),
+
     // TRAINING-MIX SAMPLING: select documents per language up to a
     // token budget, in a deterministic pseudo-random order (md5 of the
     // doc id — an unbiased shuffle any engine replays). The exact

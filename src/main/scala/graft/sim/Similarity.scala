@@ -1158,6 +1158,67 @@ object Similarity {
       (batch, tag) => appendIvfSq8Index(dir, batch, idCol, vecCol, tag)
     }
 
+  /** COMPACT a persisted IVF-family index (raw [[buildIvfIndex]], PQ
+    * [[buildIvfPqIndex]], or SQ8 [[buildIvfSq8Index]] — the three
+    * share the version-dir shape, so one compaction serves all): fold
+    * the current version's segment chain into ONE fresh base segment,
+    * the third verb of the standing-index lifecycle and the mirror of
+    * `Dedup.compactShingleIndex`. Each streamed/batched append leaves
+    * a delta version whose hive cell dirs hold a few small files;
+    * after N appends a probed cell opens O(N) files and the probe's
+    * fixed per-file cost, not data volume, dominates. Compaction
+    * unions the cells of every segment (a vector lives wholly in one
+    * segment, so the union is exact) and rewrites them
+    * `repartition(centroid_id)`-clustered — each task holds whole
+    * cells, so every cell lands in ONE file — while the small trained
+    * state (centroids, PQ codebooks) is copied forward verbatim from
+    * the parent: quantizers are frozen across appends, so every
+    * segment carries identical copies and probes of the compacted
+    * index are bit-identical to segmented probes. Reads index files
+    * only — cost ∝ index size (codes for PQ/SQ8), never the corpus.
+    *
+    * Commits as a fresh BASE carrying the chain's exactly-once tags in
+    * `_TAGS` ([[graft.sources.SegmentedIndex.commitCompact]]): a
+    * checkpoint-replayed micro-batch whose segment was folded in still
+    * no-ops, and the keep-window GC retains the parent chain for
+    * in-flight probes. No-op when already one segment.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Unit = {
+    import graft.sources.SegmentedIndex
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val parent = indexVersion(spark, dir)
+    val segs = indexSegments(spark, dir, parent)
+    if (segs.size <= 1) return
+    val version = SegmentedIndex.newVersionName()
+    val fs = SegmentedIndex.fsFor(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // trained state (centroids; codebooks when the family has them) is
+    // frozen across appends — every segment holds an identical copy,
+    // so the parent's files ARE the compacted version's. Copying
+    // whatever non-cell payload the version carries keeps this one
+    // routine correct for raw, PQ, and SQ8 alike.
+    val protocol = Set("cells", "segments", SegmentedIndex.AppendTag,
+      SegmentedIndex.MultiTags, graft.sources.PointerFile.CommittedMarker)
+    fs.listStatus(new Path(s"$dir/$parent"))
+      .filter(st => !protocol(st.getPath.getName))
+      .foreach { st =>
+        require(FileUtil.copy(fs, st.getPath, fs,
+          new Path(s"$dir/$version/${st.getPath.getName}"),
+          false, conf), s"copy of ${st.getPath} failed")
+      }
+    // cells: exact union across segments, re-clustered so each hive
+    // cell dir compacts to one file — the one shuffle this pays, and
+    // it moves codes (PQ/SQ8) or vectors, never recomputes them
+    segs.map(v => spark.read.parquet(s"$dir/$v/cells"))
+      .reduce(_ unionAll _)
+      .repartition(col("centroid_id"))
+      .write.mode("errorifexists").partitionBy("centroid_id")
+      .parquet(s"$dir/$version/cells")
+    SegmentedIndex.commitCompact(spark, dir, version, parent,
+      SegmentedIndex.committedTags(fs, dir, segs))
+  }
+
   /** Probe a persisted IVF-SQ8 index: the same pruned partition-read
     * shape as [[ivfProbeIndexed]], but the scan moves int8 codes (1
     * byte/dim) and ranking is the exact quantized-space cosine of

@@ -45,6 +45,14 @@ object SegmentedIndex {
 
   val CurrentPointer = "_CURRENT"
   val AppendTag = "_APPEND_TAG"
+  /** Multi-tag carry file a COMPACTED base writes: the union of every
+    * idempotency tag that was committed on the chain it replaced.
+    * Without it, compaction would erase the exactly-once history — a
+    * checkpoint-replayed micro-batch whose segment was folded into the
+    * compacted base would no longer find its tag and would re-append
+    * its data as a duplicate segment.
+    */
+  val MultiTags = "_TAGS"
 
   def fsFor(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -84,7 +92,15 @@ object SegmentedIndex {
       : Set[String] =
     segs.flatMap { s =>
       val p = new Path(s"$dir/$s/$AppendTag")
-      if (!fs.exists(p)) None else Some(PointerFile.read(fs, p))
+      val own =
+        if (!fs.exists(p)) Nil else List(PointerFile.read(fs, p))
+      // a compacted base carries forward the folded chain's tags
+      val mt = new Path(s"$dir/$s/$MultiTags")
+      val carried =
+        if (!fs.exists(mt)) Nil
+        else PointerFile.read(fs, mt).linesIterator
+          .map(_.trim).filter(_.nonEmpty).toList
+      own ++ carried
     }.toSet
 
   /** True iff `tag` is set and already on the committed chain — the
@@ -122,16 +138,52 @@ object SegmentedIndex {
       val tf = fs.create(new Path(s"$dir/$version/$AppendTag"), true)
       try tf.write(t.getBytes("UTF-8")) finally tf.close()
     }
-    // single-writer fence: if another append committed since this one
-    // read its parent, flipping now would silently drop that writer's
-    // segment from the chain — fail loudly instead (narrow-window
-    // detection, not a lock; see the object doc)
+    fenceAndFlip(fs, dir, version, parent, keep)
+  }
+
+  /** Commit a freshly-written COMPACTED base version: the new dir
+    * holds the ENTIRE index payload rewritten as one segment (its data
+    * files must already be on disk), so it gets NO `segments` manifest
+    * — it is its own only segment, exactly like a fresh build — plus a
+    * `_TAGS` carry file preserving the folded chain's exactly-once
+    * history (see [[MultiTags]]). Same single-writer fence as
+    * [[commitAppend]]: an append that committed while the compaction
+    * rewrote would be silently erased by the flip, so fail loudly and
+    * let the caller re-run against the new chain.
+    *
+    * Readers are never torn: the keep-window GC retains the parent
+    * version, whose manifest pins every folded segment, so an
+    * in-flight probe that resolved `_CURRENT` before the flip still
+    * finds its whole chain on disk.
+    */
+  def commitCompact(spark: SparkSession, dir: String, version: String,
+                    parent: String, chainTags: Set[String],
+                    keep: Int = 2): Unit = {
+    val fs = fsFor(spark, dir)
+    if (chainTags.nonEmpty) {
+      val tf = fs.create(new Path(s"$dir/$version/$MultiTags"), true)
+      try tf.write(chainTags.toSeq.sorted.mkString("\n")
+        .getBytes("UTF-8"))
+      finally tf.close()
+    }
+    fenceAndFlip(fs, dir, version, parent, keep)
+  }
+
+  /** The shared commit tail of [[commitAppend]]/[[commitCompact]]:
+    * single-writer fence (if another writer moved `_CURRENT` since
+    * this one read its parent, flipping now would silently drop that
+    * writer's segment from the chain — fail loudly instead;
+    * narrow-window detection, not a lock, see the object doc), then
+    * the atomic pointer flip + keep-window GC.
+    */
+  private def fenceAndFlip(fs: FileSystem, dir: String, version: String,
+                           parent: String, keep: Int): Unit = {
     val cur = PointerFile.read(fs, new Path(dir, CurrentPointer))
     require(cur == parent,
-      s"concurrent append detected on $dir: _CURRENT moved " +
-        s"$parent -> $cur while this append ran; the segmented-index " +
-        "append protocol is single-writer — serialize appends and " +
-        "retry against the new current version")
+      s"concurrent writer detected on $dir: _CURRENT moved " +
+        s"$parent -> $cur while this commit was prepared; the " +
+        "segmented-index protocol is single-writer — serialize " +
+        "writers and retry against the new current version")
     PointerFile.commitVersion(fs, new Path(dir), version, keep)
   }
 

@@ -445,6 +445,71 @@ object Dedup {
       (batch, tag) => appendShingleIndex(dir, batch, k, tag)
     }
 
+  /** COMPACT the standing shingle index: fold the current version's
+    * whole segment chain back into ONE bucketed segment — the missing
+    * third verb of the standing-index lifecycle (build/append/compact,
+    * the same role minor compaction plays in every LSM store). Appends
+    * keep ingest I/O ∝ |delta|, but each one adds a segment the probe
+    * must fan out over (one bucketed pair join + one postings file set
+    * per segment); after N appends that per-segment fixed cost, not
+    * data volume, dominates probe latency. Compaction rewrites the
+    * union of all segment postings through the one layout-defining
+    * shuffle a base build pays (bucketed on shingle, one file per
+    * bucket), unions the per-doc sizes verbatim (a doc lives wholly in
+    * one segment), and recomputes df zero-Exchange off the freshly
+    * bucketed postings — summed-across-segments df ≡ recomputed df for
+    * disjoint docs, so a df-capped probe of the compacted index is
+    * bit-identical to the segmented one. Reads index FILES only, never
+    * the corpus (no re-shingling): cost ∝ index size, not corpus text.
+    *
+    * The compacted version commits as a fresh BASE (no `segments`
+    * manifest) carrying the chain's exactly-once tags forward in
+    * `_TAGS` ([[graft.sources.SegmentedIndex.commitCompact]]), so a
+    * checkpoint-replayed micro-batch whose segment was folded in still
+    * no-ops, and the keep-window GC retains the parent chain for
+    * in-flight probes. No-op when the chain is already one segment.
+    */
+  def compactShingleIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Unit = {
+    import graft.sources.SegmentedIndex
+    val parent = SegmentedIndex.currentVersion(spark, dir)
+    val segs = indexSegments(spark, dir, parent)
+    if (segs.size <= 1) return
+    val version = SegmentedIndex.newVersionName()
+    // read each segment's postings as PLAIN parquet, not the catalog's
+    // bucketed table: a union of identically-bucketed scans already
+    // reports the target hash partitioning, so Catalyst elides the
+    // repartition below — and the bucketed WRITE then runs on the
+    // concatenated per-segment partitions, emitting one file per
+    // (segment, bucket) instead of per bucket, i.e. exactly the file
+    // population compaction exists to collapse. A plain scan carries
+    // no partitioning claim, so the layout-defining shuffle survives.
+    segs.map(v => spark.read.parquet(s"$dir/$v/postings"))
+      .reduce(_ unionAll _)
+      .repartition(IndexBuckets, col("shingle"))
+      .write.mode("errorifexists")
+      .bucketBy(IndexBuckets, "shingle").sortBy("shingle")
+      .option("path", s"$dir/$version/postings")
+      .format("parquet").saveAsTable(postingsTable(dir, version))
+    // sizes are tiny per-doc rows scattered over per-segment files —
+    // coalesce (narrow) into the bucket-count order of files
+    segs.map(v => spark.read.parquet(s"$dir/$v/sizes"))
+      .reduce(_ unionAll _)
+      .coalesce(IndexBuckets)
+      .write.mode("errorifexists").parquet(s"$dir/$version/sizes")
+    val fs = SegmentedIndex.fsFor(spark, dir)
+    val bf = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/$version/buckets"), true)
+    try bf.write(s"$IndexBuckets".getBytes("UTF-8")) finally bf.close()
+    // df zero-Exchange off the just-written bucketed postings, exactly
+    // like a base build — equals the probe's summed-across-segments df
+    readPostings(spark, dir, version)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .write.mode("errorifexists").parquet(s"$dir/$version/dfreq")
+    SegmentedIndex.commitCompact(spark, dir, version, parent,
+      SegmentedIndex.committedTags(fs, dir, segs))
+  }
+
   /** Probe the persisted index with an incoming shard: same answer as
     * [[crossCorpusPairs]](indexed corpus, incoming) — a_id from the
     * standing corpus, b_id from the shard — but the corpus-side

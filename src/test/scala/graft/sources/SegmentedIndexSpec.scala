@@ -119,7 +119,7 @@ class SegmentedIndexSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       SegmentedIndex.commitAppend(spark, root, vA, parentA, segsA, None)
     }
-    assert(e.getMessage.contains("concurrent append"))
+    assert(e.getMessage.contains("concurrent writer"))
     // the fence left the committed state intact: vB still current,
     // its segment still on the chain
     assert(SegmentedIndex.currentVersion(spark, root) == vB)

@@ -56,12 +56,14 @@ CLASSES = {
     "dedup family": [
         "dedup_clusters", "dedup_containment", "dedup_cross_corpus",
         "dedup_edit_verify", "dedup_embedding_cosine", "dedup_exact",
-        "dedup_index_append", "dedup_index_probe", "dedup_minhash",
+        "dedup_index_append", "dedup_index_compact", "dedup_index_probe",
+        "dedup_minhash",
         "dedup_ngram_jaccard", "dedup_stream_ingest",
         "dedup_simhash", "text_substring_dedup",
     ],
     "similarity/ANN": [
-        "sim_ann_ivf", "sim_ann_ivf_append", "sim_ann_ivf_indexed",
+        "sim_ann_ivf", "sim_ann_ivf_append", "sim_ann_ivf_compact",
+        "sim_ann_ivf_indexed",
         "sim_ann_ivf_pq", "sim_ann_ivf_pq_append",
         "sim_ann_ivf_pq_refined", "sim_ann_ivf_sq8",
         "sim_ann_ivf_sq8_append", "sim_ann_ivf_trained",
@@ -117,13 +119,20 @@ CLASSES = {
 #     (sim_stream_sq8_ingest — r8 streaming-ingest lifecycle parity:
 #      base build + multi-micro-batch Structured Streaming appends +
 #      manifest fan-out probe in one query, clean warm 2.919 s)
+#   dedup family       42.0 + 1.4*5.94            -> 50.3
+#     (dedup_index_compact — r8 compaction lifecycle: base build +
+#      two appends + full-chain fold + post-compact probe in one
+#      query, clean warm 5.942 s min-of-2)
+#   similarity/ANN     29.6 + 1.4*3.57            -> 34.6
+#     (sim_ann_ivf_compact — same lifecycle on the persisted IVF
+#      family, clean warm 3.568 s min-of-2)
 BUDGETS = {
     "scan/agg/window": 32.0,
     "joins/sets": 16.0,
     "cdc materialize/timeline": 22.0,
     "streaming/state-store": 28.0,
-    "dedup family": 42.0,
-    "similarity/ANN": 29.6,
+    "dedup family": 50.3,
+    "similarity/ANN": 34.6,
     "text/multimodal per-row": 11.0,
     "pipeline composites": 9.0,
 }
