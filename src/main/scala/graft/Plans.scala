@@ -68,7 +68,11 @@ object Plans {
     // round 8: compaction — the chain folds to one segment; the plan
     // to check is the POST-compact probe (back to the fresh-build
     // shape: one bucketed pair join / one-file-per-cell pruned scan)
-    "dedup_index_compact", "sim_ann_ivf_compact")
+    "dedup_index_compact", "sim_ann_ivf_compact",
+    // round 8: self-maintaining ingest — the probe after a stream
+    // whose sink folded the chain mid-run must carry the same
+    // fresh-build plan shape as the compact queries
+    "dedup_stream_maintain", "sim_stream_ivf_maintain")
 
   /** Per-query caveats rendered under the plan heading — the place a
     * reader shopping the inventory learns a query's scale status

@@ -675,6 +675,50 @@ object SimilarityQueries extends QueryPack {
       },
       None),
 
+    // SELF-MAINTAINING STREAMING VECTOR INGEST: sim_stream_ivf_ingest
+    // plus the operational policy — the sink folds the chain via
+    // compactIvfIndex whenever it exceeds maxSegments=2 (fold runs
+    // after the append commits; _TAGS carries replay history across
+    // folds), so a probed cell opens O(1) files however long the
+    // stream runs. Fold-invariant result: the same centroid-pinned
+    // oracle replays it flat; MaintainedIngestSpec pins the chain
+    // bound and one-file-per-cell layout the oracle can't see.
+    Q("sim_stream_ivf_maintain",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        val vecs = doubleVecs(s, d)
+        val root = "/tmp/graft_ivf_maintain/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val fs = new Path(root).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        val dir = s"$root/index"
+        Similarity.buildIvfIndex(
+          vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), dir)
+        val delta = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
+        // 4 source files, 1 per trigger → 4 real micro-batches; the
+        // unmaintained chain would reach 5 segments, the threshold
+        // forces ≥2 folds mid-stream
+        delta.repartition(4).write.mode("overwrite").parquet(s"$root/in")
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val q = s2.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+          .writeStream
+          .option("checkpointLocation", s"$root/cp")
+          .foreachBatch(Similarity.ivfStreamSink(dir, s"$root/cp",
+            maxSegments = 2))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val cents = Similarity.readCentroids(s, dir,
+          Similarity.indexVersion(s, dir))
+        DynamicOracle.put("sim_stream_ivf_maintain", ivfOracleWith(cents))
+        Similarity.ivfProbeIndexed(dir, vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // STREAMING VECTOR INGEST, driver-verified: the embedding delta
     // arrives as a file stream and every micro-batch appends to the
     // standing IVF index through foreachBatch — Structured Streaming

@@ -817,6 +817,56 @@ object TextQueries extends QueryPack {
       },
       Some(crossBoundaryOracle)),
 
+    // SELF-MAINTAINING STREAMING INGEST: dedup_stream_ingest plus the
+    // operational policy — the sink folds the chain via
+    // compactShingleIndex whenever it exceeds maxSegments=2, so probe
+    // latency stays at fresh-build shape however long the stream runs
+    // (unmaintained, per-segment fixed cost grows without bound). The
+    // fold runs AFTER each append commits (data + exactly-once tag
+    // already on the chain; crash loses only maintenance) and carries
+    // the folded tags in _TAGS, so checkpoint replays still no-op.
+    // Result is fold-invariant — the same cross-boundary oracle
+    // replays it flat; MaintainedIngestSpec pins the chain bound and
+    // post-fold replay idempotence the oracle can't see.
+    Q("dedup_stream_maintain",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        val root = "/tmp/graft_shingle_maintain/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val fs = new Path(root).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        val idxDir = s"$root/index"
+        val existing = Tables.documents(s, d).select("doc_id", "text")
+        val incoming = existing.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .unionAll(existing.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(col("text"), lit(" qq17")).as("text")))
+        Dedup.buildShingleIndex(
+          existing.filter(col("doc_id") % 3 =!= 0), idxDir)
+        val delta = existing.filter(col("doc_id") % 3 === 0)
+        // 4 source files, 1 per trigger → 4 real micro-batches, so the
+        // unmaintained chain would reach 5 segments; the threshold
+        // forces ≥2 folds mid-stream
+        delta.repartition(4).write.mode("overwrite")
+          .parquet(s"$root/in")
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val q = s2.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+          .writeStream
+          .option("checkpointLocation", s"$root/cp")
+          .foreachBatch(Dedup.shingleStreamSink(idxDir, s"$root/cp",
+            maxSegments = 2))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Dedup.probeShingleIndex(idxDir, incoming, k = 3, threshold = 0.8)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(crossBoundaryOracle)),
+
     // TRAINING-MIX SAMPLING: select documents per language up to a
     // token budget, in a deterministic pseudo-random order (md5 of the
     // doc id — an unbiased shuffle any engine replays). The exact

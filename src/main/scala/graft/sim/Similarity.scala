@@ -658,10 +658,20 @@ object Similarity {
     */
   def ivfStreamSink(dir: String, checkpointDir: String,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding")
+                    vecCol: String = "embedding",
+                    maxSegments: Int = 0)
       : (DataFrame, Long) => Unit =
     graft.sources.SegmentedIndex.streamSink(checkpointDir) {
-      (batch, tag) => appendIvfIndex(dir, batch, idCol, vecCol, tag)
+      (batch, tag) =>
+        appendIvfIndex(dir, batch, idCol, vecCol, tag)
+        // maxSegments > 0: self-maintaining ingest — fold the chain
+        // after the append commits (see SegmentedIndex.maintain for
+        // the crash-ordering argument; _TAGS keeps replays exactly-
+        // once across folds)
+        graft.sources.SegmentedIndex.maintain(
+          batch.sparkSession, dir, maxSegments) {
+          compactIvfIndex(batch.sparkSession, dir)
+        }
     }
 
   /** Probe a persisted index: the probed cell set (≤ queries × nprobe
@@ -1152,10 +1162,18 @@ object Similarity {
     */
   def sq8StreamSink(dir: String, checkpointDir: String,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding")
+                    vecCol: String = "embedding",
+                    maxSegments: Int = 0)
       : (DataFrame, Long) => Unit =
     graft.sources.SegmentedIndex.streamSink(checkpointDir) {
-      (batch, tag) => appendIvfSq8Index(dir, batch, idCol, vecCol, tag)
+      (batch, tag) =>
+        appendIvfSq8Index(dir, batch, idCol, vecCol, tag)
+        // same self-maintaining fold as ivfStreamSink — one
+        // compactIvfIndex serves raw/PQ/SQ8
+        graft.sources.SegmentedIndex.maintain(
+          batch.sparkSession, dir, maxSegments) {
+          compactIvfIndex(batch.sparkSession, dir)
+        }
     }
 
   /** COMPACT a persisted IVF-family index (raw [[buildIvfIndex]], PQ

@@ -187,6 +187,28 @@ object SegmentedIndex {
     PointerFile.commitVersion(fs, new Path(dir), version, keep)
   }
 
+  /** Post-append MAINTENANCE hook: when the committed chain holds more
+    * than `maxSegments` segments, fold it with the caller's compaction
+    * routine — the policy that keeps a months-running streaming ingest
+    * at fresh-build probe latency without operator action (each append
+    * adds a segment probes fan out over; unmaintained, per-segment
+    * fixed cost grows without bound while data volume stays ∝ corpus).
+    *
+    * Ordering is the crash-safety argument: maintain runs AFTER the
+    * append's commit, so the batch's data and its exactly-once tag are
+    * already on the committed chain. A crash between append and fold
+    * loses only maintenance — the next batch's hook re-triggers it —
+    * never data or replay history; a crash mid-fold leaves an
+    * uncommitted litter dir and `_CURRENT` untouched, the standard
+    * protocol story. A no-op append (replayed tag) still runs the
+    * check: the fold is idempotent and skips chains already at size.
+    */
+  def maintain(spark: SparkSession, dir: String, maxSegments: Int)
+              (compact: => Unit): Unit =
+    if (maxSegments > 0 &&
+        segments(spark, dir, currentVersion(spark, dir)).size
+          > maxSegments) compact
+
   /** foreachBatch sink wrapper providing the exactly-once tag: each
     * micro-batch calls `append(batch, Some("<streamId>#<batchId>"))`,
     * where streamId is the query's stable id from the checkpoint's

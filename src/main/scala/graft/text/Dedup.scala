@@ -438,11 +438,24 @@ object Dedup {
     * (a doc lives wholly in one segment), so the probe's per-segment
     * pair union is batch-split-invariant — streamed ingest ≡ one flat
     * append ≡ a rebuilt index.
+    *
+    * `maxSegments > 0` turns on SELF-MAINTAINING ingest: after each
+    * append commits, a chain longer than the threshold folds via
+    * [[compactShingleIndex]] ([[graft.sources.SegmentedIndex.maintain]]
+    * has the crash-ordering argument) — probe latency stays at
+    * fresh-build shape however long the stream runs, and the `_TAGS`
+    * carry keeps checkpoint replays exactly-once across folds.
     */
-  def shingleStreamSink(dir: String, checkpointDir: String, k: Int = 3)
+  def shingleStreamSink(dir: String, checkpointDir: String, k: Int = 3,
+                        maxSegments: Int = 0)
       : (DataFrame, Long) => Unit =
     graft.sources.SegmentedIndex.streamSink(checkpointDir) {
-      (batch, tag) => appendShingleIndex(dir, batch, k, tag)
+      (batch, tag) =>
+        appendShingleIndex(dir, batch, k, tag)
+        graft.sources.SegmentedIndex.maintain(
+          batch.sparkSession, dir, maxSegments) {
+          compactShingleIndex(batch.sparkSession, dir)
+        }
     }
 
   /** COMPACT the standing shingle index: fold the current version's

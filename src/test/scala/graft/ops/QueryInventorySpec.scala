@@ -26,7 +26,8 @@ class QueryInventorySpec extends SparkSpec {
     // (centroid literals) — run them so the registration is visible
     Seq("sim_ann_ivf_trained", "sim_ann_ivf_indexed", "sim_knn_join_cell",
         "sim_ann_ivf_append", "sim_ann_ivf_compact",
-        "sim_stream_ivf_ingest", "sim_ann_ivf_pq",
+        "sim_stream_ivf_ingest", "sim_stream_ivf_maintain",
+        "sim_ann_ivf_pq",
         "sim_ann_ivf_pq_append", "sim_ann_ivf_pq_refined",
         "sim_ann_ivf_sq8", "sim_ann_ivf_sq8_append",
         "sim_stream_sq8_ingest",

@@ -59,6 +59,7 @@ CLASSES = {
         "dedup_index_append", "dedup_index_compact", "dedup_index_probe",
         "dedup_minhash",
         "dedup_ngram_jaccard", "dedup_stream_ingest",
+        "dedup_stream_maintain",
         "dedup_simhash", "text_substring_dedup",
     ],
     "similarity/ANN": [
@@ -69,7 +70,8 @@ CLASSES = {
         "sim_ann_ivf_sq8_append", "sim_ann_ivf_trained",
         "sim_ann_lsh", "sim_cosine_topk",
         "sim_knn_join", "sim_knn_join_cell", "sim_quantized_topk",
-        "sim_stream_ivf_ingest", "sim_stream_sq8_ingest",
+        "sim_stream_ivf_ingest", "sim_stream_ivf_maintain",
+        "sim_stream_sq8_ingest",
     ],
     "text/multimodal per-row": [
         "mm_batch_embed", "mm_decode_meta", "mm_dedup_binary",
