@@ -72,7 +72,12 @@ object Plans {
     // round 8: self-maintaining ingest — the probe after a stream
     // whose sink folded the chain mid-run must carry the same
     // fresh-build plan shape as the compact queries
-    "dedup_stream_maintain", "sim_stream_ivf_maintain")
+    "dedup_stream_maintain", "sim_stream_ivf_maintain",
+    // round 8: describe — the observability verb; the plan to check
+    // is the metadata-only shape (shingle: side-file aggregates only,
+    // no postings scan; IVF: count over the hive partition column
+    // alone — ReadSchema carries no vector/code columns)
+    "dedup_index_describe", "sim_index_describe")
 
   /** Per-query caveats rendered under the plan heading — the place a
     * reader shopping the inventory learns a query's scale status

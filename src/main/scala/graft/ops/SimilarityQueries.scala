@@ -719,6 +719,54 @@ object SimilarityQueries extends QueryPack {
       },
       None),
 
+    // INDEX DESCRIBE: the per-(segment, cell) population histogram of
+    // the standing IVF index — cell balance is THE operational health
+    // signal (a skewed cell is a slow probe and a recall risk; the
+    // nlist ∝ corpus derivation only holds if cells actually fill
+    // evenly), and per-cell segment fan-in is what schedules
+    // compaction. The engine counts over the hive partition column
+    // alone (column pruning makes the scan metadata work); the oracle
+    // replays the full assignment from the pinned centroids, so a
+    // pass proves the persisted cell layout IS the argmin assignment
+    // for every vector of both the built base and the appended delta.
+    Q("sim_index_describe",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        val dir = "/tmp/graft_ivf_describe/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        Similarity.buildIvfIndex(
+          vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), dir)
+        Similarity.appendIvfIndex(dir,
+          vecs.filter(pmod(col("vec_id"), lit(3)) === 0))
+        val cents = Similarity.readCentroids(s, dir,
+          Similarity.indexVersion(s, dir))
+        DynamicOracle.put("sim_index_describe",
+          s"""WITH cents(cid, centroid) AS (
+            |  VALUES ${DynamicOracle.centroidValues(cents)}),
+            | v AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            | cells AS (
+            |   SELECT v.vec_id, c.cid,
+            |     list_dot_product(v.vec, c.centroid) /
+            |       (sqrt(list_dot_product(v.vec, v.vec)) *
+            |        sqrt(list_dot_product(c.centroid, c.centroid)))
+            |       AS simc
+            |   FROM v CROSS JOIN cents c),
+            | ranked AS (
+            |   SELECT *, row_number() OVER (PARTITION BY vec_id
+            |     ORDER BY isnan(simc), simc DESC, cid) AS rn
+            |   FROM cells),
+            | asgn AS (SELECT vec_id, cid FROM ranked WHERE rn = 1)
+            |SELECT CASE WHEN vec_id % 3 <> 0 THEN 0 ELSE 1 END
+            |         AS seg_ord,
+            |       cid AS centroid_id, count(*) AS n_vecs
+            |FROM asgn GROUP BY 1, 2
+            |ORDER BY seg_ord, centroid_id""".stripMargin)
+        Similarity.describeIvfIndex(s, dir)
+          .orderBy(col("seg_ord"), col("centroid_id"))
+      },
+      None),
+
     // STREAMING VECTOR INGEST, driver-verified: the embedding delta
     // arrives as a file stream and every micro-batch appends to the
     // standing IVF index through foreachBatch — Structured Streaming

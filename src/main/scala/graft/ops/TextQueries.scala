@@ -867,6 +867,47 @@ object TextQueries extends QueryPack {
       },
       Some(crossBoundaryOracle)),
 
+    // INDEX DESCRIBE: the observability verb of the standing-index
+    // lifecycle — one row per segment of the committed version with
+    // the populations an operator sizes probes and schedules
+    // compaction by (docs, postings, distinct shingles, doc-id
+    // range). The engine reads ONLY the index's small side files
+    // (sizes + dfreq — sum(n_sh) IS the postings count by
+    // construction); the oracle recomputes every number from the raw
+    // documents table with the same split predicates, so a pass
+    // proves the persisted metadata tracks the corpus exactly.
+    Q("dedup_index_describe",
+      (s, d) => {
+        val idxDir = "/tmp/graft_shingle_describe/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val existing = Tables.documents(s, d).select("doc_id", "text")
+        Dedup.buildShingleIndex(
+          existing.filter(col("doc_id") % 3 =!= 0), idxDir)
+        Dedup.appendShingleIndex(idxDir,
+          existing.filter(col("doc_id") % 3 === 0))
+        Dedup.describeShingleIndex(s, idxDir).orderBy(col("seg_ord"))
+      },
+      Some("""WITH segs AS (
+        |  SELECT CASE WHEN doc_id % 3 <> 0 THEN 0 ELSE 1 END AS seg_ord,
+        |         doc_id, text FROM documents),
+        | t AS (SELECT seg_ord, doc_id, string_split(text, ' ') AS t
+        |       FROM segs),
+        | sh AS (SELECT DISTINCT seg_ord, doc_id,
+        |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                  FOR i IN generate_series(1, len(t) - 2)])
+        |            AS shingle
+        |        FROM t),
+        | post AS (SELECT seg_ord, count(*) AS n_postings,
+        |                 count(DISTINCT shingle) AS n_shingles
+        |          FROM sh GROUP BY 1),
+        | d AS (SELECT seg_ord, count(*) AS n_docs,
+        |              min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |       FROM segs GROUP BY 1)
+        |SELECT d.seg_ord, n_docs, n_postings, n_shingles,
+        |       min_doc, max_doc
+        |FROM d JOIN post USING (seg_ord)
+        |ORDER BY seg_ord""".stripMargin)),
+
     // TRAINING-MIX SAMPLING: select documents per language up to a
     // token budget, in a deterministic pseudo-random order (md5 of the
     // doc id — an unbiased shuffle any engine replays). The exact

@@ -1237,6 +1237,31 @@ object Similarity {
       SegmentedIndex.committedTags(fs, dir, segs))
   }
 
+  /** DESCRIBE the standing IVF-family index: the per-(segment, cell)
+    * population histogram, in manifest order — the observability verb
+    * of the lifecycle. Cell balance is THE operational health signal
+    * for an IVF index (a skewed cell is a slow probe and a recall
+    * risk; nlist ∝ corpus only holds if the cells actually fill
+    * evenly), and segment fan-in per cell is what schedules
+    * compaction. Works on all three families — raw/PQ/SQ8 share the
+    * hive `cells/centroid_id=` layout — and reads no vector or code
+    * columns: the count aggregates over the partition column alone,
+    * so column pruning makes the scan footer-and-metadata work.
+    */
+  def describeIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    import graft.sources.SegmentedIndex
+    val ver = indexVersion(spark, dir)
+    SegmentedIndex.segments(spark, dir, ver).zipWithIndex.map {
+      case (seg, i) =>
+        spark.read.parquet(s"$dir/$seg/cells")
+          .groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("n_vecs"))
+          .select(lit(i).as("seg_ord"), col("centroid_id"),
+            col("n_vecs"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Probe a persisted IVF-SQ8 index: the same pruned partition-read
     * shape as [[ivfProbeIndexed]], but the scan moves int8 codes (1
     * byte/dim) and ranking is the exact quantized-space cosine of

@@ -523,6 +523,35 @@ object Dedup {
       SegmentedIndex.committedTags(fs, dir, segs))
   }
 
+  /** DESCRIBE the standing shingle index — the observability verb of
+    * the lifecycle (build/append/stream/compact/describe): one row per
+    * segment of the current committed version, in manifest order, with
+    * the row populations an operator sizes probes and schedules
+    * compaction by. Reads only the index's small side files (`sizes`
+    * rows are one per doc and `dfreq` one per distinct shingle —
+    * `sum(n_sh)` IS the postings row count by construction), so the
+    * cost is ∝ metadata, never corpus or postings volume: the shape
+    * `DESCRIBE DETAIL` has in lakehouse tables.
+    */
+  def describeShingleIndex(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    import graft.sources.SegmentedIndex
+    val ver = SegmentedIndex.currentVersion(spark, dir)
+    SegmentedIndex.segments(spark, dir, ver).zipWithIndex.map {
+      case (seg, i) =>
+        spark.read.parquet(s"$dir/$seg/sizes")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_sh")).as("n_postings"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .crossJoin(spark.read.parquet(s"$dir/$seg/dfreq")
+            .agg(count(lit(1)).as("n_shingles")))
+          .select(lit(i).as("seg_ord"), col("n_docs"),
+            col("n_postings"), col("n_shingles"),
+            col("min_doc"), col("max_doc"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Probe the persisted index with an incoming shard: same answer as
     * [[crossCorpusPairs]](indexed corpus, incoming) — a_id from the
     * standing corpus, b_id from the shard — but the corpus-side

@@ -27,6 +27,7 @@ class QueryInventorySpec extends SparkSpec {
     Seq("sim_ann_ivf_trained", "sim_ann_ivf_indexed", "sim_knn_join_cell",
         "sim_ann_ivf_append", "sim_ann_ivf_compact",
         "sim_stream_ivf_ingest", "sim_stream_ivf_maintain",
+        "sim_index_describe",
         "sim_ann_ivf_pq",
         "sim_ann_ivf_pq_append", "sim_ann_ivf_pq_refined",
         "sim_ann_ivf_sq8", "sim_ann_ivf_sq8_append",

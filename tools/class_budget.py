@@ -56,7 +56,8 @@ CLASSES = {
     "dedup family": [
         "dedup_clusters", "dedup_containment", "dedup_cross_corpus",
         "dedup_edit_verify", "dedup_embedding_cosine", "dedup_exact",
-        "dedup_index_append", "dedup_index_compact", "dedup_index_probe",
+        "dedup_index_append", "dedup_index_compact",
+        "dedup_index_describe", "dedup_index_probe",
         "dedup_minhash",
         "dedup_ngram_jaccard", "dedup_stream_ingest",
         "dedup_stream_maintain",
@@ -68,7 +69,7 @@ CLASSES = {
         "sim_ann_ivf_pq", "sim_ann_ivf_pq_append",
         "sim_ann_ivf_pq_refined", "sim_ann_ivf_sq8",
         "sim_ann_ivf_sq8_append", "sim_ann_ivf_trained",
-        "sim_ann_lsh", "sim_cosine_topk",
+        "sim_ann_lsh", "sim_cosine_topk", "sim_index_describe",
         "sim_knn_join", "sim_knn_join_cell", "sim_quantized_topk",
         "sim_stream_ivf_ingest", "sim_stream_ivf_maintain",
         "sim_stream_sq8_ingest",
@@ -128,13 +129,23 @@ CLASSES = {
 #   similarity/ANN     29.6 + 1.4*3.57            -> 34.6
 #     (sim_ann_ivf_compact — same lifecycle on the persisted IVF
 #      family, clean warm 3.568 s min-of-2)
+#   dedup family       50.3 + 1.4*(10.34 + 2.86) -> 68.8
+#     (dedup_stream_maintain — self-maintaining streaming ingest:
+#      base build + a multi-batch stream whose sink FOLDS the chain
+#      mid-run + post-fold probe, the heaviest lifecycle composite
+#      in the inventory, clean warm 10.335 s min-of-2;
+#      dedup_index_describe — build + append + describe + the
+#      corpus-recompute oracle side landing in-query, 2.860 s)
+#   similarity/ANN     34.6 + 1.4*(5.15 + 1.41)  -> 43.8
+#     (sim_stream_ivf_maintain 5.149 s, sim_index_describe 1.414 s
+#      — same two verbs on the persisted IVF family)
 BUDGETS = {
     "scan/agg/window": 32.0,
     "joins/sets": 16.0,
     "cdc materialize/timeline": 22.0,
     "streaming/state-store": 28.0,
-    "dedup family": 50.3,
-    "similarity/ANN": 34.6,
+    "dedup family": 68.8,
+    "similarity/ANN": 43.8,
     "text/multimodal per-row": 11.0,
     "pipeline composites": 9.0,
 }
