@@ -77,7 +77,15 @@ object Plans {
     // is the metadata-only shape (shingle: side-file aggregates only,
     // no postings scan; IVF: count over the hive partition column
     // alone — ReadSchema carries no vector/code columns)
-    "dedup_index_describe", "sim_index_describe")
+    "dedup_index_describe", "sim_index_describe",
+    // round 8: index-accelerated phrase search — the plan to check is
+    // the pushed IN filter on the shingle hashes (scan ∝ needle
+    // posting mass, not index) and the broadcast semi-join verify
+    "text_index_search",
+    // round 8: hybrid retrieval — both standing index read paths in
+    // one plan (bucketed postings join + pruned cell scan) fused by
+    // RRF; check no corpus-sized scan feeds either leg
+    "sim_hybrid_search")
 
   /** Per-query caveats rendered under the plan heading — the place a
     * reader shopping the inventory learns a query's scale status

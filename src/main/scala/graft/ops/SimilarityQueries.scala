@@ -79,6 +79,77 @@ object SimilarityQueries extends QueryPack {
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Hybrid-retrieval replay: the [[ivfOracleWith]] probe narrowed to
+    * the ONE query id for the semantic leg; the cross-boundary shingle
+    * jaccard recomputed from raw text for the lexical leg (the
+    * dedup-oracle pattern — hash-independent counts); ranks via
+    * row_number under each leg's exact ordering; reciprocal-rank
+    * fusion over the FULL OUTER join of the two top-20 lists. Every
+    * double both engines compare (jaccard, cosine, 1/(60+rank) sums)
+    * is the same IEEE op sequence, so the fused ranking
+    * hash-verifies.
+    */
+  private def hybridOracle(cents: Array[(Int, Array[Double])],
+                           qid: Long): String = {
+    val np = Similarity.deriveNprobe(cents.length)
+    s"""WITH cents(cid, centroid) AS (
+      |  VALUES ${DynamicOracle.centroidValues(cents)}),
+      | v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      | cells AS (
+      |   SELECT v.vec_id, v.vec, c.cid,
+      |     list_dot_product(v.vec, c.centroid) /
+      |       (sqrt(list_dot_product(v.vec, v.vec)) *
+      |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
+      |   FROM v CROSS JOIN cents c),
+      | ranked AS (
+      |   SELECT *, row_number() OVER (PARTITION BY vec_id
+      |     ORDER BY isnan(simc), simc DESC, cid) AS rn
+      |   FROM cells),
+      | asgn AS (SELECT vec_id, vec, cid FROM ranked WHERE rn = 1),
+      | probes AS (SELECT vec_id AS query_id, vec AS qv, cid
+      |            FROM ranked WHERE rn <= $np AND vec_id = $qid),
+      | sc AS (
+      |   SELECT p.query_id, a.vec_id AS cand_id,
+      |     list_dot_product(p.qv, a.vec) /
+      |       (sqrt(list_dot_product(p.qv, p.qv)) *
+      |        sqrt(list_dot_product(a.vec, a.vec))) AS cos
+      |   FROM probes p JOIN asgn a USING (cid)
+      |   WHERE p.query_id <> a.vec_id),
+      | semk AS (
+      |   SELECT doc_id, r_sem FROM (
+      |     SELECT cand_id AS doc_id, row_number() OVER (
+      |       ORDER BY round(cos, 6) DESC, cand_id) AS r_sem FROM sc)
+      |   WHERE r_sem <= 20),
+      | ta AS (SELECT doc_id, string_split(text, ' ') AS t
+      |        FROM documents),
+      | sa AS (SELECT DISTINCT doc_id,
+      |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                  FOR i IN generate_series(1, len(t) - 2)])
+      |            AS shingle
+      |        FROM ta),
+      | na AS (SELECT doc_id, count(*) AS n_a FROM sa GROUP BY doc_id),
+      | qsh AS (SELECT shingle FROM sa WHERE doc_id = $qid),
+      | nq AS (SELECT count(*) AS n_b FROM qsh),
+      | common AS (SELECT sa.doc_id AS a_id, count(*) AS n_common
+      |            FROM sa JOIN qsh USING (shingle)
+      |            WHERE sa.doc_id <> $qid GROUP BY 1),
+      | lexk AS (
+      |   SELECT doc_id, r_lex FROM (
+      |     SELECT a_id AS doc_id, row_number() OVER (ORDER BY
+      |         CAST(n_common AS DOUBLE) /
+      |           (na.n_a + nq.n_b - n_common) DESC, a_id) AS r_lex
+      |     FROM common JOIN na ON na.doc_id = a_id, nq)
+      |   WHERE r_lex <= 20)
+      |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+      |       l.r_lex AS r_lex, s.r_sem AS r_sem,
+      |       COALESCE(1.0::DOUBLE / (60 + l.r_lex), 0.0::DOUBLE) +
+      |       COALESCE(1.0::DOUBLE / (60 + s.r_sem), 0.0::DOUBLE)
+      |         AS rrf
+      |FROM lexk l FULL OUTER JOIN semk s ON l.doc_id = s.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** IVF-PQ replay: the same pinned-centroid assignment/probe prefix
     * as [[ivfOracleWith]], then PQ encoding (per-subspace argmin over
     * the codebook literals — `ORDER BY c2 - 2*list_dot_product(sub,
@@ -764,6 +835,56 @@ object SimilarityQueries extends QueryPack {
             |ORDER BY seg_ord, centroid_id""".stripMargin)
         Similarity.describeIvfIndex(s, dir)
           .orderBy(col("seg_ord"), col("centroid_id"))
+      },
+      None),
+
+    // HYBRID RETRIEVAL: the two standing index families COMPOSE — one
+    // query document probes the persisted shingle index (lexical leg:
+    // jaccard over the inverted postings, zero-Exchange bucketed
+    // join) and the persisted IVF index (semantic leg: cosine over
+    // the pruned probed cells), and the two rankings merge by
+    // reciprocal-rank fusion (Cormack et al. 2009: score =
+    // Σ 1/(60+rank) — rank-only, so the incommensurable jaccard and
+    // cosine scales never mix). The modern retrieval default (BM25 ∪
+    // dense + RRF), here as index reads: per query the work is one
+    // needle's posting mass + nprobe cells — never a corpus scan on
+    // either leg. Windows rank a single query's bounded candidate
+    // list (single-partition by construction — per-query work, not
+    // corpus work). The oracle replays both legs from raw
+    // text/vectors + pinned centroids, so a pass proves both index
+    // read paths AND the fusion arithmetic.
+    Q("sim_hybrid_search",
+      (s, d) => {
+        import graft.text.Dedup
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val vecs = doubleVecs(s, d)
+        val base = "/tmp/graft_hybrid/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        Dedup.buildShingleIndex(docs, s"$base/shingle")
+        Similarity.buildIvfIndex(vecs, s"$base/ivf")
+        val qid = docs.filter(size(split(col("text"), " ")) >= 8)
+          .agg(min("doc_id")).head().getLong(0)
+        val cents = Similarity.readCentroids(s, s"$base/ivf",
+          Similarity.indexVersion(s, s"$base/ivf"))
+        DynamicOracle.put("sim_hybrid_search", hybridOracle(cents, qid))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("jaccard").desc, col("a_id"))
+        val lex = Dedup.probeShingleIndex(s"$base/shingle",
+            docs.filter(col("doc_id") === qid), threshold = 0.0)
+          .filter(col("a_id") =!= qid)
+          .withColumn("r_lex", row_number().over(w))
+          .filter(col("r_lex") <= 20)
+          .select(col("a_id").as("doc_id"), col("r_lex"))
+        val sem = Similarity.ivfProbeIndexed(s"$base/ivf",
+            vecs.filter(col("vec_id") === qid), 20)
+          .select(col("cand_id").as("doc_id"), col("rank").as("r_sem"))
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("r_lex"), col("r_sem"),
+            (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+             coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)))
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10)
       },
       None),
 

@@ -908,6 +908,54 @@ object TextQueries extends QueryPack {
         |FROM d JOIN post USING (seg_ord)
         |ORDER BY seg_ord""".stripMargin)),
 
+    // INDEX SEARCH: grep the corpus through the standing shingle
+    // index instead of scanning it. The needle (a 5-token phrase
+    // lifted deterministically from the corpus so it exists at every
+    // SF) maps to its shingle hashes via the SAME kernel that built
+    // the index; candidates come from the postings of just those
+    // hashes (pushed IN filter + per-bucket shingle sort = row-group
+    // pruning), and only the broadcast-small candidate set verifies
+    // against the documents table. The oracle greps the raw corpus
+    // with the identical substring-at-token-boundary predicate, so a
+    // pass proves the index-candidate path loses nothing vs the full
+    // scan it replaces.
+    Q("text_index_search",
+      (s, d) => {
+        val idxDir = "/tmp/graft_shingle_search/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        Dedup.buildShingleIndex(
+          docs.filter(col("doc_id") % 3 =!= 0), idxDir)
+        Dedup.appendShingleIndex(idxDir,
+          docs.filter(col("doc_id") % 3 === 0))
+        // the needle: the corpus's most DOCUMENT-FREQUENT 5-token
+        // window (ties broken by lowest carrying doc, then text) —
+        // data-derived so it exists at every SF, and near-dup
+        // replicas share token runs, so the match set is the largest
+        // any 5-token needle can have (3 docs at sf0.01). Needle
+        // selection scans the corpus once; the operator under test
+        // does not.
+        val phrase = docs
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(t)-5), " +
+              "i -> concat_ws(' ', slice(t, i+1, 5)))")).as("w"))
+          .distinct()
+          .groupBy("w").agg(count(lit(1)).as("n"),
+            min("doc_id").as("rep"))
+          .orderBy(desc("n"), asc("rep"), asc("w")).limit(1)
+          .head().getString(0)
+        DynamicOracle.put("text_index_search",
+          s"""SELECT doc_id FROM documents
+            |WHERE position(' ${phrase.replace("'", "''")} ' IN
+            |               ' ' || text || ' ') > 0
+            |ORDER BY doc_id""".stripMargin)
+        Dedup.searchShingleIndex(s, idxDir, phrase, docs)
+          .orderBy("doc_id")
+      },
+      None),
+
     // TRAINING-MIX SAMPLING: select documents per language up to a
     // token budget, in a deterministic pseudo-random order (md5 of the
     // doc id — an unbiased shuffle any engine replays). The exact

@@ -552,6 +552,65 @@ object Dedup {
     }.reduce(_ unionAll _)
   }
 
+  /** The distinct k-shingle hashes of a phrase, computed by the SAME
+    * codegen kernel that built the index (`graft_shingles` over the
+    * token split) — search correctness depends on the needle and the
+    * corpus hashing identically, so there is exactly one code path.
+    * Driver-side and bounded by phrase length (a search needle, not a
+    * document).
+    */
+  def phraseShingles(spark: org.apache.spark.sql.SparkSession,
+                     phrase: String, k: Int = 3): Seq[Long] = {
+    require(phrase.trim.split(" ").length >= k,
+      s"phrase needs >= $k tokens for k=$k shingle search")
+    spark.range(1)
+      .select(org.apache.spark.sql.graft.Native
+        .shingles(split(lit(phrase), " "), k).as("sharr"))
+      .head().getSeq[Long](0)
+  }
+
+  /** PHRASE SEARCH through the standing shingle index — grep the
+    * corpus without scanning it. A document whose token stream
+    * contains the phrase necessarily carries ALL of the phrase's
+    * k-shingles in its indexed shingle set, so the index gives a
+    * complete candidate list from the postings of just those
+    * |phrase|−k+1 shingle hashes: an IN filter the parquet scan pushes
+    * down, and the per-bucket shingle sort order turns into row-group
+    * pruning — the scan cost is the needle's posting mass, never the
+    * index (let alone the corpus). Shingle match is necessary but not
+    * sufficient (hash collisions; tokens present in a different
+    * order), so candidates — a broadcast-small set by construction —
+    * verify against the documents table with the exact
+    * substring-at-token-boundary predicate. The classic
+    * index-gives-candidates / table-gives-tuples split: at 100 TB the
+    * alternative is a full scan of every text byte per search.
+    *
+    * Returns the matching doc_ids. `docs` must be the corpus the
+    * index was built+appended from (the index stores no text).
+    */
+  def searchShingleIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, phrase: String, docs: DataFrame,
+                         k: Int = 3): DataFrame = {
+    import graft.sources.SegmentedIndex
+    val ver = SegmentedIndex.currentVersion(spark, dir)
+    val sh = phraseShingles(spark, phrase, k)
+    // within one segment postings are distinct (doc, shingle) pairs
+    // and a doc lives wholly in one segment — count(*) == n distinct
+    // matched shingles; == |needle shingles| is the conjunction
+    val cands = indexSegments(spark, dir, ver)
+      .map(v => readPostings(spark, dir, v))
+      .reduce(_ unionAll _)
+      .filter(col("shingle").isin(sh: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === sh.distinct.length)
+      .select("doc_id")
+    val needle = s" $phrase "
+    docs.join(broadcast(cands), Seq("doc_id"), "left_semi")
+      .filter(instr(concat(lit(" "), col("text"), lit(" ")),
+        lit(needle)) > 0)
+      .select("doc_id")
+  }
+
   /** Probe the persisted index with an incoming shard: same answer as
     * [[crossCorpusPairs]](indexed corpus, incoming) — a_id from the
     * standing corpus, b_id from the shard — but the corpus-side

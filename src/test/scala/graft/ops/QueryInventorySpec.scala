@@ -32,7 +32,8 @@ class QueryInventorySpec extends SparkSpec {
         "sim_ann_ivf_pq_append", "sim_ann_ivf_pq_refined",
         "sim_ann_ivf_sq8", "sim_ann_ivf_sq8_append",
         "sim_stream_sq8_ingest",
-        "pipeline_semantic_decontaminate")
+        "pipeline_semantic_decontaminate", "text_index_search",
+        "sim_hybrid_search")
       .foreach(n => SparkEntry.queries(n)(spark, sf).count())
     val effective = SparkEntry.oracleSql.keySet ++
       DynamicOracle.snapshot.keySet

@@ -61,7 +61,7 @@ CLASSES = {
         "dedup_minhash",
         "dedup_ngram_jaccard", "dedup_stream_ingest",
         "dedup_stream_maintain",
-        "dedup_simhash", "text_substring_dedup",
+        "dedup_simhash", "text_substring_dedup", "text_index_search",
     ],
     "similarity/ANN": [
         "sim_ann_ivf", "sim_ann_ivf_append", "sim_ann_ivf_compact",
@@ -69,7 +69,8 @@ CLASSES = {
         "sim_ann_ivf_pq", "sim_ann_ivf_pq_append",
         "sim_ann_ivf_pq_refined", "sim_ann_ivf_sq8",
         "sim_ann_ivf_sq8_append", "sim_ann_ivf_trained",
-        "sim_ann_lsh", "sim_cosine_topk", "sim_index_describe",
+        "sim_ann_lsh", "sim_cosine_topk", "sim_hybrid_search",
+        "sim_index_describe",
         "sim_knn_join", "sim_knn_join_cell", "sim_quantized_topk",
         "sim_stream_ivf_ingest", "sim_stream_ivf_maintain",
         "sim_stream_sq8_ingest",
