@@ -150,6 +150,121 @@ object SimilarityQueries extends QueryPack {
       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** Classifier-filter replay: the trained weights render as a
+    * DOUBLE[] literal (Double.toString round-trips exactly), z =
+    * list_dot_product + bias is the same IEEE op sequence as the
+    * engine's `graft_dot` + lit(b), the keep threshold compares the
+    * identical double, and the per-language score sum rides the
+    * round-6/DECIMAL exact-sum pattern (cf. text_bm25).
+    */
+  private def classifierOracle(w: Array[Double], b: Double): String = {
+    val wLit = "[" + w.map(java.lang.Double.toString).mkString(", ") +
+      "]::DOUBLE[]"
+    val bLit = java.lang.Double.toString(b)
+    s"""WITH scored AS (
+      |  SELECT vec_id, label,
+      |    list_dot_product(embedding::DOUBLE[], $wLit)
+      |      + ($bLit) AS z
+      |  FROM embeddings),
+      | kept AS (SELECT * FROM scored WHERE z >= 0)
+      |SELECT d.lang, count(*) AS n_kept,
+      |  CAST(sum(CAST(round(k.z, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS sum_score,
+      |  CAST(sum(CASE WHEN k.label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_seed
+      |FROM kept k JOIN documents d ON k.vec_id = d.doc_id
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
+  /** Distill-build replay: classifier gate from the rendered weight
+    * literals, 1-NN cell assignment of the kept set + nprobe eval
+    * probe for the decontamination leg (the [[semanticDecontOracle]]
+    * block shape), then the intra-corpus SemDeDup leg as a cell-
+    * blocked self-join with the keep-min-id rule, then the
+    * per-language survivor rollup with honest planted-family leakage
+    * counts. Every compared double (z, cosines) is the same IEEE op
+    * sequence as the engine's kernels, so the whole four-stage build
+    * hash-verifies.
+    */
+  private def distillBuildOracle(cents: Array[(Int, Array[Double])],
+                                 w: Array[Double], b: Double,
+                                 off: Long): String = {
+    val np = Similarity.deriveNprobe(cents.length)
+    val wLit = "[" + w.map(java.lang.Double.toString).mkString(", ") +
+      "]::DOUBLE[]"
+    val bLit = java.lang.Double.toString(b)
+    s"""WITH cents(cid, centroid) AS (
+      |  VALUES ${DynamicOracle.centroidValues(cents)}),
+      | v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      | ev AS (SELECT vec_id, vec FROM v WHERE vec_id % 10 = 0),
+      | build AS (
+      |   SELECT vec_id, vec FROM v WHERE vec_id % 10 <> 0
+      |   UNION ALL
+      |   SELECT vec_id + $off, [vec[1] + 0.05] || vec[2:] FROM v
+      |   WHERE vec_id % 20 = 0
+      |   UNION ALL
+      |   SELECT vec_id + ${2 * off}, [vec[1] + 0.05] || vec[2:] FROM v
+      |   WHERE vec_id % 20 = 5),
+      | kept AS (
+      |   SELECT vec_id, vec FROM build
+      |   WHERE list_dot_product(vec, $wLit) + ($bLit) >= 0),
+      | tcells AS (
+      |   SELECT k.vec_id, k.vec, c.cid,
+      |     list_dot_product(k.vec, c.centroid) /
+      |       (sqrt(list_dot_product(k.vec, k.vec)) *
+      |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
+      |   FROM kept k CROSS JOIN cents c),
+      | tasgn AS (
+      |   SELECT vec_id, vec, cid FROM (
+      |     SELECT *, row_number() OVER (PARTITION BY vec_id
+      |       ORDER BY isnan(simc), simc DESC, cid) AS rn FROM tcells)
+      |   WHERE rn = 1),
+      | ecells AS (
+      |   SELECT e.vec_id, e.vec, c.cid,
+      |     list_dot_product(e.vec, c.centroid) /
+      |       (sqrt(list_dot_product(e.vec, e.vec)) *
+      |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
+      |   FROM ev e CROSS JOIN cents c),
+      | eprobe AS (
+      |   SELECT vec_id, vec, cid FROM (
+      |     SELECT *, row_number() OVER (PARTITION BY vec_id
+      |       ORDER BY isnan(simc), simc DESC, cid) AS rn FROM ecells)
+      |   WHERE rn <= $np),
+      | leaks AS (
+      |   SELECT DISTINCT t.vec_id
+      |   FROM tasgn t JOIN eprobe e USING (cid)
+      |   WHERE list_dot_product(t.vec, e.vec) /
+      |       (sqrt(list_dot_product(t.vec, t.vec)) *
+      |        sqrt(list_dot_product(e.vec, e.vec))) >= 0.99),
+      | clean AS (
+      |   SELECT * FROM tasgn
+      |   WHERE vec_id NOT IN (SELECT vec_id FROM leaks)),
+      | dups AS (
+      |   SELECT DISTINCT a.vec_id
+      |   FROM clean a JOIN clean b
+      |     ON a.cid = b.cid AND a.vec_id > b.vec_id
+      |   WHERE list_dot_product(a.vec, b.vec) /
+      |       (sqrt(list_dot_product(a.vec, a.vec)) *
+      |        sqrt(list_dot_product(b.vec, b.vec))) >= 0.995),
+      | fin AS (
+      |   SELECT vec_id, vec FROM clean
+      |   WHERE vec_id NOT IN (SELECT vec_id FROM dups)),
+      | scored AS (
+      |   SELECT vec_id, vec_id % $off AS doc_id,
+      |     list_dot_product(vec, $wLit) + ($bLit) AS z
+      |   FROM fin)
+      |SELECT d.lang, count(*) AS n_final,
+      |  CAST(sum(CAST(round(s.z, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS sum_score,
+      |  CAST(sum(CASE WHEN s.vec_id >= $off AND s.vec_id < ${2 * off}
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_leak_survivors,
+      |  CAST(sum(CASE WHEN s.vec_id >= ${2 * off} THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_dup_survivors
+      |FROM scored s JOIN documents d USING (doc_id)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   /** IVF-PQ replay: the same pinned-centroid assignment/probe prefix
     * as [[ivfOracleWith]], then PQ encoding (per-subspace argmin over
     * the codebook literals — `ORDER BY c2 - 2*list_dot_product(sub,
@@ -885,6 +1000,122 @@ object SimilarityQueries extends QueryPack {
               .as("rrf"))
           .orderBy(col("rrf").desc, col("doc_id"))
           .limit(10)
+      },
+      None),
+
+    // MODEL-BASED QUALITY FILTER — the distillation stage modern
+    // training-data pipelines run (DCLM / FineWeb-Edu construction):
+    // a small curated SEED SET (here the label-0 embeddings) defines
+    // "keep", a class-weighted logistic head trains driver-side on a
+    // bounded deterministic sample (the trainCentroids pattern — the
+    // model is a pure function of the corpus), and the FULL corpus is
+    // filtered by one codegen'd dot product against the broadcast
+    // weight literal: per-row O(dim), zero shuffle in the scan, never
+    // a model server in the read path. Output is the per-language
+    // survivor rollup (count, exact-decimal score mass, seed members
+    // kept — the recall side of the filter), joined doc↔vec on the
+    // shared id: one shuffle each side, both key-uniform. The oracle
+    // replays inference + threshold + rollup from the rendered
+    // weights, so the distributed apply phase hash-verifies; learning
+    // quality (lift over the base rate, weight determinism) is
+    // ClassifierSpec's job.
+    Q("pipeline_classifier_filter",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        val (w, b) = graft.ml.LinearClassifier.train(
+          vecs.select(col("vec_id").as("id"),
+            col("embedding").as("features"),
+            (col("label") === 0).cast("int").as("y")),
+          idCol = "id", featCol = "features", yCol = "y")
+        DynamicOracle.put("pipeline_classifier_filter",
+          classifierOracle(w, b))
+        val docs = Tables.documents(s, d).select("doc_id", "lang")
+        vecs
+          .select(col("vec_id"), col("label"),
+            graft.ml.LinearClassifier.score(col("embedding"), w, b)
+              .as("z"))
+          .filter(col("z") >= 0)
+          .join(docs, col("vec_id") === col("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(round(col("z"), 6).cast("decimal(18,6)"))
+              .cast("double").as("sum_score"),
+            sum((col("label") === 0).cast("long")).as("n_seed"))
+          .orderBy(col("lang"))
+      },
+      None),
+
+    // THE FULL DISTILLATION BUILD — the embedding-space counterpart
+    // of pipeline_full_build, composing the separately-verified r7/r8
+    // stages into the corpus construction modern LLM pipelines run
+    // (DCLM's classifier gate + SemDeDup's semantic dedup + eval-set
+    // decontamination): (1) classifier quality gate — one codegen'd
+    // dot against the broadcast weight literal; (2) eval-set semantic
+    // decontamination — kept rows at cosine ≥ 0.99 of an eval row
+    // sharing a probed trained-IVF cell are dropped; (3) intra-corpus
+    // SemDeDup — within-cell keep-min-id near-dup removal at 0.995;
+    // (4) per-language survivor rollup. Two planted families prove
+    // stages 2 and 3 each remove real mass: perturbed copies of eval
+    // members (planted leaks, ids +off) and of non-eval members
+    // (planted near-dups, ids +2·off), both mapped back to their
+    // source doc for the rollup; surviving planted rows are counted
+    // HONESTLY per family (cell-boundary escapes are the documented
+    // SemDeDup recall trade, not hidden). Every pair comparison is
+    // cell-blocked (pairs ∝ Σcell², nlist ∝ corpus), the eval side
+    // broadcasts, raw vectors never self-join unblocked — the same
+    // 100 TB shape as the component queries. The oracle replays all
+    // four stages from the rendered weights + centroids.
+    Q("pipeline_distill_build",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        val (w, b) = graft.ml.LinearClassifier.train(
+          vecs.select(col("vec_id").as("id"),
+            col("embedding").as("features"),
+            (col("label") === 0).cast("int").as("y")),
+          idCol = "id", featCol = "features", yCol = "y")
+        val cents = Similarity.trainCentroids(vecs)
+        val maxId = vecs.agg(max(col("vec_id"))).head.getLong(0)
+        val off = math.max(200000L, maxId + 1)
+        DynamicOracle.put("pipeline_distill_build",
+          distillBuildOracle(cents, w, b, off))
+        def perturb(df: org.apache.spark.sql.DataFrame, shift: Long) =
+          df.select((col("vec_id") + shift).as("vec_id"),
+            concat(array(element_at(col("embedding"), 1) + lit(0.05)),
+              slice(col("embedding"), 2, 63)).as("embedding"))
+        val evalSet = vecs.filter(col("vec_id") % 10 === 0)
+          .select("vec_id", "embedding")
+        val build = vecs.filter(col("vec_id") % 10 =!= 0)
+          .select("vec_id", "embedding")
+          .unionByName(perturb(vecs.filter(col("vec_id") % 20 === 0), off))
+          .unionByName(
+            perturb(vecs.filter(col("vec_id") % 20 === 5), 2 * off))
+        val kept = build.filter(
+          graft.ml.LinearClassifier.score(col("embedding"), w, b) >= 0)
+        val leaks = Similarity.semanticMatchedIds(kept, evalSet, cents,
+          tau = 0.99)
+        // clean feeds BOTH sides of the dedup self-join and the final
+        // anti-join — cache it once instead of re-running the gate +
+        // decontamination three times (at cluster scale: persist the
+        // inter-stage corpus, the standard checkpoint between build
+        // stages)
+        val clean = kept.join(leaks, Seq("vec_id"), "left_anti").cache()
+        val dups = Similarity.semDedupDropIds(clean, cents, tau = 0.995)
+        val fin = clean.join(dups, Seq("vec_id"), "left_anti")
+        val docs = Tables.documents(s, d).select("doc_id", "lang")
+        fin
+          .select(col("vec_id"), (col("vec_id") % off).as("doc_id"),
+            graft.ml.LinearClassifier.score(col("embedding"), w, b)
+              .as("z"))
+          .join(docs, Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_final"),
+            sum(round(col("z"), 6).cast("decimal(18,6)"))
+              .cast("double").as("sum_score"),
+            sum((col("vec_id") >= off && col("vec_id") < 2 * off)
+              .cast("long")).as("n_leak_survivors"),
+            sum((col("vec_id") >= 2 * off).cast("long"))
+              .as("n_dup_survivors"))
+          .orderBy(col("lang"))
       },
       None),
 

@@ -736,6 +736,34 @@ object Similarity {
       .select(col("t_id").as(idCol)).distinct()
   }
 
+  /** Distinct ids to DROP under intra-corpus semantic deduplication —
+    * the SemDeDup primitive proper (Abbas et al. 2023): within each
+    * trained-IVF cell, a row is dropped when a SMALLER-id row of the
+    * same cell sits at cosine ≥ `tau` (keep-min-id is the
+    * deterministic stand-in for "keep one representative per ε-ball").
+    * Pairs are blocked by the 1-NN cell on both sides, so compared
+    * pairs ∝ Σ cell², bounded because nlist ∝ corpus — never n².
+    * Survivors are pairwise non-near-dup within every cell: a survivor
+    * by definition has NO smaller-id near-dup (dropped or not), so
+    * re-running on the survivor set returns empty (pinned in
+    * SemDedupSpec). Like SemDeDup itself, a near-dup pair straddling a
+    * cell boundary is not compared — the documented recall trade of
+    * cluster-blocked dedup.
+    */
+  def semDedupDropIds(vecs: DataFrame,
+                      cents: Array[(Int, Array[Double])],
+                      tau: Double, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val a = assignCells(vecs, cents, "a_id", "a_vec", probes = 1,
+      idCol, vecCol)
+    val b = assignCells(vecs, cents, "b_id", "b_vec", probes = 1,
+      idCol, vecCol)
+    a.join(b, Seq("centroid_id"))
+      .filter(col("a_id") > col("b_id") &&
+        cosine(col("a_vec"), col("b_vec")) >= tau)
+      .select(col("a_id").as(idCol)).distinct()
+  }
+
   // ───────────────────────── IVF-PQ ─────────────────────────
   //
   // Design per the published IVFADC scheme (Jégou, Douze & Schmid,

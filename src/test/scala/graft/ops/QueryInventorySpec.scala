@@ -33,7 +33,8 @@ class QueryInventorySpec extends SparkSpec {
         "sim_ann_ivf_sq8", "sim_ann_ivf_sq8_append",
         "sim_stream_sq8_ingest",
         "pipeline_semantic_decontaminate", "text_index_search",
-        "sim_hybrid_search")
+        "sim_hybrid_search", "pipeline_classifier_filter",
+        "pipeline_distill_build")
       .foreach(n => SparkEntry.queries(n)(spark, sf).count())
     val effective = SparkEntry.oracleSql.keySet ++
       DynamicOracle.snapshot.keySet

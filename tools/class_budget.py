@@ -84,7 +84,8 @@ CLASSES = {
         "text_unigram_logprob", "text_vocab",
     ],
     "pipeline composites": [
-        "pipeline_cdc_metrics", "pipeline_clean_corpus",
+        "pipeline_cdc_metrics", "pipeline_classifier_filter",
+        "pipeline_clean_corpus", "pipeline_distill_build",
         "pipeline_curriculum_sample", "pipeline_decontaminate",
         "pipeline_dedup_apply", "pipeline_event_funnel",
         "pipeline_full_build", "pipeline_incremental_agg",
@@ -140,15 +141,31 @@ CLASSES = {
 #   similarity/ANN     34.6 + 1.4*(5.15 + 1.41)  -> 43.8
 #     (sim_stream_ivf_maintain 5.149 s, sim_index_describe 1.414 s
 #      — same two verbs on the persisted IVF family)
+#   dedup family       68.8 + 1.4*3.86           -> 74.2
+#     (text_index_search — index-accelerated phrase grep: standing
+#      shingle-index build + append + posting-pruned search in one
+#      query, clean warm 3.858 s min-of-2)
+#   similarity/ANN     43.8 + 1.4*4.63           -> 50.3
+#     (sim_hybrid_search — both standing index families built then
+#      probed + RRF fusion in one query, clean warm 4.632 s min-of-2)
+#   pipeline composites 9.0 + 1.4*0.99           -> 10.4
+#     (pipeline_classifier_filter — seed-set logistic distillation:
+#      driver train on the bounded hash sample + full-corpus codegen
+#      scoring + doc-join rollup, clean warm 0.993 s min-of-2)
+#   pipeline composites 10.4 + 1.4*3.37          -> 15.1
+#     (pipeline_distill_build — the four-stage embedding-space corpus
+#      build: classifier gate + eval decontamination + cell-blocked
+#      SemDeDup + rollup, two trained artifacts and two planted
+#      families in one query, clean warm 3.372 s min-of-2)
 BUDGETS = {
     "scan/agg/window": 32.0,
     "joins/sets": 16.0,
     "cdc materialize/timeline": 22.0,
     "streaming/state-store": 28.0,
-    "dedup family": 68.8,
-    "similarity/ANN": 43.8,
+    "dedup family": 74.2,
+    "similarity/ANN": 50.3,
     "text/multimodal per-row": 11.0,
-    "pipeline composites": 9.0,
+    "pipeline composites": 15.1,
 }
 
 
