@@ -11,8 +11,17 @@ identical doubles). With jsonOut, also writes one row PER QUERY —
 including failures with err populated (ADVICE r5: a correctness
 artifact that only contains its green rows reads as all-green).
 """
-import json, sys, glob, os
+import json, sys, glob, os, time, threading
 import duckdb
+
+# ORACLE_TIMEOUT_SEC=N bounds each DuckDB replay (0 = unbounded, the
+# default and the driver's behavior). Some oracles are deliberately
+# quadratic-ish replays of cell-blocked engine work (the IVF family's
+# v CROSS JOIN cents assignment is Θ(n·nlist)); at replica scales far
+# above the driver's sf0.01 gate they can dominate wall-clock. A
+# timeout is reported as its own outcome — NOT a correctness failure:
+# the engine produced its result; only the replay was cut short.
+ORACLE_TIMEOUT = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0"))
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 json_out = sys.argv[3] if len(sys.argv) > 3 else None
@@ -37,14 +46,30 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT {sel} FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-n_pass = n_fail = 0
+n_pass = n_fail = n_timeout = 0
 report = {}
 for name, sql in sorted(oracle.items()):
     row = {"rows_match": False, "schema_match": False, "hash_match": False,
            "spark_rows": None, "oracle_rows": None, "err": None}
     report[name] = row
     try:
-        exp = con.execute(sql).fetchdf()
+        timer = None
+        if ORACLE_TIMEOUT > 0:
+            timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
+            timer.start()
+        t0 = time.time()
+        try:
+            exp = con.execute(sql).fetchdf()
+        except duckdb.InterruptException:
+            row["err"] = f"oracle_timeout(>{ORACLE_TIMEOUT:.0f}s)"
+            print(f"TIMEOUT {name}: oracle replay exceeded "
+                  f"{ORACLE_TIMEOUT:.0f}s (engine result present)")
+            n_timeout += 1
+            continue
+        finally:
+            if timer:
+                timer.cancel()
+        row["oracle_sec"] = round(time.time() - t0, 1)
         got = con.execute(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
         exp = exp.reindex(sorted(exp.columns), axis=1)
@@ -88,5 +113,6 @@ for name, sql in sorted(oracle.items()):
 if json_out:
     with open(json_out, "w") as f:
         json.dump(report, f, indent=1)
-print(f"\n{n_pass} pass, {n_fail} fail")
+tmo = f", {n_timeout} oracle-timeout" if n_timeout else ""
+print(f"\n{n_pass} pass, {n_fail} fail{tmo}")
 sys.exit(1 if n_fail else 0)
