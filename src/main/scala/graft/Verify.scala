@@ -15,14 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 runs a subset
-    // (the driver never sets it — full inventory by default)
+    // local-iteration filters (the driver never sets either — full
+    // inventory by default): SPARK_GRAFT_ONLY=q1,q2 runs a subset;
+    // SPARK_GRAFT_SKIP=q1,q2 excludes one — used by the sf10 replica
+    // replay to fence out the deliberately-quadratic scale
+    // demonstrator (sim_knn_join; its scale-honest twin
+    // sim_knn_join_cell still runs and is oracled).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected = (only match {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
-    }
+    }).filter(q => !skip(q._1))
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -50,10 +56,10 @@ object Verify {
     // data-derived literals like trained centroids — registered while
     // the queries above executed, so they match THIS sfDir)
     val all = SparkEntry.oracleSql ++ graft.ops.DynamicOracle.snapshot
-    val oracles = only match {
+    val oracles = (only match {
       case Some(names) => all.filter(o => names(o._1))
       case None => all
-    }
+    }).filter(o => !skip(o._1))
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -39,9 +39,17 @@ object LinearClassifier {
             featCol: String = "features", yCol: String = "y")
       : (Array[Double], Double) = {
     val n = math.max(1L, data.count())
-    val num = math.min(1000000L, math.max(1L, sampleN * 1000000L / n))
+    // Selection is `pmod(hash, mod) < num`. A fixed 10⁶ modulus floors
+    // num at 1 once n > sampleN·10⁶ (~8×10⁹ rows) and the expected
+    // sample would then grow as n/10⁶ — breaking the bounded-collect
+    // contract exactly at the corpus sizes it exists for. Widen the
+    // modulus to 10¹² in that regime (bound holds to ~8×10¹⁵ rows);
+    // below it the historical 10⁶ selection is kept bit-identical.
+    val mod = if (n <= sampleN.toLong * 1000000L) 1000000L
+              else 1000000000000L
+    val num = math.min(mod, math.max(1L, sampleN * mod / n))
     val rows = data
-      .filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < num)
+      .filter(pmod(xxhash64(col(idCol)), lit(mod)) < num)
       .select(col(idCol), col(featCol), col(yCol).cast("int"))
       .collect()
       .map(r => (r.getLong(0),

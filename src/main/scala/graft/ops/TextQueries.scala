@@ -875,7 +875,11 @@ object TextQueries extends QueryPack {
     // (sizes + dfreq — sum(n_sh) IS the postings count by
     // construction); the oracle recomputes every number from the raw
     // documents table with the same split predicates, so a pass
-    // proves the persisted metadata tracks the corpus exactly.
+    // proves the persisted metadata tracks the corpus exactly. Doc
+    // counts are over SHINGLE-BEARING docs only (>= k tokens) on both
+    // sides — a shorter doc carries no shingles, is absent from the
+    // index's sizes file, and is invisible to every probe, so
+    // describe reporting it would overstate the index population.
     Q("dedup_index_describe",
       (s, d) => {
         val idxDir = "/tmp/graft_shingle_describe/" +
@@ -902,7 +906,7 @@ object TextQueries extends QueryPack {
         |          FROM sh GROUP BY 1),
         | d AS (SELECT seg_ord, count(*) AS n_docs,
         |              min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |       FROM segs GROUP BY 1)
+        |       FROM t WHERE len(t) >= 3 GROUP BY 1)
         |SELECT d.seg_ord, n_docs, n_postings, n_shingles,
         |       min_doc, max_doc
         |FROM d JOIN post USING (seg_ord)

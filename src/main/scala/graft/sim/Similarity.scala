@@ -550,8 +550,8 @@ object Similarity {
     // the flip, a concurrent builder's fresher flip is never deleted
     // out from under its pointer, and a crashed build's partial dir
     // (no marker) can't push a committed version out of the window.
-    val version = f"v-${System.currentTimeMillis()}%013d-${
-      java.util.UUID.randomUUID().toString.take(8)}"
+    import graft.sources.SegmentedIndex
+    val version = SegmentedIndex.newVersionName()
     import spark.implicits._
     cents.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("centroid_id", "centroid")
@@ -560,9 +560,7 @@ object Similarity {
     assignCells(corpus, cents, idCol, vecCol, probes = 1, idCol, vecCol)
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
-    val base = new org.apache.hadoop.fs.Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sources.PointerFile.commitVersion(fs, base, version)
+    SegmentedIndex.commitBuild(spark, dir, version)
   }
 
   /** The version dir `_CURRENT` points at (the one consistent
@@ -927,8 +925,8 @@ object Similarity {
       idCol, vecCol)
     val books = trainPqBooks(corpus, m, ksub, iters, sampleN,
       idCol, vecCol)
-    val version = f"v-${System.currentTimeMillis()}%013d-${
-      java.util.UUID.randomUUID().toString.take(8)}"
+    import graft.sources.SegmentedIndex
+    val version = SegmentedIndex.newVersionName()
     import spark.implicits._
     cents.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("centroid_id", "centroid")
@@ -945,9 +943,7 @@ object Similarity {
         pqCodes(col(vecCol), books).as("codes"))
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
-    val base = new org.apache.hadoop.fs.Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sources.PointerFile.commitVersion(fs, base, version)
+    SegmentedIndex.commitBuild(spark, dir, version)
   }
 
   /** The trained PQ codebooks of one committed index version,
@@ -1124,8 +1120,8 @@ object Similarity {
     val spark = corpus.sparkSession
     val cents = trainCentroids(corpus, nlist, sampleN, iters,
       idCol, vecCol)
-    val version = f"v-${System.currentTimeMillis()}%013d-${
-      java.util.UUID.randomUUID().toString.take(8)}"
+    import graft.sources.SegmentedIndex
+    val version = SegmentedIndex.newVersionName()
     import spark.implicits._
     cents.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("centroid_id", "centroid")
@@ -1138,9 +1134,7 @@ object Similarity {
           .as("codes"))
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
-    val base = new org.apache.hadoop.fs.Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sources.PointerFile.commitVersion(fs, base, version)
+    SegmentedIndex.commitBuild(spark, dir, version)
   }
 
   /** Append NEW vectors to a persisted IVF-SQ8 index WITHOUT rebuild —
@@ -1198,6 +1192,29 @@ object Similarity {
         appendIvfSq8Index(dir, batch, idCol, vecCol, tag)
         // same self-maintaining fold as ivfStreamSink — one
         // compactIvfIndex serves raw/PQ/SQ8
+        graft.sources.SegmentedIndex.maintain(
+          batch.sparkSession, dir, maxSegments) {
+          compactIvfIndex(batch.sparkSession, dir)
+        }
+    }
+
+  /** Structured Streaming foreachBatch sink over a persisted IVF-PQ
+    * index — completes the stream verb for the last index family that
+    * lacked it (shingle / IVF raw / SQ8 each have one). Identical tag
+    * protocol to [[ivfStreamSink]]; each micro-batch lands via
+    * [[appendIvfPqIndex]]: assign to the frozen centroids, encode with
+    * the FROZEN codebooks (deterministic per row, so streamed segments
+    * are bit-identical to a flat append's however the stream batched
+    * them), commit a codes-only delta segment.
+    */
+  def pqStreamSink(dir: String, checkpointDir: String,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   maxSegments: Int = 0)
+      : (DataFrame, Long) => Unit =
+    graft.sources.SegmentedIndex.streamSink(checkpointDir) {
+      (batch, tag) =>
+        appendIvfPqIndex(dir, batch, idCol, vecCol, tag)
         graft.sources.SegmentedIndex.maintain(
           batch.sparkSession, dir, maxSegments) {
           compactIvfIndex(batch.sparkSession, dir)

@@ -265,9 +265,9 @@ object Dedup {
       .replaceAll("[^A-Za-z0-9_]", "_")
 
   def buildShingleIndex(docs: DataFrame, dir: String, k: Int = 3): Unit = {
+    import graft.sources.SegmentedIndex
     val spark = docs.sparkSession
-    val version = f"v-${System.currentTimeMillis()}%013d-${
-      java.util.UUID.randomUUID().toString.take(8)}"
+    val version = SegmentedIndex.newVersionName()
     // cache the PRE-explode kernel (doc_id, sharr): sizes then cost a
     // narrow size(sharr) projection instead of a groupBy over the
     // exploded set, and df comes zero-Exchange off the bucketed
@@ -286,11 +286,9 @@ object Dedup {
     // all consumers are done — release the kernel cache rather than
     // letting builds accumulate blocks for the session's lifetime
     arr.unpersist(false)
-    val base = new org.apache.hadoop.fs.Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // marker + flip + committed-version-counting GC: a crashed build's
     // partial dir can't evict the last committed version (PointerFile)
-    graft.sources.PointerFile.commitVersion(fs, base, version)
+    SegmentedIndex.commitBuild(spark, dir, version)
   }
 
   /** The three data files of one postings segment — shared by build
@@ -632,9 +630,8 @@ object Dedup {
                         threshold: Double = 0.8,
                         maxPostings: Int = Int.MaxValue): DataFrame = {
     val spark = incoming.sparkSession
-    val cur = new org.apache.hadoop.fs.Path(dir, "_CURRENT")
-    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val version = graft.sources.PointerFile.read(fs, cur)
+    val version =
+      graft.sources.SegmentedIndex.currentVersion(spark, dir)
     val segs = indexSegments(spark, dir, version)
     val segPostings = segs.map(v => readPostings(spark, dir, v))
     val exSizes = segs.map(v => spark.read.parquet(s"$dir/$v/sizes"))

@@ -52,9 +52,11 @@ object ClassifierProbe {
     val n = natural.count()
     // the same bounded-sample arithmetic train() uses — reported so
     // the table shows the sample SHRINKING as a corpus fraction
-    val num = math.min(1000000L, math.max(1L, 8192L * 1000000L / n))
+    // (modulus widens past n = 8192·10⁶ rows, cf. LinearClassifier)
+    val mod = if (n <= 8192L * 1000000L) 1000000L else 1000000000000L
+    val num = math.min(mod, math.max(1L, 8192L * mod / n))
     val nSample = natural
-      .filter(pmod(xxhash64(col("id")), lit(1000000L)) < num).count()
+      .filter(pmod(xxhash64(col("id")), lit(mod)) < num).count()
 
     // hidden-hyperplane leg: u alternates ±1, threshold at the
     // corpus's own 90th percentile of v·u (positives ≈ base rate of
@@ -62,7 +64,17 @@ object ClassifierProbe {
     val u = Array.tabulate(64)(i => if (i % 2 == 0) 1.0 else -1.0)
     val s = org.apache.spark.sql.graft.Native
       .dot(col("features"), typedlit(u.toSeq))
+    // min-of-top-k = the exact 90th-percentile cut. orderBy+limit
+    // plans as TakeOrderedAndProject (per-partition heaps, driver
+    // merge of k·partitions rows), not a full sort — fine at probe
+    // scales (k = 20k at sf10) but NOT a 100 TB shape, hence the
+    // fence: production derives thresholds from a bounded sample or
+    // approxQuantile; this probe wants the exact deterministic cut
+    // so its table reproduces bit-identically.
     val k = math.max(1L, n / 10)
+    require(k <= 10000000L,
+      s"planted-threshold top-k ($k) exceeds the probe's driver-merge " +
+        "fence; use a sampled/approx threshold at this scale")
     val thr = natural.select(s.as("s")).orderBy(col("s").desc)
       .limit(k.toInt).agg(min(col("s"))).head().getDouble(0)
     val planted = natural.select(col("id"), col("features"),

@@ -53,25 +53,45 @@ for name, sql in sorted(oracle.items()):
            "spark_rows": None, "oracle_rows": None, "err": None}
     report[name] = row
     try:
+        # Timer.cancel() cannot stop a callback that already started:
+        # an oracle finishing within ms of the deadline can leave a
+        # stale con.interrupt() that lands on the NEXT statement (the
+        # engine-parquet read) and would turn a pass into a spurious
+        # fail. `fired` marks a timer-originated interrupt so any
+        # statement it hits is retried once instead of failing.
         timer = None
+        fired = threading.Event()
         if ORACLE_TIMEOUT > 0:
-            timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
+            def _interrupt():
+                fired.set()
+                con.interrupt()
+            timer = threading.Timer(ORACLE_TIMEOUT, _interrupt)
             timer.start()
         t0 = time.time()
         try:
             exp = con.execute(sql).fetchdf()
         except duckdb.InterruptException:
-            row["err"] = f"oracle_timeout(>{ORACLE_TIMEOUT:.0f}s)"
-            print(f"TIMEOUT {name}: oracle replay exceeded "
-                  f"{ORACLE_TIMEOUT:.0f}s (engine result present)")
-            n_timeout += 1
-            continue
+            if not fired.is_set():
+                # stale interrupt from a prior query's timer, not this
+                # oracle exceeding its own deadline — replay once
+                exp = con.execute(sql).fetchdf()
+            else:
+                row["err"] = f"oracle_timeout(>{ORACLE_TIMEOUT:.0f}s)"
+                print(f"TIMEOUT {name}: oracle replay exceeded "
+                      f"{ORACLE_TIMEOUT:.0f}s (engine result present)")
+                n_timeout += 1
+                continue
         finally:
             if timer:
                 timer.cancel()
         row["oracle_sec"] = round(time.time() - t0, 1)
-        got = con.execute(
-            f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        got_sql = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+        try:
+            got = con.execute(got_sql).fetchdf()
+        except duckdb.InterruptException:
+            if not fired.is_set():
+                raise
+            got = con.execute(got_sql).fetchdf()
         exp = exp.reindex(sorted(exp.columns), axis=1)
         got = got.reindex(sorted(got.columns), axis=1)
         row["spark_rows"], row["oracle_rows"] = len(got), len(exp)
