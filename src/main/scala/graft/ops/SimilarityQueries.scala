@@ -1094,11 +1094,16 @@ object SimilarityQueries extends QueryPack {
         val leaks = Similarity.semanticMatchedIds(kept, evalSet, cents,
           tau = 0.99)
         // clean feeds BOTH sides of the dedup self-join and the final
-        // anti-join — cache it once instead of re-running the gate +
-        // decontamination three times (at cluster scale: persist the
-        // inter-stage corpus, the standard checkpoint between build
-        // stages)
-        val clean = kept.join(leaks, Seq("vec_id"), "left_anti").cache()
+        // anti-join — materialize it once instead of re-running the
+        // gate + decontamination three times (at cluster scale:
+        // persist the inter-stage corpus, the standard checkpoint
+        // between build stages). localCheckpoint, not cache (cf.
+        // ngramJaccardPairs): blocks are released by the
+        // ContextCleaner when the result is dropped, where a cache()
+        // with no unpersist would hold corpus-scale vectors for the
+        // session lifetime while the rest of the inventory runs.
+        val clean = kept.join(leaks, Seq("vec_id"), "left_anti")
+          .localCheckpoint()
         val dups = Similarity.semDedupDropIds(clean, cents, tau = 0.995)
         val fin = clean.join(dups, Seq("vec_id"), "left_anti")
         val docs = Tables.documents(s, d).select("doc_id", "lang")
@@ -1362,6 +1367,49 @@ object SimilarityQueries extends QueryPack {
           Similarity.indexVersion(s, dir))
         DynamicOracle.put("sim_stream_sq8_ingest", ivfSq8Oracle(cents))
         Similarity.ivfSq8ProbeIndexed(dir,
+            vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // STREAMING ingest for the PQ index — the LAST family/verb cell of
+    // the lifecycle matrix (shingle, IVF raw, and SQ8 each got their
+    // stream verb in r7/r8; PQ had build/append/compact only). Same
+    // multi-micro-batch run and SegmentedIndex tag protocol as its
+    // siblings; each batch encodes with the FROZEN codebooks — the
+    // per-row encoder is deterministic, so streamed segments are
+    // bit-identical to a flat append's and the codebook-pinned oracle
+    // replays the manifest-fan-out probe flat over the full table.
+    Q("sim_stream_pq_ingest",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        val vecs = doubleVecs(s, d)
+        val root = "/tmp/graft_pq_stream/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val fs = new Path(root).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        val dir = s"$root/index"
+        Similarity.buildIvfPqIndex(
+          vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), dir)
+        val delta = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
+        delta.repartition(4).write.mode("overwrite").parquet(s"$root/in")
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val q = s2.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", 2).parquet(s"$root/in")
+          .writeStream
+          .option("checkpointLocation", s"$root/cp")
+          .foreachBatch(Similarity.pqStreamSink(dir, s"$root/cp"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val ver = Similarity.indexVersion(s, dir)
+        val cents = Similarity.readCentroids(s, dir, ver)
+        val books = Similarity.readCodebooks(s, dir, ver)
+        DynamicOracle.put("sim_stream_pq_ingest",
+          ivfPqOracle(cents, books))
+        Similarity.ivfPqProbeIndexed(dir,
             vecs.filter(col("vec_id") < 8), 5)
           .orderBy(col("query_id"), col("rank"))
       },

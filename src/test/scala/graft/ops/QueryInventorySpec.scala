@@ -31,7 +31,7 @@ class QueryInventorySpec extends SparkSpec {
         "sim_ann_ivf_pq",
         "sim_ann_ivf_pq_append", "sim_ann_ivf_pq_refined",
         "sim_ann_ivf_sq8", "sim_ann_ivf_sq8_append",
-        "sim_stream_sq8_ingest",
+        "sim_stream_sq8_ingest", "sim_stream_pq_ingest",
         "pipeline_semantic_decontaminate", "text_index_search",
         "sim_hybrid_search", "pipeline_classifier_filter",
         "pipeline_distill_build")

@@ -169,4 +169,38 @@ class IvfPqSpec extends SparkSpec {
       .select("cand_id").head().getLong(0)
     assert(top == 1003L, s"exact duplicate not at rank 1 (got $top)")
   }
+
+  test("streaming ingest runs multiple micro-batches and converges " +
+       "to the flat-append index") {
+    SimilarityQueries.queries
+      .find(_.name == "sim_stream_pq_ingest").get.fn(spark, sf).count()
+    val sdir = "/tmp/graft_pq_stream/" +
+      sf.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+    val ver = Similarity.indexVersion(spark, sdir)
+    val segs = Similarity.indexSegments(spark, sdir, ver)
+    assert(segs.size >= 3,
+      s"expected base + >=2 streamed segments, got $segs")
+    // streamed segments carry codes bit-identical to a flat append's:
+    // the flat twin builds on the SAME base split, training is
+    // bit-deterministic (pinned above), so centroids and codebooks
+    // match and the full stored (id, codes) sets must be equal
+    val flatDir = "/tmp/graft_pq_stream_flat_spec"
+    val p = new org.apache.hadoop.fs.Path(flatDir)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(p)) fsys.delete(p, true)
+    Similarity.buildIvfPqIndex(
+      vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), flatDir)
+    Similarity.appendIvfPqIndex(flatDir,
+      vecs.filter(pmod(col("vec_id"), lit(3)) === 0))
+    val streamedCodes = segs.map(s =>
+        spark.read.parquet(s"$sdir/$s/cells"))
+      .reduce(_ unionByName _).select("cand_id", "codes")
+    val flatVer = Similarity.indexVersion(spark, flatDir)
+    val flatCodes = Similarity.indexSegments(spark, flatDir, flatVer)
+      .map(s => spark.read.parquet(s"$flatDir/$s/cells"))
+      .reduce(_ unionByName _).select("cand_id", "codes")
+    assert(streamedCodes.exceptAll(flatCodes).isEmpty &&
+      flatCodes.exceptAll(streamedCodes).isEmpty,
+      "streamed PQ codes diverge from a flat append's")
+  }
 }

@@ -73,7 +73,7 @@ CLASSES = {
         "sim_index_describe",
         "sim_knn_join", "sim_knn_join_cell", "sim_quantized_topk",
         "sim_stream_ivf_ingest", "sim_stream_ivf_maintain",
-        "sim_stream_sq8_ingest",
+        "sim_stream_sq8_ingest", "sim_stream_pq_ingest",
     ],
     "text/multimodal per-row": [
         "mm_batch_embed", "mm_decode_meta", "mm_dedup_binary",
