@@ -30,7 +30,14 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Replica-scale filter, mirror of Verify's (the driver never sets
+    // it): SPARK_GRAFT_SKIP fences the deliberately-quadratic scale
+    // demonstrator out of sfN benches where it alone would dominate
+    // wall-clock; record which keys are absent and why in BASELINE.md.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => !skip(q._1)).map {
       case (name, fn) =>
         try {
           val cold = runOnce(fn)

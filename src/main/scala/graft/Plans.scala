@@ -85,7 +85,15 @@ object Plans {
     // round 8: hybrid retrieval — both standing index read paths in
     // one plan (bucketed postings join + pruned cell scan) fused by
     // RRF; check no corpus-sized scan feeds either leg
-    "sim_hybrid_search")
+    "sim_hybrid_search",
+    // round 8 (late): PQ streaming ingest — same post-stream probe
+    // shape as sim_stream_sq8_ingest (codes-only pruned scan fanned
+    // over the streamed manifest); the classifier gate + distill
+    // composite — check ONE codegen'd dot against the weight literal
+    // feeds the filter (no shuffle before the gate) and the
+    // cell-blocked stages never self-join unblocked
+    "sim_stream_pq_ingest", "pipeline_classifier_filter",
+    "pipeline_distill_build")
 
   /** Per-query caveats rendered under the plan heading — the place a
     * reader shopping the inventory learns a query's scale status
