@@ -629,14 +629,27 @@ object TextQueries extends QueryPack {
     Q("dedup_simhash",
       (s, d) => Dedup.simHashPairsMd5(plantedDocs(s, d), maxHamming = 3)
         .orderBy(col("a_id"), col("b_id")),
+      // the per-occurrence ±1 bit sum is restated as count × weight
+      // over DISTINCT (doc, token) pairs, with each token's 64-entry
+      // weight vector computed ONCE per vocab entry (md5/unhex per
+      // vocab token, not per token occurrence × 64) — identical sums,
+      // and the only formulation DuckDB survives at replica scale
+      // (the naive expansion OOM'd a 48 GB cap at sf10).
       Some(s"""$plantedCte,
         | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
         |         FROM docs),
-        | bits AS (SELECT doc_id, b,
-        |            sum(CASE WHEN get_bit(unhex(md5(t))::BIT,
-        |                             CAST(b AS INTEGER)) = 1
-        |                THEN 1 ELSE -1 END) AS s
-        |          FROM tok, generate_series(0, 63) g(b)
+        | tokc AS (SELECT doc_id, t, count(*) AS c FROM tok
+        |          GROUP BY doc_id, t),
+        | tbit AS (SELECT t,
+        |            [CASE WHEN get_bit(unhex(md5(t))::BIT,
+        |                              CAST(b AS INTEGER)) = 1
+        |                  THEN 1 ELSE -1 END
+        |             FOR b IN generate_series(0, 63)] AS ws
+        |          FROM (SELECT DISTINCT t FROM tokc)),
+        | bits AS (SELECT doc_id, b, sum(c * ws[CAST(b AS INTEGER) + 1])
+        |            AS s
+        |          FROM tokc JOIN tbit USING (t),
+        |               generate_series(0, 63) g(b)
         |          GROUP BY doc_id, b),
         | sig AS (SELECT doc_id,
         |           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
@@ -1423,6 +1436,12 @@ object TextQueries extends QueryPack {
             threshold = 0.9)
           .orderBy(col("a_id"), col("b_id"))
       },
+      // containment is DIRECTIONAL (n_common/|A|) but n_common itself
+      // is symmetric — so the replay aggregates each unordered pair
+      // ONCE (a < b) and fans out to the two directions afterwards.
+      // Halving the pair-join/aggregate volume is what keeps this
+      // oracle replayable at replica scale (the a <> b form spilled
+      // >60 GB of DuckDB temp at sf10); result set identical.
       Some("""WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
@@ -1435,10 +1454,14 @@ object TextQueries extends QueryPack {
         |                  FOR i IN generate_series(1, len(t) - 2)]) AS shingle
         |        FROM toks WHERE len(t) >= 3),
         | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        | common AS (
+        | halfpairs AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
         |  FROM sh a JOIN sh b USING (shingle)
-        |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        | common AS (
+        |  SELECT a_id, b_id, n_common FROM halfpairs
+        |  UNION ALL
+        |  SELECT b_id, a_id, n_common FROM halfpairs)
         |SELECT a_id, b_id, n_common,
         |  CAST(n_common AS DOUBLE) / s.n_sh AS containment
         |FROM common JOIN sizes s ON s.doc_id = a_id

@@ -25,27 +25,55 @@ ORACLE_TIMEOUT = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0"))
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 json_out = sys.argv[3] if len(sys.argv) > 3 else None
-con = duckdb.connect()
-for p in glob.glob(f"{sf_dir}/*.parquet"):
-    name = p.split("/")[-1].removesuffix(".parquet")
-    # driver testdata is one flat file per table; GenScale replicas are
-    # Spark-written directories — glob the part files in that case
-    src = f"{p}/*.parquet" if os.path.isdir(p) else p
-    sel = "*"
-    if name == "events":
-        # driver events.ts is TIMESTAMP(NANOS), which DuckDB truncates
-        # to a µs TIMESTAMP on read; GenScale replicas carry the same
-        # instant as an INT64 nano-long (the Spark-4 read-path form).
-        # Reproduce DuckDB's truncation so epoch_us(ts) oracles see the
-        # identical µs timestamp either way.
-        (_, ts_type) = next(
-            (c, t) for c, t, *_ in con.execute(
-                f"DESCRIBE SELECT * FROM '{src}'").fetchall() if c == "ts")
-        if ts_type == "BIGINT":
-            sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
-    con.execute(f"CREATE VIEW {name} AS SELECT {sel} FROM '{src}'")
+def fresh_con():
+    """A connection with caps + table views registered. A failed query
+    (OOM/spill) can poison DuckDB's buffer-pool accounting for the
+    connection's remaining lifetime — every later allocation then OOMs
+    at kilobyte sizes — so the main loop reconnects after any error
+    instead of carrying the wounded connection forward."""
+    c = duckdb.connect()
+    # Replica-scale replays can blow the host: an unbounded DuckDB
+    # happily grows to ~50 GB and a quadratic-ish oracle spills >60 GB
+    # of temp. Optional caps keep a retry pass survivable (unset =
+    # driver behavior).
+    if os.environ.get("ORACLE_MEMORY_LIMIT"):
+        c.execute(f"SET memory_limit='{os.environ['ORACLE_MEMORY_LIMIT']}'")
+    if os.environ.get("ORACLE_THREADS"):
+        c.execute(f"SET threads={int(os.environ['ORACLE_THREADS'])}")
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = p.split("/")[-1].removesuffix(".parquet")
+        # driver testdata is one flat file per table; GenScale replicas
+        # are Spark-written directories — glob the part files then
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        sel = "*"
+        if name == "events":
+            # driver events.ts is TIMESTAMP(NANOS), which DuckDB
+            # truncates to a µs TIMESTAMP on read; GenScale replicas
+            # carry the same instant as an INT64 nano-long (the Spark-4
+            # read-path form). Reproduce DuckDB's truncation so
+            # epoch_us(ts) oracles see the identical µs timestamp
+            # either way.
+            (_, ts_type) = next(
+                (cn, t) for cn, t, *_ in c.execute(
+                    f"DESCRIBE SELECT * FROM '{src}'").fetchall()
+                if cn == "ts")
+            if ts_type == "BIGINT":
+                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+        c.execute(f"CREATE VIEW {name} AS SELECT {sel} FROM '{src}'")
+    return c
+
+con = fresh_con()
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# Resume/partition filters for replica-scale runs (a 156-query sf10
+# replay is hours of DuckDB; a crash mid-run must not force a full
+# redo). ORACLE_ONLY=a,b runs a subset; ORACLE_SKIP=a,b excludes.
+if os.environ.get("ORACLE_ONLY"):
+    only = {q.strip() for q in os.environ["ORACLE_ONLY"].split(",")}
+    oracle = {k: v for k, v in oracle.items() if k in only}
+if os.environ.get("ORACLE_SKIP"):
+    skip = {q.strip() for q in os.environ["ORACLE_SKIP"].split(",")}
+    oracle = {k: v for k, v in oracle.items() if k not in skip}
 n_pass = n_fail = n_timeout = 0
 report = {}
 for name, sql in sorted(oracle.items()):
@@ -78,8 +106,16 @@ for name, sql in sorted(oracle.items()):
             else:
                 row["err"] = f"oracle_timeout(>{ORACLE_TIMEOUT:.0f}s)"
                 print(f"TIMEOUT {name}: oracle replay exceeded "
-                      f"{ORACLE_TIMEOUT:.0f}s (engine result present)")
+                      f"{ORACLE_TIMEOUT:.0f}s (engine result present)",
+                      flush=True)
                 n_timeout += 1
+                # an interrupted replay can leak buffer reservations —
+                # same hygiene as the error path (see fresh_con)
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = fresh_con()
                 continue
         finally:
             if timer:
@@ -127,9 +163,15 @@ for name, sql in sorted(oracle.items()):
             row["hash_match"] = True
             n_pass += 1
     except Exception as e:
-        print(f"ERROR {name}: {e}")
+        print(f"ERROR {name}: {e}", flush=True)
         row["err"] = str(e)
         n_fail += 1
+        # see fresh_con: don't carry a possibly-poisoned connection
+        try:
+            con.close()
+        except Exception:
+            pass
+        con = fresh_con()
 if json_out:
     with open(json_out, "w") as f:
         json.dump(report, f, indent=1)
