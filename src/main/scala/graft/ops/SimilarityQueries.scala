@@ -44,6 +44,18 @@ object SimilarityQueries extends QueryPack {
     * note as there: isnan() first matches Spark's ascending
     * struct(-sim, cid) sort, where a zero-norm centroid's NaN ranks
     * last.
+    *
+    * The corpus-side one-NN assignment is TWO streaming aggregates
+    * (max NaN-mapped sim per vector, then min cid among the rows that
+    * attain it — the same expression computed twice compares equal
+    * bit-for-bit, and NaN → -2.0 ranks last exactly like the window's
+    * isnan()-first sort), NOT a window over the n×nlist cross
+    * product: a window forces DuckDB to sort n·nlist rows each
+    * dragging a 64-double vector (~150 GB of spill at the sf10
+    * replica), while the aggregates hold n groups and stream the
+    * recomputed cross product. Same rows, replayable at every
+    * measured scale. The probe-side window stays: it ranks only the
+    * filtered query rows × nlist.
     */
   private def ivfOracleWith(cents: Array[(Int, Array[Double])]): String = {
     // mirror of the probe path's default: nprobe = deriveNprobe(nlist),
@@ -59,13 +71,24 @@ object SimilarityQueries extends QueryPack {
       |       (sqrt(list_dot_product(v.vec, v.vec)) *
       |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
       |   FROM v CROSS JOIN cents c),
-      | ranked AS (
-      |   SELECT *, row_number() OVER (PARTITION BY vec_id
-      |     ORDER BY isnan(simc), simc DESC, cid) AS rn
-      |   FROM cells),
-      | asgn AS (SELECT vec_id, vec, cid FROM ranked WHERE rn = 1),
-      | probes AS (SELECT vec_id AS query_id, vec AS qv, cid
-      |            FROM ranked WHERE rn <= $np AND vec_id < 8),
+      | asgn0 AS (
+      |   SELECT c.vec_id, min(c.cid) AS cid
+      |   FROM cells c JOIN (
+      |     SELECT vec_id, max(CASE WHEN isnan(simc)
+      |       THEN -2.0 ELSE simc END) AS bs
+      |     FROM cells GROUP BY vec_id) b
+      |     ON b.vec_id = c.vec_id
+      |    AND (CASE WHEN isnan(c.simc)
+      |         THEN -2.0 ELSE c.simc END) = b.bs
+      |   GROUP BY c.vec_id),
+      | asgn AS (SELECT a.vec_id, v.vec, a.cid
+      |          FROM asgn0 a JOIN v USING (vec_id)),
+      | probes AS (
+      |   SELECT vec_id AS query_id, vec AS qv, cid FROM (
+      |     SELECT vec_id, vec, cid, row_number() OVER (
+      |       PARTITION BY vec_id
+      |       ORDER BY isnan(simc), simc DESC, cid) AS rn
+      |     FROM cells WHERE vec_id < 8) WHERE rn <= $np),
       | sc AS (
       |   SELECT p.query_id, a.vec_id AS cand_id,
       |     list_dot_product(p.qv, a.vec) /
@@ -102,13 +125,24 @@ object SimilarityQueries extends QueryPack {
       |       (sqrt(list_dot_product(v.vec, v.vec)) *
       |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
       |   FROM v CROSS JOIN cents c),
-      | ranked AS (
-      |   SELECT *, row_number() OVER (PARTITION BY vec_id
-      |     ORDER BY isnan(simc), simc DESC, cid) AS rn
-      |   FROM cells),
-      | asgn AS (SELECT vec_id, vec, cid FROM ranked WHERE rn = 1),
-      | probes AS (SELECT vec_id AS query_id, vec AS qv, cid
-      |            FROM ranked WHERE rn <= $np AND vec_id = $qid),
+      | asgn0 AS (
+      |   SELECT c.vec_id, min(c.cid) AS cid
+      |   FROM cells c JOIN (
+      |     SELECT vec_id, max(CASE WHEN isnan(simc)
+      |       THEN -2.0 ELSE simc END) AS bs
+      |     FROM cells GROUP BY vec_id) b
+      |     ON b.vec_id = c.vec_id
+      |    AND (CASE WHEN isnan(c.simc)
+      |         THEN -2.0 ELSE c.simc END) = b.bs
+      |   GROUP BY c.vec_id),
+      | asgn AS (SELECT a.vec_id, v.vec, a.cid
+      |          FROM asgn0 a JOIN v USING (vec_id)),
+      | probes AS (
+      |   SELECT vec_id AS query_id, vec AS qv, cid FROM (
+      |     SELECT vec_id, vec, cid, row_number() OVER (
+      |       PARTITION BY vec_id
+      |       ORDER BY isnan(simc), simc DESC, cid) AS rn
+      |     FROM cells WHERE vec_id = $qid) WHERE rn <= $np),
       | sc AS (
       |   SELECT p.query_id, a.vec_id AS cand_id,
       |     list_dot_product(p.qv, a.vec) /
@@ -215,11 +249,18 @@ object SimilarityQueries extends QueryPack {
       |       (sqrt(list_dot_product(k.vec, k.vec)) *
       |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
       |   FROM kept k CROSS JOIN cents c),
-      | tasgn AS (
-      |   SELECT vec_id, vec, cid FROM (
-      |     SELECT *, row_number() OVER (PARTITION BY vec_id
-      |       ORDER BY isnan(simc), simc DESC, cid) AS rn FROM tcells)
-      |   WHERE rn = 1),
+      | tasgn0 AS (
+      |   SELECT c.vec_id, min(c.cid) AS cid
+      |   FROM tcells c JOIN (
+      |     SELECT vec_id, max(CASE WHEN isnan(simc)
+      |       THEN -2.0 ELSE simc END) AS bs
+      |     FROM tcells GROUP BY vec_id) b
+      |     ON b.vec_id = c.vec_id
+      |    AND (CASE WHEN isnan(c.simc)
+      |         THEN -2.0 ELSE c.simc END) = b.bs
+      |   GROUP BY c.vec_id),
+      | tasgn AS (SELECT k.vec_id, k.vec, a.cid
+      |           FROM tasgn0 a JOIN kept k USING (vec_id)),
       | ecells AS (
       |   SELECT e.vec_id, e.vec, c.cid,
       |     list_dot_product(e.vec, c.centroid) /
@@ -293,26 +334,40 @@ object SimilarityQueries extends QueryPack {
       |       (sqrt(list_dot_product(v.vec, v.vec)) *
       |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
       |   FROM v CROSS JOIN cents c),
-      | ranked AS (
-      |   SELECT *, row_number() OVER (PARTITION BY vec_id
-      |     ORDER BY isnan(simc), simc DESC, cid) AS rn
-      |   FROM cells),
-      | asgn AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
-      | probes AS (SELECT vec_id AS query_id, vec AS qv, cid
-      |            FROM ranked WHERE rn <= $np AND vec_id < 8),
+      | asgn AS (
+      |   SELECT c.vec_id, min(c.cid) AS cid
+      |   FROM cells c JOIN (
+      |     SELECT vec_id, max(CASE WHEN isnan(simc)
+      |       THEN -2.0 ELSE simc END) AS bs
+      |     FROM cells GROUP BY vec_id) b
+      |     ON b.vec_id = c.vec_id
+      |    AND (CASE WHEN isnan(c.simc)
+      |         THEN -2.0 ELSE c.simc END) = b.bs
+      |   GROUP BY c.vec_id),
+      | probes AS (
+      |   SELECT vec_id AS query_id, vec AS qv, cid FROM (
+      |     SELECT vec_id, vec, cid, row_number() OVER (
+      |       PARTITION BY vec_id
+      |       ORDER BY isnan(simc), simc DESC, cid) AS rn
+      |     FROM cells WHERE vec_id < 8) WHERE rn <= $np),
       | subs AS (
       |   SELECT vec_id, j,
       |     list_slice(vec, j*$ds + 1, j*$ds + $ds) AS sub
       |   FROM v CROSS JOIN js),
+      | encd AS (
+      |   SELECT vec_id, j,
+      |     min(c2 - 2 * list_dot_product(sub, cw)) AS bd
+      |   FROM subs JOIN cb USING (j) GROUP BY vec_id, j),
       | enc AS (
-      |   SELECT vec_id, j, code, row_number() OVER (
-      |     PARTITION BY vec_id, j
-      |     ORDER BY c2 - 2 * list_dot_product(sub, cw), code) AS rn
-      |   FROM subs JOIN cb USING (j)),
+      |   SELECT s.vec_id, s.j, min(cb.code) AS code
+      |   FROM subs s JOIN cb USING (j)
+      |     JOIN encd d ON d.vec_id = s.vec_id AND d.j = s.j
+      |    AND cb.c2 - 2 * list_dot_product(s.sub, cb.cw) = d.bd
+      |   GROUP BY s.vec_id, s.j),
       | recon AS (
       |   SELECT e.vec_id, flatten(list(cb.cw ORDER BY cb.j)) AS rv
       |   FROM enc e JOIN cb ON cb.j = e.j AND cb.code = e.code
-      |   WHERE e.rn = 1 GROUP BY e.vec_id),
+      |   GROUP BY e.vec_id),
       | sc AS (
       |   SELECT p.query_id, a.vec_id AS cand_id,
       |     list_dot_product(p.qv, r.rv) /
@@ -375,13 +430,21 @@ object SimilarityQueries extends QueryPack {
       |       (sqrt(list_dot_product(v.vec, v.vec)) *
       |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
       |   FROM v CROSS JOIN cents c),
-      | ranked AS (
-      |   SELECT *, row_number() OVER (PARTITION BY vec_id
-      |     ORDER BY isnan(simc), simc DESC, cid) AS rn
-      |   FROM cells),
-      | asgn AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
-      | probes AS (SELECT vec_id AS query_id, cid
-      |            FROM ranked WHERE rn <= $np AND vec_id < 8),
+      | asgn AS (
+      |   SELECT c.vec_id, min(c.cid) AS cid
+      |   FROM cells c JOIN (
+      |     SELECT vec_id, max(CASE WHEN isnan(simc)
+      |       THEN -2.0 ELSE simc END) AS bs
+      |     FROM cells GROUP BY vec_id) b
+      |     ON b.vec_id = c.vec_id
+      |    AND (CASE WHEN isnan(c.simc)
+      |         THEN -2.0 ELSE c.simc END) = b.bs
+      |   GROUP BY c.vec_id),
+      | probes AS (
+      |   SELECT vec_id AS query_id, cid FROM (
+      |     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |       ORDER BY isnan(simc), simc DESC, cid) AS rn
+      |     FROM cells WHERE vec_id < 8) WHERE rn <= $np),
       | mx AS (
       |  SELECT vec_id, vec,
       |         list_max(list_transform(vec, x -> abs(x))) AS m
@@ -433,11 +496,18 @@ object SimilarityQueries extends QueryPack {
       |       (sqrt(list_dot_product(t.vec, t.vec)) *
       |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
       |   FROM train t CROSS JOIN cents c),
-      | tasgn AS (
-      |   SELECT vec_id, vec, cid FROM (
-      |     SELECT *, row_number() OVER (PARTITION BY vec_id
-      |       ORDER BY isnan(simc), simc DESC, cid) AS rn FROM tcells)
-      |   WHERE rn = 1),
+      | tasgn0 AS (
+      |   SELECT c.vec_id, min(c.cid) AS cid
+      |   FROM tcells c JOIN (
+      |     SELECT vec_id, max(CASE WHEN isnan(simc)
+      |       THEN -2.0 ELSE simc END) AS bs
+      |     FROM tcells GROUP BY vec_id) b
+      |     ON b.vec_id = c.vec_id
+      |    AND (CASE WHEN isnan(c.simc)
+      |         THEN -2.0 ELSE c.simc END) = b.bs
+      |   GROUP BY c.vec_id),
+      | tasgn AS (SELECT t.vec_id, t.vec, a.cid
+      |           FROM tasgn0 a JOIN train t USING (vec_id)),
       | ecells AS (
       |   SELECT e.vec_id, e.vec, c.cid,
       |     list_dot_product(e.vec, c.centroid) /
@@ -481,11 +551,18 @@ object SimilarityQueries extends QueryPack {
       |       (sqrt(list_dot_product(v.vec, v.vec)) *
       |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
       |   FROM v CROSS JOIN cents c),
-      | asgn AS (
-      |   SELECT vec_id, vec, label, cid FROM (
-      |     SELECT *, row_number() OVER (PARTITION BY vec_id
-      |       ORDER BY isnan(simc), simc DESC, cid) AS rn
-      |     FROM cells) WHERE rn = 1),
+      | asgn0 AS (
+      |   SELECT c.vec_id, min(c.cid) AS cid
+      |   FROM cells c JOIN (
+      |     SELECT vec_id, max(CASE WHEN isnan(simc)
+      |       THEN -2.0 ELSE simc END) AS bs
+      |     FROM cells GROUP BY vec_id) b
+      |     ON b.vec_id = c.vec_id
+      |    AND (CASE WHEN isnan(c.simc)
+      |         THEN -2.0 ELSE c.simc END) = b.bs
+      |   GROUP BY c.vec_id),
+      | asgn AS (SELECT a.vec_id, v.vec, v.label, a.cid
+      |          FROM asgn0 a JOIN v USING (vec_id)),
       | pairs AS (
       |   SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |     round(list_dot_product(a.vec, b.vec) /
@@ -735,16 +812,30 @@ object SimilarityQueries extends QueryPack {
         |       (sqrt(list_dot_product(v.vec, v.vec)) *
         |        sqrt(list_dot_product(s.vec, s.vec))) AS simc
         |   FROM v CROSS JOIN seeds s),
-        | -- isnan() first: a zero-norm seed's NaN similarity ranks
-        | -- LAST, matching Spark's ascending struct(-sim, cid) sort
-        | -- (NaN greatest) — plain DESC would rank it first here
-        | ranked AS (
-        |   SELECT *, row_number() OVER (PARTITION BY vec_id
-        |     ORDER BY isnan(simc), simc DESC, cid) AS rn
-        |   FROM cells),
-        | asgn AS (SELECT vec_id, vec, cid FROM ranked WHERE rn = 1),
-        | probes AS (SELECT vec_id AS query_id, vec AS qv, cid
-        |            FROM ranked, p WHERE rn <= p.nprobe AND vec_id < 8),
+        | -- NaN-mapped -2.0 key: a zero-norm seed's NaN similarity
+        | -- ranks LAST, matching Spark's ascending struct(-sim, cid)
+        | -- sort (NaN greatest); max sim then min cid via two
+        | -- streaming aggregates — the scalable form of the one-NN
+        | -- window (a window would sort the full n x nlist cross
+        | -- product; see ivfOracleWith scaladoc)
+        | asgn0 AS (
+        |   SELECT c.vec_id, min(c.cid) AS cid
+        |   FROM cells c JOIN (
+        |     SELECT vec_id, max(CASE WHEN isnan(simc)
+        |       THEN -2.0 ELSE simc END) AS bs
+        |     FROM cells GROUP BY vec_id) b
+        |     ON b.vec_id = c.vec_id
+        |    AND (CASE WHEN isnan(c.simc)
+        |         THEN -2.0 ELSE c.simc END) = b.bs
+        |   GROUP BY c.vec_id),
+        | asgn AS (SELECT a.vec_id, v.vec, a.cid
+        |          FROM asgn0 a JOIN v USING (vec_id)),
+        | probes AS (
+        |   SELECT vec_id AS query_id, vec AS qv, cid FROM (
+        |     SELECT vec_id, vec, cid, row_number() OVER (
+        |       PARTITION BY vec_id
+        |       ORDER BY isnan(simc), simc DESC, cid) AS rn
+        |     FROM cells WHERE vec_id < 8), p WHERE rn <= p.nprobe),
         | sc AS (
         |   SELECT p.query_id, a.vec_id AS cand_id,
         |     list_dot_product(p.qv, a.vec) /
@@ -938,11 +1029,16 @@ object SimilarityQueries extends QueryPack {
             |        sqrt(list_dot_product(c.centroid, c.centroid)))
             |       AS simc
             |   FROM v CROSS JOIN cents c),
-            | ranked AS (
-            |   SELECT *, row_number() OVER (PARTITION BY vec_id
-            |     ORDER BY isnan(simc), simc DESC, cid) AS rn
-            |   FROM cells),
-            | asgn AS (SELECT vec_id, cid FROM ranked WHERE rn = 1)
+            | asgn AS (
+            |   SELECT c.vec_id, min(c.cid) AS cid
+            |   FROM cells c JOIN (
+            |     SELECT vec_id, max(CASE WHEN isnan(simc)
+            |       THEN -2.0 ELSE simc END) AS bs
+            |     FROM cells GROUP BY vec_id) b
+            |     ON b.vec_id = c.vec_id
+            |    AND (CASE WHEN isnan(c.simc)
+            |         THEN -2.0 ELSE c.simc END) = b.bs
+            |   GROUP BY c.vec_id)
             |SELECT CASE WHEN vec_id % 3 <> 0 THEN 0 ELSE 1 END
             |         AS seg_ord,
             |       cid AS centroid_id, count(*) AS n_vecs
