@@ -63,6 +63,19 @@ object Verify {
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Provenance for partial runs (ADVICE r8): a reader of a replica
+    // correctness artifact must be able to tell "skipped by design"
+    // from "never ran". Record both filters verbatim plus the resolved
+    // key lists; check_oracle.py copies this into its report.
+    val allNames = SparkEntry.queries.keySet
+    val skippedKeys = (skip.toSeq.sorted ++
+      only.map(names => (allNames -- names).toSeq.sorted).getOrElse(Nil)).distinct
+    val prov =
+      s"""{"skip_env": ${q(sys.env.getOrElse("SPARK_GRAFT_SKIP", ""))},
+         | "only_env": ${q(sys.env.getOrElse("SPARK_GRAFT_ONLY", ""))},
+         | "ran": [${selected.keys.toSeq.sorted.map(q).mkString(",")}],
+         | "skipped": [${skippedKeys.map(q).mkString(",")}]}""".stripMargin
+    Files.writeString(Paths.get(s"$outDir/skipped.json"), prov)
     spark.stop()
   }
 }

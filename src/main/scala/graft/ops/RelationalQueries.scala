@@ -195,10 +195,19 @@ object RelationalQueries extends QueryPack {
     // cardinalities). The raw-estimate error distribution stays
     // pinned in SketchSpec.
     Q("agg_approx_distinct",
+      // The exact count and the sketch share ONE scan and ONE shuffle:
+      // pre-dedup (event_type, user_id) with map-side partial dedup,
+      // then count the pairs (= countDistinct) and sketch the deduped
+      // user_ids (HLL is duplicate-insensitive, so the estimate is
+      // bit-identical to sketching the raw rows). Putting countDistinct
+      // and the sketch in one .agg instead plans an Expand that doubles
+      // every input row through the exchange — measured 2.26 → 3.93 s
+      // drift at sf0.1 as the events scan grew (r7→r8 worst mover).
       (s, d) => Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          countDistinct(col("user_id")).as("n_users"))
+        .agg(count(lit(1)).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
         .select(col("event_type"), col("n_users"),
           (abs(col("approx_users") - col("n_users"))
             <= col("n_users") * 0.05).as("within_5pct"))

@@ -292,9 +292,22 @@ object TextQueries extends QueryPack {
     // Sequence PACKING — bin documents into fixed-capacity token
     // windows (one bin = one training sequence) by greedy first-fit
     // over the deterministic doc_id order, per language. Runs as a
-    // typed flatMapGroups scan (two longs of state per group); the
-    // recursive-CTE oracle replays the identical greedy rule row by
-    // row, so the packing hash-matches across engines.
+    // typed flatMapGroups scan (two longs of state per group).
+    //
+    // Oracle: greedy packing is inherently sequential, but the row-at-
+    // a-time recursive-CTE replay is Θ(docs) iterations each rescanning
+    // the input — it exceeded 900 s at the sf10 replica. This replay
+    // exploits two identities instead: (1) the LAST doc of a sequence
+    // starting at rn is the largest rn2 with cum(rn2) ≤ cum(rn-1)+512
+    // (prefix sums make every boundary a single ASOF lookup, and an
+    // over-capacity doc still occupies its own sequence — the
+    // greatest(..., rn) guard); (2) `nxt` is a static pointer table, so
+    // chaining it 16 times lets the recursion stride 16 sequences per
+    // iteration and fan the intermediate starts back out afterwards —
+    // ~150× fewer iterations. MATERIALIZED hints stop DuckDB from
+    // inlining (= re-evaluating) the chain inside the recursive term.
+    // Hash-verified identical to the row-at-a-time replay at sf0.01
+    // and to the engine result at sf10 (22 s vs >900 s timeout).
     Q("pipeline_pack_sequences",
       (s, d) => graft.text.Packing
         .packSequences(Tables.documents(s, d), capacity = 512)
@@ -306,19 +319,52 @@ object TextQueries extends QueryPack {
         |         row_number() OVER (PARTITION BY lang
         |                            ORDER BY doc_id) AS rn
         |  FROM documents),
-        | packed AS (
-        |  SELECT lang, doc_id, n_tok, rn, CAST(0 AS BIGINT) AS seq_id,
-        |         n_tok AS fill
-        |  FROM d WHERE rn = 1
+        | cs AS MATERIALIZED (SELECT lang, doc_id, n_tok, rn,
+        |          sum(n_tok) OVER (PARTITION BY lang ORDER BY rn) AS cum
+        |        FROM d),
+        | mx AS MATERIALIZED (SELECT lang, max(rn) AS mxr FROM d GROUP BY lang),
+        | nxt AS MATERIALIZED (
+        |  SELECT s.lang, s.rn, greatest(coalesce(e.rn, 0), s.rn) + 1 AS next_rn
+        |  FROM (SELECT lang, rn, cum - n_tok + 512 AS target FROM cs) s
+        |  ASOF LEFT JOIN cs e ON e.lang = s.lang AND e.cum <= s.target),
+        | c0 AS (SELECT lang, rn AS s0, next_rn AS s1 FROM nxt),
+        | c1 AS (SELECT c0.*, j.next_rn AS s2 FROM c0 LEFT JOIN nxt j ON j.lang = c0.lang AND j.rn = c0.s1),
+        | c2 AS (SELECT c1.*, j.next_rn AS s3 FROM c1 LEFT JOIN nxt j ON j.lang = c1.lang AND j.rn = c1.s2),
+        | c3 AS (SELECT c2.*, j.next_rn AS s4 FROM c2 LEFT JOIN nxt j ON j.lang = c2.lang AND j.rn = c2.s3),
+        | c4 AS (SELECT c3.*, j.next_rn AS s5 FROM c3 LEFT JOIN nxt j ON j.lang = c3.lang AND j.rn = c3.s4),
+        | c5 AS (SELECT c4.*, j.next_rn AS s6 FROM c4 LEFT JOIN nxt j ON j.lang = c4.lang AND j.rn = c4.s5),
+        | c6 AS (SELECT c5.*, j.next_rn AS s7 FROM c5 LEFT JOIN nxt j ON j.lang = c5.lang AND j.rn = c5.s6),
+        | c7 AS (SELECT c6.*, j.next_rn AS s8 FROM c6 LEFT JOIN nxt j ON j.lang = c6.lang AND j.rn = c6.s7),
+        | c8 AS (SELECT c7.*, j.next_rn AS s9 FROM c7 LEFT JOIN nxt j ON j.lang = c7.lang AND j.rn = c7.s8),
+        | c9 AS (SELECT c8.*, j.next_rn AS s10 FROM c8 LEFT JOIN nxt j ON j.lang = c8.lang AND j.rn = c8.s9),
+        | c10 AS (SELECT c9.*, j.next_rn AS s11 FROM c9 LEFT JOIN nxt j ON j.lang = c9.lang AND j.rn = c9.s10),
+        | c11 AS (SELECT c10.*, j.next_rn AS s12 FROM c10 LEFT JOIN nxt j ON j.lang = c10.lang AND j.rn = c10.s11),
+        | c12 AS (SELECT c11.*, j.next_rn AS s13 FROM c11 LEFT JOIN nxt j ON j.lang = c11.lang AND j.rn = c11.s12),
+        | c13 AS (SELECT c12.*, j.next_rn AS s14 FROM c12 LEFT JOIN nxt j ON j.lang = c12.lang AND j.rn = c12.s13),
+        | c14 AS (SELECT c13.*, j.next_rn AS s15 FROM c13 LEFT JOIN nxt j ON j.lang = c13.lang AND j.rn = c13.s14),
+        | c15 AS MATERIALIZED (SELECT c14.*, j.next_rn AS s16 FROM c14 LEFT JOIN nxt j ON j.lang = c14.lang AND j.rn = c14.s15),
+        | starts16 AS (
+        |  SELECT lang, CAST(0 AS BIGINT) AS seq0, CAST(1 AS BIGINT) AS rn
+        |  FROM (SELECT DISTINCT lang FROM d)
         |  UNION ALL
-        |  SELECT d.lang, d.doc_id, d.n_tok, d.rn,
-        |    CASE WHEN p.fill + d.n_tok > 512 THEN p.seq_id + 1
-        |         ELSE p.seq_id END,
-        |    CASE WHEN p.fill + d.n_tok > 512 THEN d.n_tok
-        |         ELSE p.fill + d.n_tok END
-        |  FROM d JOIN packed p ON d.lang = p.lang AND d.rn = p.rn + 1)
-        |SELECT lang, doc_id, n_tok, seq_id
-        |FROM packed ORDER BY lang, doc_id""".stripMargin)),
+        |  SELECT c.lang, p.seq0 + 16, c.s16
+        |  FROM starts16 p
+        |  JOIN c15 c ON c.lang = p.lang AND c.s0 = p.rn
+        |  JOIN mx ON mx.lang = p.lang
+        |  WHERE c.s16 IS NOT NULL AND c.s16 <= mx.mxr),
+        | starts AS (
+        |  SELECT p.lang,
+        |         p.seq0 + unnest(generate_series(0, 15)) AS seq_id,
+        |         unnest([c.s0, c.s1, c.s2, c.s3, c.s4, c.s5, c.s6, c.s7,
+        |                 c.s8, c.s9, c.s10, c.s11, c.s12, c.s13, c.s14,
+        |                 c.s15]) AS srn
+        |  FROM starts16 p JOIN c15 c ON c.lang = p.lang AND c.s0 = p.rn),
+        | valid AS (SELECT s.lang, s.seq_id, s.srn
+        |           FROM starts s JOIN mx ON mx.lang = s.lang
+        |           WHERE s.srn IS NOT NULL AND s.srn <= mx.mxr)
+        |SELECT c.lang, c.doc_id, c.n_tok, v.seq_id
+        |FROM cs c ASOF JOIN valid v ON v.lang = c.lang AND v.srn <= c.rn
+        |ORDER BY c.lang, c.doc_id""".stripMargin)),
 
     // Composite training-data pipeline: quality gate → exact dedup →
     // per-language corpus stats — the end-to-end shape a 100 TB corpus

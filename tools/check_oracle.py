@@ -96,37 +96,50 @@ for name, sql in sorted(oracle.items()):
             timer = threading.Timer(ORACLE_TIMEOUT, _interrupt)
             timer.start()
         t0 = time.time()
+        timed_out = False
         try:
             exp = con.execute(sql).fetchdf()
         except duckdb.InterruptException:
-            if not fired.is_set():
-                # stale interrupt from a prior query's timer, not this
-                # oracle exceeding its own deadline — replay once
-                exp = con.execute(sql).fetchdf()
+            if fired.is_set():
+                timed_out = True
             else:
-                row["err"] = f"oracle_timeout(>{ORACLE_TIMEOUT:.0f}s)"
-                print(f"TIMEOUT {name}: oracle replay exceeded "
-                      f"{ORACLE_TIMEOUT:.0f}s (engine result present)",
-                      flush=True)
-                n_timeout += 1
-                # an interrupted replay can leak buffer reservations —
-                # same hygiene as the error path (see fresh_con)
+                # stale interrupt from a prior query's timer, not this
+                # oracle exceeding its own deadline — replay once. THIS
+                # iteration's timer is still live, so the real deadline
+                # can fire mid-retry: that is a timeout, not an ERROR.
                 try:
-                    con.close()
-                except Exception:
-                    pass
-                con = fresh_con()
-                continue
+                    exp = con.execute(sql).fetchdf()
+                except duckdb.InterruptException:
+                    if not fired.is_set():
+                        raise  # two stale interrupts in a row: genuine anomaly
+                    timed_out = True
         finally:
             if timer:
                 timer.cancel()
+        if timed_out:
+            row["err"] = f"oracle_timeout(>{ORACLE_TIMEOUT:.0f}s)"
+            print(f"TIMEOUT {name}: oracle replay exceeded "
+                  f"{ORACLE_TIMEOUT:.0f}s (engine result present)",
+                  flush=True)
+            n_timeout += 1
+            # an interrupted replay can leak buffer reservations —
+            # same hygiene as the error path (see fresh_con)
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con()
+            continue
         row["oracle_sec"] = round(time.time() - t0, 1)
         got_sql = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
         try:
             got = con.execute(got_sql).fetchdf()
         except duckdb.InterruptException:
-            if not fired.is_set():
-                raise
+            # This iteration's timer is already cancelled by the time the
+            # engine parquet is read, and cancel() cannot stop an in-flight
+            # callback — so ANY interrupt landing here is stale (this
+            # iteration's raced callback or a prior iteration's). The
+            # engine result exists on disk either way: retry once.
             got = con.execute(got_sql).fetchdf()
         exp = exp.reindex(sorted(exp.columns), axis=1)
         got = got.reindex(sorted(got.columns), axis=1)
@@ -173,6 +186,12 @@ for name, sql in sorted(oracle.items()):
             pass
         con = fresh_con()
 if json_out:
+    # Carry the Verify run's provenance (SPARK_GRAFT_SKIP/ONLY) into the
+    # report so a partial replica artifact distinguishes "skipped by
+    # design" from "never ran" (ADVICE r8).
+    skipped_path = f"{out_dir}/skipped.json"
+    if os.path.exists(skipped_path):
+        report["_provenance"] = json.load(open(skipped_path))
     with open(json_out, "w") as f:
         json.dump(report, f, indent=1)
 tmo = f", {n_timeout} oracle-timeout" if n_timeout else ""
