@@ -34,20 +34,29 @@ object LinearClassifier {
   /** Train on `(idCol: long, featCol: array<double>, yCol: 0/1)`.
     * Returns (weights, bias) — z = w·x + b, keep on z ≥ 0.
     */
+  /** The bounded-sample selection arithmetic: rows with
+    * `pmod(xxhash64(id), mod) < num` form the training sample.
+    * A fixed 10⁶ modulus floors num at 1 once n > sampleN·10⁶
+    * (~8×10⁹ rows) and the expected sample would then grow as n/10⁶ —
+    * breaking the bounded-collect contract exactly at the corpus
+    * sizes it exists for. Widen the modulus to 10¹² in that regime
+    * (bound holds to ~8×10¹⁵ rows); below it the historical 10⁶
+    * selection is kept bit-identical. Shared with ClassifierProbe so
+    * the probe's reported sample size can never drift from the
+    * classifier's actual selection (ADVICE r8).
+    */
+  def sampleSelection(n: Long, sampleN: Int): (Long, Long) = {
+    val mod = if (n <= sampleN.toLong * 1000000L) 1000000L
+              else 1000000000000L
+    (mod, math.min(mod, math.max(1L, sampleN * mod / n)))
+  }
+
   def train(data: DataFrame, sampleN: Int = 8192, iters: Int = 500,
             lr: Double = 0.5, idCol: String = "id",
             featCol: String = "features", yCol: String = "y")
       : (Array[Double], Double) = {
     val n = math.max(1L, data.count())
-    // Selection is `pmod(hash, mod) < num`. A fixed 10⁶ modulus floors
-    // num at 1 once n > sampleN·10⁶ (~8×10⁹ rows) and the expected
-    // sample would then grow as n/10⁶ — breaking the bounded-collect
-    // contract exactly at the corpus sizes it exists for. Widen the
-    // modulus to 10¹² in that regime (bound holds to ~8×10¹⁵ rows);
-    // below it the historical 10⁶ selection is kept bit-identical.
-    val mod = if (n <= sampleN.toLong * 1000000L) 1000000L
-              else 1000000000000L
-    val num = math.min(mod, math.max(1L, sampleN * mod / n))
+    val (mod, num) = sampleSelection(n, sampleN)
     val rows = data
       .filter(pmod(xxhash64(col(idCol)), lit(mod)) < num)
       .select(col(idCol), col(featCol), col(yCol).cast("int"))

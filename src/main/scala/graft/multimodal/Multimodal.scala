@@ -153,6 +153,107 @@ object Multimodal {
     out
   }
 
+  // -------------------- REAL codec path (r8 verdict item 6) --------
+  // One genuinely decodable format wired through the SAME
+  // partition-batched seam as the stubs: PNG via javax.imageio —
+  // in-JDK, headless-safe, no new dependencies. The stub queries are
+  // unchanged; this path proves the seam's contract with real bytes.
+
+  /** Metadata + pixel checksum from a REAL decode. `px_sum` is the sum
+    * of every sample of every band — it can only be right if the codec
+    * actually decompressed the pixel data, so the oracle verifies real
+    * decoding, not just a header read.
+    */
+  final case class RealMeta(doc_id: Long, width: Int, height: Int,
+      channels: Int, format: String, px_sum: Long)
+
+  /** Deterministic real PNG bytes for a doc id: a `(id%24+2)` ×
+    * `(id%18+2)` 3-channel image whose every band sample at (x, y) is
+    * `(id + 3x + 7y) % 256`, losslessly PNG-encoded with the JDK
+    * encoder. Dims and the pixel checksum are pure integer functions
+    * of the id, so a SQL oracle reproduces them exactly.
+    */
+  def encodePng(id: Long): Array[Byte] = {
+    val w = (id % 24 + 2).toInt
+    val h = (id % 18 + 2).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((id + 3L * x + 7L * y) % 256L).toInt
+        var b = 0
+        while (b < 3) { r.setSample(x, y, b, v); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL codec: sniff the container magic, fully decode via the JDK's
+    * ImageIO (PNG and BMP readers ship with the JVM), and checksum the
+    * decoded raster. Undecodable payloads degrade to a typed sentinel
+    * row instead of failing the task — the corrupt-media contract a
+    * 100 TB crawl needs (a single bad blob must not kill a partition).
+    */
+  def decodeReal(id: Long, bytes: Array[Byte]): RealMeta = {
+    val fmt =
+      if (bytes == null || bytes.length < 8) "unknown"
+      else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G') "png"
+      else if (bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+      else "unknown"
+    // a truncated body behind a valid magic THROWS from ImageIO rather
+    // than returning null — both are the same corrupt-media outcome
+    val img =
+      if (fmt == "unknown") null
+      else try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) RealMeta(id, -1, -1, 0, "undecodable", 0L)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val ch = raster.getNumBands
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < ch) { sum += raster.getSample(x, y, b); b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      RealMeta(id, w, h, ch, fmt, sum)
+    }
+  }
+
+  /** Encode-then-decode through the partition-batched seam: the encode
+    * stage stands where a blob fetch would (real PNG bytes enter the
+    * pipeline), the decode stage is [[decodeReal]] batched exactly like
+    * [[decodeMeta]] — no shuffle, decode parallelism = scan
+    * parallelism, one vectorized call site per batch.
+    */
+  def decodeRealRoundtrip(docs: DataFrame, batchSize: Int = 64,
+                          idCol: String = "doc_id"): Dataset[RealMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { id => decodeReal(id, encodePng(id)) }
+        }
+      }
+  }
+
   /** Partition-batched embedding inference — the multimodal → ANN
     * bridge: one vectorized model call per `batchSize` records, no
     * shuffle, output schema identical to the `embeddings` table's

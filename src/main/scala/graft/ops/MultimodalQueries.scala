@@ -56,6 +56,32 @@ object MultimodalQueries extends QueryPack {
         |FROM docs GROUP BY 1 HAVING count(*) > 1
         |ORDER BY digest""".stripMargin)),
 
+    // REAL codec through the same partition-batched seam (r8 verdict
+    // item 6): deterministic real PNG bytes are encoded and FULLY
+    // decoded with the in-JDK ImageIO codec — no new deps, stub
+    // queries unchanged. px_sum is the checksum of every decoded
+    // raster sample, so a hash-match proves actual pixel
+    // decompression; the oracle recomputes dims and the checksum from
+    // the id arithmetic the fixture pins.
+    Q("mm_decode_real",
+      (s, d) => Multimodal
+        .decodeRealRoundtrip(Tables.documents(s, d))
+        .toDF()
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+        |  SELECT doc_id, doc_id % 24 + 2 AS w, doc_id % 18 + 2 AS h
+        |  FROM documents),
+        | px AS (
+        |  SELECT doc_id, w, h,
+        |         sum(3 * ((doc_id + 3 * x.x + 7 * y.y) % 256)) AS s
+        |  FROM d, generate_series(0, 24) x(x), generate_series(0, 18) y(y)
+        |  WHERE x.x < w AND y.y < h GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |       CAST(h AS INTEGER) AS height,
+        |       3 AS channels, 'png' AS format,
+        |       CAST(s AS BIGINT) AS px_sum
+        |FROM px ORDER BY doc_id""".stripMargin)),
+
     // Frame sampling: every 7th frame of a payload-derived clip length.
     Q("mm_frame_sample",
       (s, d) => Multimodal

@@ -53,9 +53,10 @@ object SimilarityQueries extends QueryPack {
     * product: a window forces DuckDB to sort n·nlist rows each
     * dragging a 64-double vector (~150 GB of spill at the sf10
     * replica), while the aggregates hold n groups and stream the
-    * recomputed cross product. Same rows, replayable at every
-    * measured scale. The probe-side window stays: it ranks only the
-    * filtered query rows × nlist.
+    * recomputed cross product. Same rows; the r9 sf10 replay ran the
+    * full IVF family green in this form (CORRECTNESS_SF10.json,
+    * capped DuckDB: 24 GB / 16 threads). The probe-side window
+    * stays: it ranks only the filtered query rows × nlist.
     */
   private def ivfOracleWith(cents: Array[(Int, Array[Double])]): String = {
     // mirror of the probe path's default: nprobe = deriveNprobe(nlist),
@@ -294,16 +295,40 @@ object SimilarityQueries extends QueryPack {
       | scored AS (
       |   SELECT vec_id, vec_id % $off AS doc_id,
       |     list_dot_product(vec, $wLit) + ($bLit) AS z
-      |   FROM fin)
-      |SELECT d.lang, count(*) AS n_final,
-      |  CAST(sum(CAST(round(s.z, 6) AS DECIMAL(18,6))) AS DOUBLE)
-      |    AS sum_score,
-      |  CAST(sum(CASE WHEN s.vec_id >= $off AND s.vec_id < ${2 * off}
-      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_leak_survivors,
-      |  CAST(sum(CASE WHEN s.vec_id >= ${2 * off} THEN 1 ELSE 0 END)
-      |    AS BIGINT) AS n_dup_survivors
-      |FROM scored s JOIN documents d USING (doc_id)
-      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+      |   FROM fin),
+      | gatedleak AS (
+      |   SELECT d.lang, count(*) AS n_leak_gated
+      |   FROM kept k JOIN documents d ON d.doc_id = k.vec_id % $off
+      |   WHERE k.vec_id >= $off AND k.vec_id < ${2 * off}
+      |   GROUP BY d.lang),
+      | enterdup AS (
+      |   SELECT d.lang, count(*) AS n_dup_entering
+      |   FROM clean c JOIN documents d ON d.doc_id = c.vec_id % $off
+      |   WHERE c.vec_id >= ${2 * off} GROUP BY d.lang),
+      | base AS (
+      |   SELECT d.lang, count(*) AS n_final,
+      |     CAST(sum(CAST(round(s.z, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |       AS sum_score,
+      |     CAST(sum(CASE WHEN s.vec_id >= $off AND s.vec_id < ${2 * off}
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_leak_survivors,
+      |     CAST(sum(CASE WHEN s.vec_id >= ${2 * off} THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_dup_survivors
+      |   FROM scored s JOIN documents d USING (doc_id)
+      |   GROUP BY d.lang)
+      |SELECT b.lang, b.n_final, b.sum_score,
+      |  b.n_leak_survivors, b.n_dup_survivors,
+      |  CAST(coalesce(g.n_leak_gated, 0) AS BIGINT) AS n_leak_gated,
+      |  CAST(coalesce(e.n_dup_entering, 0) AS BIGINT) AS n_dup_entering,
+      |  CASE WHEN coalesce(g.n_leak_gated, 0) > 0 THEN
+      |    CAST(g.n_leak_gated - b.n_leak_survivors AS DOUBLE) /
+      |      CAST(g.n_leak_gated AS DOUBLE) END AS leak_recall,
+      |  CASE WHEN coalesce(e.n_dup_entering, 0) > 0 THEN
+      |    CAST(e.n_dup_entering - b.n_dup_survivors AS DOUBLE) /
+      |      CAST(e.n_dup_entering AS DOUBLE) END AS dup_recall
+      |FROM base b
+      |LEFT JOIN gatedleak g USING (lang)
+      |LEFT JOIN enterdup e USING (lang)
+      |ORDER BY b.lang""".stripMargin
   }
 
   /** IVF-PQ replay: the same pinned-centroid assignment/probe prefix
@@ -1203,6 +1228,26 @@ object SimilarityQueries extends QueryPack {
         val dups = Similarity.semDedupDropIds(clean, cents, tau = 0.995)
         val fin = clean.join(dups, Seq("vec_id"), "left_anti")
         val docs = Tables.documents(s, d).select("doc_id", "lang")
+        // stage-ENTRY populations of the two planted families (r8
+        // verdict item 8): recall is caught/entered PER STAGE — the
+        // decontamination stage answers for the leak family rows that
+        // survived the classifier gate, SemDeDup for the dup family
+        // rows that reached `clean` — so the cell-boundary escape
+        // trade is a tracked rate, not a counted curiosity. The
+        // ratios are raw integer divisions (bit-portable doubles).
+        def famPerLang(src: org.apache.spark.sql.DataFrame, lo: Long,
+                       hi: Long, as: String) = src
+          .filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .select((col("vec_id") % off).as("doc_id"))
+          .join(docs, Seq("doc_id"))
+          .groupBy(col("lang")).agg(count(lit(1)).as(as))
+        val leakGated = famPerLang(kept, off, 2 * off, "n_leak_gated")
+        val dupEntering =
+          famPerLang(clean, 2 * off, Long.MaxValue, "n_dup_entering")
+        def recall(entered: org.apache.spark.sql.Column,
+                   survived: org.apache.spark.sql.Column) =
+          when(entered > 0L,
+            (entered - survived).cast("double") / entered.cast("double"))
         fin
           .select(col("vec_id"), (col("vec_id") % off).as("doc_id"),
             graft.ml.LinearClassifier.score(col("embedding"), w, b)
@@ -1216,6 +1261,17 @@ object SimilarityQueries extends QueryPack {
               .cast("long")).as("n_leak_survivors"),
             sum((col("vec_id") >= 2 * off).cast("long"))
               .as("n_dup_survivors"))
+          .join(leakGated, Seq("lang"), "left")
+          .join(dupEntering, Seq("lang"), "left")
+          .select(col("lang"), col("n_final"), col("sum_score"),
+            col("n_leak_survivors"), col("n_dup_survivors"),
+            coalesce(col("n_leak_gated"), lit(0L)).as("n_leak_gated"),
+            coalesce(col("n_dup_entering"), lit(0L))
+              .as("n_dup_entering"),
+            recall(coalesce(col("n_leak_gated"), lit(0L)),
+              col("n_leak_survivors")).as("leak_recall"),
+            recall(coalesce(col("n_dup_entering"), lit(0L)),
+              col("n_dup_survivors")).as("dup_recall"))
           .orderBy(col("lang"))
       },
       None),

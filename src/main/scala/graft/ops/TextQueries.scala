@@ -675,12 +675,17 @@ object TextQueries extends QueryPack {
     Q("dedup_simhash",
       (s, d) => Dedup.simHashPairsMd5(plantedDocs(s, d), maxHamming = 3)
         .orderBy(col("a_id"), col("b_id")),
-      // the per-occurrence ±1 bit sum is restated as count × weight
-      // over DISTINCT (doc, token) pairs, with each token's 64-entry
-      // weight vector computed ONCE per vocab entry (md5/unhex per
-      // vocab token, not per token occurrence × 64) — identical sums,
-      // and the only formulation DuckDB survives at replica scale
-      // (the naive expansion OOM'd a 48 GB cap at sf10).
+      // SCALE-SURVIVABLE replay, round three (r8's vocab-level weight
+      // form still disk-died at sf10: `tokc JOIN tbit × 64` is a
+      // 2×10⁹-row intermediate dragging a 64-element list payload
+      // through one hash aggregate). The ±1 bit sums are restated
+      // with ZERO row blowup: each vocab token's 64 weight bits pack
+      // into one UBIGINT (tbitu, still one md5 per vocab entry), and
+      // all 64 sums compute as 64 aggregate COLUMNS in a single pass
+      // over the 33M-row tokc join — s_b = 2·Σc·bit_b − Σc, so
+      // sign(s_b) = (2·c_b − n > 0). Identical signatures; 151 s at
+      // sf10 where the ×64 expansion exhausted the sandbox disk;
+      // hash-verified at sf0.01 and vs the engine result at sf10.
       Some(s"""$plantedCte,
         | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
         |         FROM docs),
@@ -692,15 +697,22 @@ object TextQueries extends QueryPack {
         |                  THEN 1 ELSE -1 END
         |             FOR b IN generate_series(0, 63)] AS ws
         |          FROM (SELECT DISTINCT t FROM tokc)),
-        | bits AS (SELECT doc_id, b, sum(c * ws[CAST(b AS INTEGER) + 1])
-        |            AS s
-        |          FROM tokc JOIN tbit USING (t),
-        |               generate_series(0, 63) g(b)
-        |          GROUP BY doc_id, b),
+        | tbitu AS MATERIALIZED (
+        |  SELECT t, CAST(list_sum(
+        |    [CAST((ws[i] + 1) // 2 AS UBIGINT) * (1::UBIGINT << (i - 1))
+        |     FOR i IN generate_series(1, 64)]) AS UBIGINT) AS u
+        |  FROM tbit),
+        | bits64 AS (
+        |  SELECT doc_id, sum(c) AS n,
+        |   ${(0 until 64).map(b =>
+             s"sum(c * CAST((u >> $b) & 1 AS BIGINT)) AS c$b")
+             .mkString(",\n        |   ")}
+        |  FROM tokc JOIN tbitu USING (t) GROUP BY doc_id),
         | sig AS (SELECT doc_id,
-        |           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
-        |                      ORDER BY b) AS h
-        |         FROM bits GROUP BY doc_id),
+        |   ${(0 until 64).map(b =>
+             s"CASE WHEN 2 * c$b - n > 0 THEN '1' ELSE '0' END")
+             .mkString(" ||\n        |   ")} AS h
+        |  FROM bits64),
         | banded AS (SELECT doc_id, h, band,
         |              substr(h, band*16 + 1, 16) AS bucket
         |            FROM sig, generate_series(0, 3) g(band)),
@@ -1084,9 +1096,15 @@ object TextQueries extends QueryPack {
             sum(col("n_chars")).as("sum_chars"))
           .orderBy(col("source"))
       },
+      // MATERIALIZED on sh/edges is what makes this replayable at
+      // replica scale: the recursive `reach` term references `edges`,
+      // and an inlined CTE is RE-EVALUATED on every recursion
+      // iteration — each re-running the 32M-row shingle self-join,
+      // whose cumulative spill exceeded the sandbox disk at sf10.
+      // Materialized, the replay is 48 s; identical results.
       Some(plantedCte.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
         | toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
-        | sh AS (SELECT DISTINCT doc_id,
+        | sh AS MATERIALIZED (SELECT DISTINCT doc_id,
         |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
         |                  FOR i IN generate_series(1, len(t) - 2)]) AS shingle
         |        FROM toks),
@@ -1101,7 +1119,8 @@ object TextQueries extends QueryPack {
         |  JOIN sizes sb ON sb.doc_id = b_id
         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
         |        >= 0.8),
-        | edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        | edges AS MATERIALIZED (
+        |           SELECT a_id AS src, b_id AS dst FROM pairs
         |           UNION SELECT b_id, a_id FROM pairs),
         | reach AS (
         |  SELECT src AS id, src AS lbl FROM edges
@@ -1125,9 +1144,12 @@ object TextQueries extends QueryPack {
           Dedup.ngramJaccardPairs(plantedDocs(s, d), k = 3,
             threshold = 0.8, maxPostings = Int.MaxValue))
         .orderBy(col("doc_id")),
+      // sh/edges MATERIALIZED for the same reason as
+      // pipeline_dedup_apply: the recursive reach term would otherwise
+      // re-evaluate the shingle self-join every iteration.
       Some(plantedCte.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
         | toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
-        | sh AS (SELECT DISTINCT doc_id,
+        | sh AS MATERIALIZED (SELECT DISTINCT doc_id,
         |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
         |                  FOR i IN generate_series(1, len(t) - 2)]) AS shingle
         |        FROM toks),
@@ -1142,7 +1164,8 @@ object TextQueries extends QueryPack {
         |  JOIN sizes sb ON sb.doc_id = b_id
         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
         |        >= 0.8),
-        | edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        | edges AS MATERIALIZED (
+        |           SELECT a_id AS src, b_id AS dst FROM pairs
         |           UNION SELECT b_id, a_id FROM pairs),
         | reach AS (
         |  SELECT src AS id, src AS lbl FROM edges
@@ -1482,12 +1505,27 @@ object TextQueries extends QueryPack {
             threshold = 0.9)
           .orderBy(col("a_id"), col("b_id"))
       },
-      // containment is DIRECTIONAL (n_common/|A|) but n_common itself
-      // is symmetric — so the replay aggregates each unordered pair
-      // ONCE (a < b) and fans out to the two directions afterwards.
-      // Halving the pair-join/aggregate volume is what keeps this
-      // oracle replayable at replica scale (the a <> b form spilled
-      // >60 GB of DuckDB temp at sf10); result set identical.
+      // SCALE-SURVIVABLE replay (the r8 halved-pairs form still died at
+      // sf10: the wrap-chrome shingles sit in EVERY wrapped doc, df =
+      // n/8, so the plain self-join enumerates Σdf² ≈ 4×10⁹ pairs —
+      // the exact hot-key blowup the engine's prefix filter exists to
+      // avoid). The replay splits shingles at df > 1024:
+      //  - RARE shingles self-join normally (pair volume back to ~75M);
+      //  - HOT shingles never join — each doc carries its (tiny) hot
+      //    set as a list, and a candidate pair's exact hot overlap is
+      //    list_intersect, so n_common = n_rare + |hot∩hot| exactly.
+      // Completeness: a qualifying pair missing from the rare join
+      // would need ≥90% of the contained doc's shingles hot — those
+      // docs (`hotdocs`, empty in this corpus at every SF) get a
+      // rescue pass over the hot postings, making the rewrite lossless
+      // rather than assumption-bound. The candidate filter bounds the
+      // true containment from above (least() on both the hot overlap
+      // and the denominator), so no qualifier is pruned early. At
+      // sf0.01 no shingle exceeds the threshold and the plan
+      // degenerates to the original exact self-join. MATERIALIZED
+      // keeps the multi-referenced CTEs from re-evaluating.
+      // Hash-verified vs the engine at sf0.01 and sf10 (115 s vs
+      // >60 GB disk death).
       Some("""WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
@@ -1495,23 +1533,69 @@ object TextQueries extends QueryPack {
         |         'wraphdr alpha beta ' || text || ' gamma delta wrapftr'
         |  FROM documents WHERE doc_id % 8 = 0),
         | toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
-        | sh AS (SELECT DISTINCT doc_id,
+        | sh AS MATERIALIZED (SELECT DISTINCT doc_id,
         |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
         |                  FOR i IN generate_series(1, len(t) - 2)]) AS shingle
         |        FROM toks WHERE len(t) >= 3),
-        | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        | halfpairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
-        |  FROM sh a JOIN sh b USING (shingle)
+        | sizes AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        | hot AS MATERIALIZED (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1024),
+        | shr AS MATERIALIZED (
+        |  SELECT s.doc_id, s.shingle FROM sh s
+        |  WHERE s.shingle NOT IN (SELECT shingle FROM hot)),
+        | dochot AS MATERIALIZED (
+        |  SELECT s.doc_id, list_sort(list(s.shingle)) AS hs,
+        |         count(*) AS n_hot
+        |  FROM sh s JOIN hot h USING (shingle) GROUP BY s.doc_id),
+        | rarepairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_rare
+        |  FROM shr a JOIN shr b USING (shingle)
         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        | candpairs AS (
+        |  SELECT r.a_id, r.b_id
+        |  FROM rarepairs r
+        |  JOIN sizes sa ON sa.doc_id = r.a_id
+        |  JOIN sizes sb ON sb.doc_id = r.b_id
+        |  LEFT JOIN dochot ha ON ha.doc_id = r.a_id
+        |  LEFT JOIN dochot hb ON hb.doc_id = r.b_id
+        |  WHERE CAST(r.n_rare + least(coalesce(ha.n_hot, 0),
+        |                              coalesce(hb.n_hot, 0)) AS DOUBLE)
+        |        / least(sa.n_sh, sb.n_sh) >= 0.9),
+        | hotdocs AS (
+        |  SELECT d.doc_id, d.hs FROM dochot d JOIN sizes s USING (doc_id)
+        |  WHERE d.n_hot >= CAST(ceil(0.9 * s.n_sh) AS BIGINT)),
+        | rescue AS (
+        |  SELECT DISTINCT least(hd.doc_id, p.doc_id) AS a_id,
+        |         greatest(hd.doc_id, p.doc_id) AS b_id
+        |  FROM hotdocs hd
+        |  JOIN (SELECT s.doc_id, s.shingle
+        |        FROM sh s JOIN hot h USING (shingle)) p
+        |    ON list_contains(hd.hs, p.shingle) AND p.doc_id <> hd.doc_id),
+        | allcand AS (
+        |  SELECT a_id, b_id FROM candpairs
+        |  UNION
+        |  SELECT a_id, b_id FROM rescue),
+        | exact AS (
+        |  SELECT c.a_id, c.b_id,
+        |    coalesce(r.n_rare, 0) +
+        |      len(list_intersect(coalesce(ha.hs, []), coalesce(hb.hs, [])))
+        |      AS n_common,
+        |    sa.n_sh AS na, sb.n_sh AS nb
+        |  FROM allcand c
+        |  LEFT JOIN rarepairs r ON r.a_id = c.a_id AND r.b_id = c.b_id
+        |  JOIN sizes sa ON sa.doc_id = c.a_id
+        |  JOIN sizes sb ON sb.doc_id = c.b_id
+        |  LEFT JOIN dochot ha ON ha.doc_id = c.a_id
+        |  LEFT JOIN dochot hb ON hb.doc_id = c.b_id),
         | common AS (
-        |  SELECT a_id, b_id, n_common FROM halfpairs
+        |  SELECT a_id, b_id, n_common, na AS n_a FROM exact
         |  UNION ALL
-        |  SELECT b_id, a_id, n_common FROM halfpairs)
+        |  SELECT b_id, a_id, n_common, nb FROM exact)
         |SELECT a_id, b_id, n_common,
-        |  CAST(n_common AS DOUBLE) / s.n_sh AS containment
-        |FROM common JOIN sizes s ON s.doc_id = a_id
-        |WHERE CAST(n_common AS DOUBLE) / s.n_sh >= 0.9
+        |  CAST(n_common AS DOUBLE) / n_a AS containment
+        |FROM common
+        |WHERE CAST(n_common AS DOUBLE) / n_a >= 0.9
         |ORDER BY a_id, b_id""".stripMargin)),
 
     // DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the last step of every

@@ -50,11 +50,11 @@ object ClassifierProbe {
       .select(col("vec_id").as("id"), col("embedding").as("features"),
         (col("label") === 0).cast("int").as("y"))
     val n = natural.count()
-    // the same bounded-sample arithmetic train() uses — reported so
-    // the table shows the sample SHRINKING as a corpus fraction
-    // (modulus widens past n = 8192·10⁶ rows, cf. LinearClassifier)
-    val mod = if (n <= 8192L * 1000000L) 1000000L else 1000000000000L
-    val num = math.min(mod, math.max(1L, 8192L * mod / n))
+    // train()'s OWN bounded-sample arithmetic (shared helper, ADVICE
+    // r8) — reported so the table shows the sample SHRINKING as a
+    // corpus fraction (modulus widens past n = 8192·10⁶ rows)
+    val (mod, num) =
+      graft.ml.LinearClassifier.sampleSelection(math.max(1L, n), 8192)
     val nSample = natural
       .filter(pmod(xxhash64(col("id")), lit(mod)) < num).count()
 

@@ -1,0 +1,215 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.SimilarityQueries
+import graft.sim.Similarity
+import graft.text.Dedup
+
+/** Chaos + concurrency pass over the ONE segmented-index commit
+  * protocol (r8 verdict items 5 and 7). All four persisted-index
+  * families ride [[SegmentedIndex]], so the whole matrix is one
+  * parameterized spec:
+  *
+  *  - KILLED WRITER (failure injected between data-file land and the
+  *    `_CURRENT` flip): the index stays readable at the parent
+  *    version, the litter dir never enters a chain, the re-delivered
+  *    batch converges (same tag, real append), a second re-delivery
+  *    no-ops, and GC eventually collects the litter once it ages out
+  *    of the keep window — while never touching referenced segments.
+  *  - MAINTAIN vs IN-FLIGHT PROBE: a probe plan that resolved
+  *    `_CURRENT` BEFORE a compaction flip still completes with
+  *    bit-identical results after the flip + GC, because the
+  *    keep-window GC retains the parent version whose manifest pins
+  *    every folded segment (`SegmentedIndex.commitCompact` scaladoc —
+  *    previously asserted, raced here).
+  *
+  * A crash DURING GC needs no separate fixture: GC is plain deletes of
+  * unreferenced dirs, so dying mid-GC leaves some litter undeleted —
+  * exactly the killed-writer state above, re-collected by the next
+  * commit's GC pass.
+  */
+class ProtocolChaosSpec extends SparkSpec {
+
+  private def fsOf(dir: String) = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def fresh(dir: String): String = {
+    val fs = fsOf(dir)
+    if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
+    dir
+  }
+
+  private def chain(dir: String): Seq[String] =
+    SegmentedIndex.segments(spark, dir,
+      SegmentedIndex.currentVersion(spark, dir))
+
+  private def assertSame(a: DataFrame, b: DataFrame, what: String): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, what)
+
+  /** One persisted-index family, reduced to the protocol verbs the
+    * chaos scenarios exercise. `append1`/`append1Tag` model ONE
+    * micro-batch so the killed-writer scenario can re-deliver it.
+    */
+  private case class Fam(
+      name: String,
+      dir: String,
+      build: () => Unit,
+      append1: () => Unit, // tagged batch (the one that gets killed)
+      append2: () => Unit,
+      probe: () => DataFrame,
+      compact: () => Unit)
+
+  private lazy val docs =
+    Tables.documents(spark, sf).select("doc_id", "text")
+  private lazy val probeDocs = docs.filter(col("doc_id") % 7 === 0)
+    .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+  private lazy val vecs = SimilarityQueries.doubleVecs(spark, sf)
+  private lazy val q = vecs.filter(col("vec_id") < 8)
+
+  private def fams: Seq[Fam] = Seq(
+    Fam("shingle", "/tmp/graft_chaos_shingle",
+      () => Dedup.buildShingleIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), "/tmp/graft_chaos_shingle"),
+      () => Dedup.appendShingleIndex("/tmp/graft_chaos_shingle",
+        docs.filter(col("doc_id") % 6 === 0), tag = Some("s#0")),
+      () => Dedup.appendShingleIndex("/tmp/graft_chaos_shingle",
+        docs.filter(col("doc_id") % 6 === 3), tag = Some("s#1")),
+      () => Dedup.probeShingleIndex("/tmp/graft_chaos_shingle",
+        probeDocs, k = 3, threshold = 0.8),
+      () => Dedup.compactShingleIndex(spark, "/tmp/graft_chaos_shingle")),
+    Fam("ivf-raw", "/tmp/graft_chaos_ivf",
+      () => Similarity.buildIvfIndex(
+        vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0),
+        "/tmp/graft_chaos_ivf", nlist = 8),
+      () => Similarity.appendIvfIndex("/tmp/graft_chaos_ivf",
+        vecs.filter(pmod(col("vec_id"), lit(6)) === 0), tag = Some("s#0")),
+      () => Similarity.appendIvfIndex("/tmp/graft_chaos_ivf",
+        vecs.filter(pmod(col("vec_id"), lit(6)) === 3), tag = Some("s#1")),
+      () => Similarity.ivfProbeIndexed("/tmp/graft_chaos_ivf", q, 5),
+      () => Similarity.compactIvfIndex(spark, "/tmp/graft_chaos_ivf")),
+    Fam("ivf-pq", "/tmp/graft_chaos_pq",
+      () => Similarity.buildIvfPqIndex(
+        vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0),
+        "/tmp/graft_chaos_pq", m = 8, ksub = 16, nlist = 8),
+      () => Similarity.appendIvfPqIndex("/tmp/graft_chaos_pq",
+        vecs.filter(pmod(col("vec_id"), lit(6)) === 0), tag = Some("s#0")),
+      () => Similarity.appendIvfPqIndex("/tmp/graft_chaos_pq",
+        vecs.filter(pmod(col("vec_id"), lit(6)) === 3), tag = Some("s#1")),
+      () => Similarity.ivfPqProbeIndexed("/tmp/graft_chaos_pq", q, 5),
+      () => Similarity.compactIvfIndex(spark, "/tmp/graft_chaos_pq")),
+    Fam("ivf-sq8", "/tmp/graft_chaos_sq8",
+      () => Similarity.buildIvfSq8Index(
+        vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0),
+        "/tmp/graft_chaos_sq8", nlist = 8),
+      () => Similarity.appendIvfSq8Index("/tmp/graft_chaos_sq8",
+        vecs.filter(pmod(col("vec_id"), lit(6)) === 0), tag = Some("s#0")),
+      () => Similarity.appendIvfSq8Index("/tmp/graft_chaos_sq8",
+        vecs.filter(pmod(col("vec_id"), lit(6)) === 3), tag = Some("s#1")),
+      () => Similarity.ivfSq8ProbeIndexed("/tmp/graft_chaos_sq8", q, 5),
+      () => Similarity.compactIvfIndex(spark, "/tmp/graft_chaos_sq8")))
+
+  /** The state a writer killed between data land and `_CURRENT` flip
+    * leaves behind: a version dir holding data files, no `_COMMITTED`
+    * marker, pointer untouched. Named lexicographically OLDEST so the
+    * keep-window GC treats it as aged-out litter (a real kill leaves a
+    * current-millis name that ages out the same way; PointerFileSpec
+    * pins the newer-than-window in-flight protection separately).
+    */
+  private def plantKilledWriter(dir: String): String = {
+    val fs = fsOf(dir)
+    val litter = "v-0000000000001-killed01"
+    val cur = SegmentedIndex.currentVersion(spark, dir)
+    // copy one real payload file so the litter looks like a genuine
+    // half-written append, not an empty dir
+    val it = fs.listFiles(new Path(s"$dir/$cur"), true)
+    var copied = false
+    while (it.hasNext && !copied) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        org.apache.hadoop.fs.FileUtil.copy(fs, f, fs,
+          new Path(s"$dir/$litter/${f.getName}"), false,
+          spark.sparkContext.hadoopConfiguration)
+        copied = true
+      }
+    }
+    assert(copied, s"no payload file found under $dir/$cur to copy")
+    litter
+  }
+
+  fams.foreach { f =>
+    test(s"${f.name}: a writer killed before the flip leaves the index " +
+         "readable at the parent; re-delivery converges; GC collects " +
+         "the litter, never a referenced segment") {
+      fresh(f.dir)
+      f.build()
+      val before = f.probe().cache()
+      assert(before.count() > 0)
+      val curBefore = SegmentedIndex.currentVersion(spark, f.dir)
+
+      val litter = plantKilledWriter(f.dir)
+      // parent view intact: pointer, chain, and probe all unchanged
+      assert(SegmentedIndex.currentVersion(spark, f.dir) === curBefore)
+      assert(!chain(f.dir).contains(litter))
+      assertSame(before, f.probe(),
+        s"${f.name}: probe diverged with killed-writer litter present")
+
+      // the streaming checkpoint re-delivers the batch (same tag) —
+      // the tag never committed, so this must be a REAL append
+      f.append1()
+      assert(chain(f.dir).size === 2,
+        s"${f.name}: re-delivered batch did not append")
+      // ...and a second re-delivery of the SAME batch no-ops
+      val nSegs = chain(f.dir).size
+      f.append1()
+      assert(chain(f.dir).size === nSegs,
+        s"${f.name}: replayed tag re-appended")
+
+      // two more commits age the litter out of the keep window: GC
+      // collects it but keeps every segment referenced by kept chains
+      f.append2()
+      f.compact()
+      val fs = fsOf(f.dir)
+      assert(!fs.exists(new Path(s"${f.dir}/$litter")),
+        s"${f.name}: killed-writer litter survived GC")
+      chain(f.dir).foreach(s => assert(
+        fs.exists(new Path(s"${f.dir}/$s")),
+        s"${f.name}: GC collected live segment $s"))
+      assert(f.probe().count() > 0)
+      before.unpersist()
+    }
+
+    test(s"${f.name}: an in-flight probe that resolved _CURRENT before " +
+         "a compaction flip completes bit-identically after it") {
+      fresh(f.dir)
+      f.build()
+      f.append1()
+      f.append2()
+      assert(chain(f.dir).size === 3)
+      val preChain = chain(f.dir)
+      // materialized pre-compact truth
+      val truth = f.probe().cache()
+      assert(truth.count() > 0)
+      // the RACED plan: resolves _CURRENT (and the segment file
+      // listing) now, executes only after the flip + GC below
+      val inFlight = f.probe()
+      f.compact()
+      assert(chain(f.dir).size === 1, s"${f.name}: chain did not fold")
+      // the folded segments must still be on disk — the kept parent
+      // version's manifest pins them (commitCompact's reader contract)
+      val fs = fsOf(f.dir)
+      preChain.foreach(s => assert(
+        fs.exists(new Path(s"${f.dir}/$s")),
+        s"${f.name}: GC collected $s while a probe held its listing"))
+      assertSame(truth, inFlight,
+        s"${f.name}: in-flight probe torn by the compaction flip")
+      // and a fresh post-flip probe agrees with both
+      assertSame(truth, f.probe(),
+        s"${f.name}: post-compact probe diverged")
+      truth.unpersist()
+    }
+  }
+}
