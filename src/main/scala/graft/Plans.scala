@@ -93,7 +93,12 @@ object Plans {
     // feeds the filter (no shuffle before the gate) and the
     // cell-blocked stages never self-join unblocked
     "sim_stream_pq_ingest", "pipeline_classifier_filter",
-    "pipeline_distill_build")
+    "pipeline_distill_build",
+    // round 9: real-codec multimodal roundtrip — the plan to check is
+    // the shuffle-free partition-batched shape (one SerializeFromObject
+    // over MapPartitions; decode parallelism = scan parallelism, no
+    // Exchange before the codec)
+    "mm_decode_real")
 
   /** Per-query caveats rendered under the plan heading — the place a
     * reader shopping the inventory learns a query's scale status

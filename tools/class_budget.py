@@ -76,7 +76,8 @@ CLASSES = {
         "sim_stream_sq8_ingest", "sim_stream_pq_ingest",
     ],
     "text/multimodal per-row": [
-        "mm_batch_embed", "mm_decode_meta", "mm_dedup_binary",
+        "mm_batch_embed", "mm_decode_meta", "mm_decode_real",
+        "mm_dedup_binary",
         "mm_feature_extract", "mm_frame_sample", "mm_resize", "text_bm25",
         "text_entropy", "text_fingerprint", "text_histogram",
         "text_langid", "text_normalize", "text_quality",
@@ -162,6 +163,11 @@ CLASSES = {
 #      family/verb lifecycle cell: base PQ build + multi-micro-batch
 #      streamed codes-only appends + manifest fan-out probe in one
 #      query, clean warm 3.941 s min-of-2)
+# Round-9 amendment (BASELINE.md "Round-9"): same 1.4x formula:
+#   text/multimodal     11.0 + 1.4*2.465          -> 14.5
+#     (mm_decode_real — real-codec roundtrip: per-row PNG encode +
+#      full ImageIO decode + raster checksum over the whole corpus,
+#      clean warm 2.465 s min-of-2)
 BUDGETS = {
     "scan/agg/window": 32.0,
     "joins/sets": 16.0,
@@ -169,7 +175,7 @@ BUDGETS = {
     "streaming/state-store": 28.0,
     "dedup family": 74.2,
     "similarity/ANN": 55.8,
-    "text/multimodal per-row": 11.0,
+    "text/multimodal per-row": 14.5,
     "pipeline composites": 15.1,
 }
 
