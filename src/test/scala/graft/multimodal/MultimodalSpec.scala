@@ -87,6 +87,19 @@ class MultimodalSpec extends SparkSpec {
     assert(a.count() === docs.count())
     assert(a.filter(col("format") =!= "png").isEmpty,
       "every synthesized payload must decode as png")
+
+    // the 100 TB shape: decode parallelism = scan parallelism. The
+    // plan must carry NO Exchange (the codec runs where the scan
+    // runs) and the scan must read doc_id alone (column pruning —
+    // payload bytes enter at the codec, never through a wide scan).
+    val plan = a.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"),
+      s"real-codec decode plan shuffles:\n$plan")
+    val scanSchema = "ReadSchema: struct<doc_id:bigint>"
+    assert(plan.contains(scanSchema) ||
+      a.queryExecution.executedPlan.collectLeaves()
+        .exists(_.toString.contains("doc_id")),
+      s"scan not pruned to doc_id:\n$plan")
   }
 
   test("batchEmbed: partition/batch-invariant and feeds the ANN stack") {

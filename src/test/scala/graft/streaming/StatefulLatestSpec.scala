@@ -40,6 +40,39 @@ class StatefulLatestSpec extends SparkSpec {
       expectedDead.except(tombstoned).isEmpty)
   }
 
+  test("the same stateful query runs on the RocksDB state store — the " +
+       "provider a 100 TB deployment keys on — with identical results") {
+    // The default HDFS-backed store holds every key's state on-heap;
+    // at production key cardinality the provider of record is RocksDB
+    // (incremental checkpoints, state >> heap). The state contract
+    // must be provider-independent: run the SAME replay under
+    // RocksDBStateStoreProvider and require the identical final image.
+    import spark.implicits._
+    val base = Files.createTempDirectory("staterocks").toString
+    val feed = CdcQueries.flatFeed(spark, sf)
+      .select("key", "event_id", "ts_us", "value", "props", "op")
+    feed.write.mode("append").parquet(s"$base/in")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      StatefulLatest.replayToMemory(spark, s"$base/in",
+        "stateful_rocksdb", s"$base/cp")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val live = Materialize.latest(spark.table("stateful_rocksdb"),
+        Seq("key"), Seq(col("ts_us"), col("event_id")))
+      .filter(!col("deleted")).select("key", "event_id", "value")
+    val expected = Materialize.currentState(feed, Seq("key"),
+      Seq(col("ts_us"), col("event_id")))
+      .select("key", "event_id", "value")
+    assert(live.except(expected).isEmpty && expected.except(live).isEmpty,
+      "RocksDB-backed state diverged from the batch truth")
+  }
+
   test("out-of-order arrivals never regress state (per-key monotonic)") {
     import spark.implicits._
     val base = Files.createTempDirectory("statemono").toString
