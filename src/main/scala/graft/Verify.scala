@@ -25,6 +25,15 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet)
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // Fail LOUDLY on a name that matches nothing: a typo'd SKIP would
+    // silently run the very query it meant to fence (hours at replica
+    // scale) while skipped.json records it as skipped-by-design — the
+    // exact misleading provenance the file exists to prevent.
+    val unknown = (skip ++ only.getOrElse(Set.empty))
+      .filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_SKIP/ONLY name(s) not in the inventory: " +
+        s"${unknown.toSeq.sorted.mkString(", ")}")
     val selected = (only match {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries

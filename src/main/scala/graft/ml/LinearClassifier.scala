@@ -31,9 +31,6 @@ import org.apache.spark.sql.functions._
   */
 object LinearClassifier {
 
-  /** Train on `(idCol: long, featCol: array<double>, yCol: 0/1)`.
-    * Returns (weights, bias) — z = w·x + b, keep on z ≥ 0.
-    */
   /** The bounded-sample selection arithmetic: rows with
     * `pmod(xxhash64(id), mod) < num` form the training sample.
     * A fixed 10⁶ modulus floors num at 1 once n > sampleN·10⁶
@@ -51,6 +48,9 @@ object LinearClassifier {
     (mod, math.min(mod, math.max(1L, sampleN * mod / n)))
   }
 
+  /** Train on `(idCol: long, featCol: array<double>, yCol: 0/1)`.
+    * Returns (weights, bias) — z = w·x + b, keep on z ≥ 0.
+    */
   def train(data: DataFrame, sampleN: Int = 8192, iters: Int = 500,
             lr: Double = 0.5, idCol: String = "id",
             featCol: String = "features", yCol: String = "y")

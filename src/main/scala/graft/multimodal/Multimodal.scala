@@ -18,6 +18,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache wraps every in-memory read/write in
+  // a FileCacheImage{Input,Output}Stream — one temp-file create/write/
+  // delete round trip PER IMAGE, in the executor hot loop, for byte
+  // payloads that never needed a disk stage. Object init runs once per
+  // executor JVM (first task touching this class), so every codec call
+  // below stays purely in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decoded-media metadata (what a real header probe would return). */
   final case class MediaMeta(
       doc_id: Long, width: Int, height: Int, format: String, n_bytes: Long)
@@ -209,12 +217,16 @@ object Multimodal {
       else if (bytes(0) == 'B' && bytes(1) == 'M') "bmp"
       else "unknown"
     // a truncated body behind a valid magic THROWS from ImageIO rather
-    // than returning null — both are the same corrupt-media outcome
+    // than returning null — both are the same corrupt-media outcome.
+    // NonFatal, not just IOException: image decoders are notorious for
+    // surfacing adversarial bytes as runtime exceptions (negative
+    // array sizes, index bounds), and at crawl scale every one of
+    // those is "corrupt media", never "kill the partition".
     val img =
       if (fmt == "unknown") null
       else try javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) RealMeta(id, -1, -1, 0, "undecodable", 0L)
     else {
       val w = img.getWidth

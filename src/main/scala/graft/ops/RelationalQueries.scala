@@ -203,10 +203,15 @@ object RelationalQueries extends QueryPack {
       // and the sketch in one .agg instead plans an Expand that doubles
       // every input row through the exchange — measured 2.26 → 3.93 s
       // drift at sf0.1 as the events scan grew (r7→r8 worst mover).
+      // count(user_id), not count(*): a NULL user_id survives the
+      // pair-distinct as (event_type, NULL) — counting ROWS would call
+      // it a user, where countDistinct/the oracle's count(DISTINCT)
+      // skip NULLs. count(col) skips them too, and the group itself
+      // still surfaces (n_users = 0) exactly like the old plan's.
       (s, d) => Tables.events(s, d)
         .select(col("event_type"), col("user_id")).distinct()
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_users"),
+        .agg(count(col("user_id")).as("n_users"),
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
         .select(col("event_type"), col("n_users"),
           (abs(col("approx_users") - col("n_users"))

@@ -1212,8 +1212,12 @@ object SimilarityQueries extends QueryPack {
             perturb(vecs.filter(col("vec_id") % 20 === 5), 2 * off))
         val kept = build.filter(
           graft.ml.LinearClassifier.score(col("embedding"), w, b) >= 0)
+        // localCheckpoint: leaks is tiny (matched ids) but feeds TWO
+        // consumers — the anti-join below and the leak-family
+        // stage-entry count — and recomputing it would re-run the
+        // whole gate + cell probe per consumer.
         val leaks = Similarity.semanticMatchedIds(kept, evalSet, cents,
-          tau = 0.99)
+          tau = 0.99).localCheckpoint()
         // clean feeds BOTH sides of the dedup self-join and the final
         // anti-join — materialize it once instead of re-running the
         // gate + decontamination three times (at cluster scale:
@@ -1241,7 +1245,13 @@ object SimilarityQueries extends QueryPack {
           .select((col("vec_id") % off).as("doc_id"))
           .join(docs, Seq("doc_id"))
           .groupBy(col("lang")).agg(count(lit(1)).as(as))
-        val leakGated = famPerLang(kept, off, 2 * off, "n_leak_gated")
+        // gate survivors = clean ⊎ leaks by construction (leaks is the
+        // exact set removed from kept to make clean), so the leak
+        // family's stage-entry count reads both CHECKPOINTS instead of
+        // re-running the classifier gate over the full build union.
+        val leakGated = famPerLang(
+          clean.select("vec_id").unionAll(leaks.select("vec_id")),
+          off, 2 * off, "n_leak_gated")
         val dupEntering =
           famPerLang(clean, 2 * off, Long.MaxValue, "n_dup_entering")
         def recall(entered: org.apache.spark.sql.Column,

@@ -95,11 +95,8 @@ class MultimodalSpec extends SparkSpec {
     val plan = a.queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange"),
       s"real-codec decode plan shuffles:\n$plan")
-    val scanSchema = "ReadSchema: struct<doc_id:bigint>"
-    assert(plan.contains(scanSchema) ||
-      a.queryExecution.executedPlan.collectLeaves()
-        .exists(_.toString.contains("doc_id")),
-      s"scan not pruned to doc_id:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"scan not pruned to doc_id alone:\n$plan")
   }
 
   test("batchEmbed: partition/batch-invariant and feeds the ANN stack") {

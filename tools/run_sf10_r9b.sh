@@ -1,5 +1,7 @@
 #!/bin/bash
 set -u
+# NOTE: batches 1-2 here supersede tools/run_sf10_r9_replay.sh (same
+# output paths) — re-running BOTH clobbers artifacts with redundant work.
 cd /root/repo/localdata/oracle_scratch
 export ORACLE_MEMORY_LIMIT=24GB ORACLE_THREADS=16 ORACLE_TIMEOUT_SEC=2400
 rm -rf .tmp
