@@ -98,7 +98,11 @@ object Plans {
     // the shuffle-free partition-batched shape (one SerializeFromObject
     // over MapPartitions; decode parallelism = scan parallelism, no
     // Exchange before the codec)
-    "mm_decode_real")
+    "mm_decode_real",
+    // round 9: the shared-scan exact+sketch distinct — the plan to
+    // check is the ABSENCE of Expand (pre-dedup on the pair feeds both
+    // the exact count and the duplicate-insensitive HLL in one agg)
+    "agg_approx_distinct")
 
   /** Per-query caveats rendered under the plan heading — the place a
     * reader shopping the inventory learns a query's scale status

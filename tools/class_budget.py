@@ -164,10 +164,14 @@ CLASSES = {
 #      streamed codes-only appends + manifest fan-out probe in one
 #      query, clean warm 3.941 s min-of-2)
 # Round-9 amendment (BASELINE.md "Round-9"): same 1.4x formula:
-#   text/multimodal     11.0 + 1.4*2.465          -> 14.5
+#   text/multimodal     11.0 + 1.4*0.777          -> 12.1
 #     (mm_decode_real — real-codec roundtrip: per-row PNG encode +
-#      full ImageIO decode + raster checksum over the whole corpus,
-#      clean warm 2.465 s min-of-2)
+#      full ImageIO decode + raster checksum over the whole corpus.
+#      First priced at its 2.465 s pre-review clean warm; re-priced
+#      after the review pass found ImageIO's default stream cache
+#      paying a temp-file round trip PER IMAGE — setUseCache(false)
+#      took the query to 0.777 s clean warm, and the floor prices the
+#      fixed form.)
 BUDGETS = {
     "scan/agg/window": 32.0,
     "joins/sets": 16.0,
@@ -175,7 +179,7 @@ BUDGETS = {
     "streaming/state-store": 28.0,
     "dedup family": 74.2,
     "similarity/ANN": 55.8,
-    "text/multimodal per-row": 14.5,
+    "text/multimodal per-row": 12.1,
     "pipeline composites": 15.1,
 }
 
