@@ -21,10 +21,11 @@ object Verify {
     // replay to fence out the deliberately-quadratic scale
     // demonstrator (sim_knn_join; its scale-honest twin
     // sim_knn_join_cell still runs and is oracled).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val skip = sys.env.get("SPARK_GRAFT_SKIP")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    def names(env: String): Option[Set[String]] = sys.env.get(env)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // set-but-empty = unset, not "run nothing"
+    val only = names("SPARK_GRAFT_ONLY")
+    val skip = names("SPARK_GRAFT_SKIP").getOrElse(Set.empty[String])
     // Fail LOUDLY on a name that matches nothing: a typo'd SKIP would
     // silently run the very query it meant to fence (hours at replica
     // scale) while skipped.json records it as skipped-by-design — the
