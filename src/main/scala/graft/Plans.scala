@@ -111,16 +111,36 @@ object Plans {
   val notes: Map[String, String] = Map(
     "sim_knn_join" ->
       ("**SCALE-DEMONSTRATOR — naive baseline, not the production " +
-        "path.** Blocks on fixed-cardinality `label`, so pair volume " +
-        "grows quadratically with the corpus: measured 9.7× time at " +
-        "10× data (sf1) and 15.1× at 3× more (sf3). Kept as the " +
-        "baseline the bounded form is judged against; the documented " +
-        "default for real corpora is `sim_knn_join_cell`."),
+        "path, and (since r10) not in the driver-run inventory.** " +
+        "Blocks on fixed-cardinality `label`, so pair volume grows " +
+        "quadratically with the corpus: measured 9.7× time at 10× " +
+        "data (sf1) and 15.1× at 3× more (sf3). Kept as a spec/bench " +
+        "extra — the baseline the bounded form is judged against; " +
+        "the documented default for real corpora is " +
+        "`sim_knn_join_cell`."),
     "sim_knn_join_cell" ->
       ("The kNN-join **default**: same semantics as `sim_knn_join` " +
         "with blocks refined by trained IVF cell, so block size is " +
         "bounded by nlist ∝ corpus (36× faster at sf3, hash-oracled " +
         "via centroid pinning)."))
+
+  /** Inventory queries plus the demoted scale demonstrators — PLANS.md
+    * keeps documenting the naive kNN join's plan (the pedagogy the
+    * SCALE-DEMONSTRATOR note exists for) even though it left the
+    * driver-run inventory in r10.
+    */
+  def resolve(name: String)
+      : (SparkSession, String) => org.apache.spark.sql.DataFrame =
+    SparkEntry.queries.getOrElse(name,
+      demonstrators(name))
+
+  /** Spec/bench-extra queries that are deliberately NOT in
+    * `SparkEntry.queries` (each name here must carry a `notes` entry
+    * saying why). */
+  val demonstrators: Map[String,
+      (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    ops.SimilarityQueries.knnJoinNaive.name ->
+      ops.SimilarityQueries.knnJoinNaive.fn)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -139,7 +159,7 @@ object Plans {
     out ++= "`ReadSchema` pruned to used columns, exchanges only on "
     out ++= "intended keys, no CartesianProduct.\n"
     selected.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = resolve(name)(spark, sfDir)
       out ++= s"\n## $name\n\n"
       notes.get(name).foreach(n => out ++= s"$n\n\n")
       out ++= "```\n"

@@ -17,10 +17,10 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // local-iteration filters (the driver never sets either — full
     // inventory by default): SPARK_GRAFT_ONLY=q1,q2 runs a subset;
-    // SPARK_GRAFT_SKIP=q1,q2 excludes one — used by the sf10 replica
-    // replay to fence out the deliberately-quadratic scale
-    // demonstrator (sim_knn_join; its scale-honest twin
-    // sim_knn_join_cell still runs and is oracled).
+    // SPARK_GRAFT_SKIP=q1,q2 excludes some. Since r10 the inventory
+    // carries no by-design exclusion at any scale (the quadratic
+    // sim_knn_join demonstrator moved to a spec/bench extra), so SKIP
+    // is purely a local-iteration tool.
     def names(env: String): Option[Set[String]] = sys.env.get(env)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // set-but-empty = unset, not "run nothing"
@@ -39,10 +39,15 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }).filter(q => !skip(q._1))
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // recorded in skipped.json's "failed" array (ADVICE r9): a
+        // query that threw wrote no parquet, so "ran" alone would
+        // claim coverage for an artifact that does not exist
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries that cache intermediates (bm25 dls, dedup shingle
@@ -84,6 +89,7 @@ object Verify {
       s"""{"skip_env": ${q(sys.env.getOrElse("SPARK_GRAFT_SKIP", ""))},
          | "only_env": ${q(sys.env.getOrElse("SPARK_GRAFT_ONLY", ""))},
          | "ran": [${selected.keys.toSeq.sorted.map(q).mkString(",")}],
+         | "failed": [${failed.toSeq.sorted.map(q).mkString(",")}],
          | "skipped": [${skippedKeys.map(q).mkString(",")}]}""".stripMargin
     Files.writeString(Paths.get(s"$outDir/skipped.json"), prov)
     spark.stop()

@@ -43,9 +43,17 @@ object LinearClassifier {
     * classifier's actual selection (ADVICE r8).
     */
   def sampleSelection(n: Long, sampleN: Int): (Long, Long) = {
+    // public API guard (ADVICE r9): `sampleN * mod` with mod = 10¹²
+    // would overflow Long past sampleN ≈ 9.2×10⁶ — and a driver-side
+    // collect that large has no legitimate caller anyway (the whole
+    // contract is a BOUNDED sample). Fail loudly instead of silently
+    // selecting a garbage fraction.
+    require(sampleN >= 1 && sampleN <= (1 << 23),
+      s"sampleN must be in [1, ${1 << 23}] (driver-collected sample); " +
+        s"got $sampleN")
     val mod = if (n <= sampleN.toLong * 1000000L) 1000000L
               else 1000000000000L
-    (mod, math.min(mod, math.max(1L, sampleN * mod / n)))
+    (mod, math.min(mod, math.max(1L, sampleN.toLong * mod / n)))
   }
 
   /** Train on `(idCol: long, featCol: array<double>, yCol: 0/1)`.

@@ -21,10 +21,14 @@ object Multimodal {
   // ImageIO's default stream cache wraps every in-memory read/write in
   // a FileCacheImage{Input,Output}Stream — one temp-file create/write/
   // delete round trip PER IMAGE, in the executor hot loop, for byte
-  // payloads that never needed a disk stage. Object init runs once per
-  // executor JVM (first task touching this class), so every codec call
-  // below stays purely in memory.
-  javax.imageio.ImageIO.setUseCache(false)
+  // payloads that never needed a disk stage. Rather than flipping the
+  // JVM-global ImageIO.setUseCache (which every other ImageIO user in
+  // the process would silently inherit, dependent on class-load
+  // order), every codec call below constructs a MemoryCacheImage
+  // {Input,Output}Stream explicitly — in-memory-only, scoped to the
+  // call site, no global state touched.
+  import javax.imageio.stream.{MemoryCacheImageInputStream,
+    MemoryCacheImageOutputStream}
 
   /** Decoded-media metadata (what a real header probe would return). */
   final case class MediaMeta(
@@ -198,22 +202,82 @@ object Multimodal {
       }
       y += 1
     }
+    writeImage(img, "png", None)
+  }
+
+  /** Encode through an explicit in-memory stream (never ImageIO's
+    * default file-cache path) with an optional compression quality —
+    * the one write call site both fixture encoders share.
+    */
+  private def writeImage(img: java.awt.image.BufferedImage,
+                         format: String,
+                         quality: Option[Float]): Array[Byte] = {
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName(format).next()
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    val ios = new MemoryCacheImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      quality.foreach { q =>
+        param.setCompressionMode(
+          javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(q)
+      }
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
     out.toByteArray
   }
 
+  /** Deterministic real JPEG bytes for a doc id — the format a real
+    * web corpus is actually made of. JPEG is lossy, so an exact SQL
+    * oracle needs images the codec reproduces bit-for-bit: a
+    * BLOCK-CONSTANT grayscale image (every 8×8 JPEG block holds one
+    * constant sample) has a DC-only DCT in every block, and at
+    * compression quality 1.0 the DC coefficient survives quantization
+    * exactly — the JDK round trip is bit-exact (pinned by
+    * MultimodalSpec across all 600 id shapes and empirically across
+    * every sample value 0-255). Dims are `(id%24+2)` × `(id%18+2)`
+    * like the PNG fixture; block (bx, by) holds sample
+    * `(id + 5·bx + 11·by) % 256`, so the pixel checksum is a pure
+    * integer function of the id that a SQL oracle reproduces.
+    */
+  def encodeJpeg(id: Long): Array[Byte] = {
+    val w = (id % 24 + 2).toInt
+    val h = (id % 18 + 2).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((id + 5L * (x / 8) + 11L * (y / 8)) % 256L).toInt
+        r.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    writeImage(img, "jpeg", Some(1.0f))
+  }
+
   /** REAL codec: sniff the container magic, fully decode via the JDK's
-    * ImageIO (PNG and BMP readers ship with the JVM), and checksum the
-    * decoded raster. Undecodable payloads degrade to a typed sentinel
-    * row instead of failing the task — the corrupt-media contract a
-    * 100 TB crawl needs (a single bad blob must not kill a partition).
+    * ImageIO (PNG, JPEG and BMP readers ship with the JVM), and
+    * checksum the decoded raster. Undecodable payloads degrade to a
+    * typed sentinel row instead of failing the task — the
+    * corrupt-media contract a 100 TB crawl needs (a single bad blob
+    * must not kill a partition).
     */
   def decodeReal(id: Long, bytes: Array[Byte]): RealMeta = {
     val fmt =
       if (bytes == null || bytes.length < 8) "unknown"
       else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
         bytes(2) == 'N' && bytes(3) == 'G') "png"
+      else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+        (bytes(2) & 0xff) == 0xff) "jpeg"
       else if (bytes(0) == 'B' && bytes(1) == 'M') "bmp"
       else "unknown"
     // a truncated body behind a valid magic THROWS from ImageIO rather
@@ -224,8 +288,21 @@ object Multimodal {
     // those is "corrupt media", never "kill the partition".
     val img =
       if (fmt == "unknown") null
-      else try javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
+      else try {
+        // explicit in-memory stream: ImageIO.read(InputStream) would
+        // route through the global-useCache default (a temp-file round
+        // trip per image unless someone flipped the JVM-wide flag).
+        // ImageIO.read(ImageInputStream) closes the stream itself on a
+        // successful read, so the belt-and-suspenders close below must
+        // tolerate "already closed".
+        val iis = new MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try javax.imageio.ImageIO.read(iis)
+        finally {
+          try iis.close()
+          catch { case _: java.io.IOException => () }
+        }
+      }
       catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) RealMeta(id, -1, -1, 0, "undecodable", 0L)
     else {
@@ -248,20 +325,35 @@ object Multimodal {
     }
   }
 
+  /** One REAL decode call over a whole batch — THE vectorized call
+    * site the partition-batched seam promises: a real vectorized codec
+    * or inference runtime replaces this body with a single library
+    * call over `batch`, and nothing upstream changes.
+    */
+  def decodeRealBatch(batch: Seq[(Long, Array[Byte])]): Seq[RealMeta] =
+    batch.map { case (id, bytes) => decodeReal(id, bytes) }
+
   /** Encode-then-decode through the partition-batched seam: the encode
-    * stage stands where a blob fetch would (real PNG bytes enter the
-    * pipeline), the decode stage is [[decodeReal]] batched exactly like
-    * [[decodeMeta]] — no shuffle, decode parallelism = scan
-    * parallelism, one vectorized call site per batch.
+    * stage stands where a blob fetch would (real PNG or JPEG bytes
+    * enter the pipeline), the decode stage routes each `batchSize`
+    * group through ONE [[decodeRealBatch]] call — no shuffle, decode
+    * parallelism = scan parallelism, one batched call site per batch.
+    *
+    * @param encoder fixture encoder producing the real bytes for an
+    *                id — [[encodePng]] (default, lossless RGB) or
+    *                [[encodeJpeg]] (lossy grayscale, bit-exact for the
+    *                block-constant fixture family).
     */
   def decodeRealRoundtrip(docs: DataFrame, batchSize: Int = 64,
-                          idCol: String = "doc_id"): Dataset[RealMeta] = {
+                          idCol: String = "doc_id",
+                          encoder: Long => Array[Byte] = encodePng)
+      : Dataset[RealMeta] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          batch.map { id => decodeReal(id, encodePng(id)) }
+        it.grouped(batchSize).flatMap { ids =>
+          decodeRealBatch(ids.map(id => (id, encoder(id))))
         }
       }
   }

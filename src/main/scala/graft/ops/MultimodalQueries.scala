@@ -6,10 +6,13 @@ import graft.multimodal.Multimodal
 import graft.sources.Tables
 
 /** Multimodal-column inventory (north-star M6): opaque binary payloads
-  * with typed metadata. The decode step is a clearly-marked
-  * deterministic stub ([[Multimodal.decodeStub]] — no media libs in the
-  * container); the Spark plumbing (binary schema, partition-batched
-  * decode, frame-sampling explode) is real and oracle-verified.
+  * with typed metadata. Two REAL in-JDK codecs run through the
+  * partition-batched seam (`mm_decode_real`: PNG/BMP; `mm_decode_jpeg`:
+  * baseline JPEG — the dominant web-corpus format); the remaining
+  * decode steps are clearly-marked deterministic stubs
+  * ([[Multimodal.decodeStub]] — no other media libs in the container).
+  * The Spark plumbing (binary schema, partition-batched decode,
+  * frame-sampling explode) is real and oracle-verified throughout.
   */
 object MultimodalQueries extends QueryPack {
 
@@ -79,6 +82,38 @@ object MultimodalQueries extends QueryPack {
         |SELECT doc_id, CAST(w AS INTEGER) AS width,
         |       CAST(h AS INTEGER) AS height,
         |       3 AS channels, 'png' AS format,
+        |       CAST(s AS BIGINT) AS px_sum
+        |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // REAL JPEG decode — the format a 100 TB web corpus is actually
+    // made of (r9 verdict item 1). The fixture is the one family a
+    // lossy codec reproduces bit-exactly: block-constant grayscale at
+    // compression quality 1.0 (every 8×8 JPEG block is DC-only and the
+    // DC coefficient survives quantization exactly — empirically pinned
+    // across all 600 id shapes and all 256 sample values). The bytes
+    // are genuinely JPEG-compressed (FFD8 magic, entropy-coded DCT,
+    // sniffed and fully decoded by the in-JDK ImageIO JPEG reader);
+    // px_sum checksums every decoded raster sample, so a hash match
+    // proves actual pixel decompression, and the oracle recomputes
+    // dims + checksum from the id arithmetic the fixture pins.
+    Q("mm_decode_jpeg",
+      (s, d) => Multimodal
+        .decodeRealRoundtrip(Tables.documents(s, d),
+          encoder = Multimodal.encodeJpeg)
+        .toDF()
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+        |  SELECT doc_id, doc_id % 24 + 2 AS w, doc_id % 18 + 2 AS h
+        |  FROM documents),
+        | px AS (
+        |  SELECT doc_id, w, h,
+        |         sum((doc_id + 5 * (x.x // 8) + 11 * (y.y // 8)) % 256)
+        |           AS s
+        |  FROM d, generate_series(0, 24) x(x), generate_series(0, 18) y(y)
+        |  WHERE x.x < w AND y.y < h GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |       CAST(h AS INTEGER) AS height,
+        |       1 AS channels, 'jpeg' AS format,
         |       CAST(s AS BIGINT) AS px_sum
         |FROM px ORDER BY doc_id""".stripMargin)),
 

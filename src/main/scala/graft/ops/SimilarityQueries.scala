@@ -1626,22 +1626,49 @@ object SimilarityQueries extends QueryPack {
         |FROM pairs WHERE cos >= 0.99
         |ORDER BY a_id, b_id""".stripMargin)),
 
-    // k-NN JOIN — SCALE-DEMONSTRATOR, NOT THE PRODUCTION PATH. Every
-    // vector gets its 3 nearest neighbors (cosine) among vectors
-    // sharing its blocking key. The block key here is `label`, whose
-    // cardinality is FIXED: pair volume is Σ|block|² and each block
-    // grows with the corpus, so the join is structurally quadratic —
-    // measured 9.7× time at 10× data and 15.1× at 3× more (sf3,
-    // BASELINE.md round-4b). It stays in the inventory deliberately,
-    // as the naive baseline the blocked form is judged against; do
-    // not lift it as a production kNN. The default for real corpora
-    // is `sim_knn_join_cell` (knnJoinDefault below): same semantics,
-    // blocks refined by trained IVF cell so block size is bounded by
-    // nlist ∝ corpus — 36× faster at sf3 and still hash-oracled.
-    // What the plan DOES demonstrate and the spec pins: the per-query
-    // top-3 is a WindowGroupLimit (per-partition heaps pushed below
-    // the shuffle in Spark 4), not a full sort of the pair set; norms
-    // are computed once per side, not per pair.
+    // CELL-REFINED kNN join — the scale-honest form of sim_knn_join.
+    // The sf1 measurement (BASELINE.md round-4) showed the fixed-
+    // cardinality label blocking going quadratic: 19.8× time at 10×
+    // data, exactly Σ|block|² growth. Refining every block by the
+    // vector's trained IVF cell bounds block size by nlist, and nlist
+    // scales WITH the corpus (nlist ∝ n/target_block_size keeps
+    // per-row work constant — the knob every production ANN store
+    // turns). Deterministic training → centroids pinned into a
+    // rendered oracle; the whole assignment + blocked join + rank
+    // hash-verifies like the IVF family.
+    Q("sim_knn_join_cell",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        // corpus-derived nlist (deriveNlist) — block size stays bounded
+        // by TargetCellSize at any corpus scale, the property this
+        // query exists to demonstrate
+        val cents = Similarity.trainCentroids(vecs)
+        DynamicOracle.put("sim_knn_join_cell", knnCellOracle(cents))
+        Similarity.knnJoinCells(vecs, 3, cents)
+          .orderBy(col("vec_id"), col("rank"))
+      },
+      None)
+  )
+
+  // k-NN JOIN, NAIVE FORM — SCALE-DEMONSTRATOR, NOT THE PRODUCTION
+  // PATH, and since r10 NOT in the driver-run inventory (r9 verdict
+  // item 2: it was the one deliberately-quadratic query every
+  // full-inventory scale record had to fence). Every vector gets its
+  // 3 nearest neighbors (cosine) among vectors sharing its blocking
+  // key. The block key here is `label`, whose cardinality is FIXED:
+  // pair volume is Σ|block|² and each block grows with the corpus, so
+  // the join is structurally quadratic — measured 9.7× time at 10×
+  // data and 15.1× at 3× more (sf3, BASELINE.md round-4b). It lives
+  // on as the baseline the bounded form is judged against: the plan
+  // shape is pinned by QueryInventorySpec (WindowGroupLimit below the
+  // ranking shuffle; norms computed once per side, not per pair), the
+  // oracle stays attached for spec-level hash verification, and
+  // Bench's extras time it beside `sim_knn_join_cell` so the contrast
+  // stays measured. The default for real corpora is
+  // `sim_knn_join_cell` (knnJoinDefault above): same semantics,
+  // blocks refined by trained IVF cell so block size is bounded by
+  // nlist ∝ corpus — 36× faster at sf3 and still hash-oracled.
+  val knnJoinNaive: Q =
     Q("sim_knn_join",
       (s, d) => {
         val base = doubleVecs(s, d)
@@ -1684,29 +1711,5 @@ object SimilarityQueries extends QueryPack {
         |SELECT a_id AS vec_id, b_id AS neighbor_id, rank,
         |  cos AS cosine
         |FROM ranked WHERE rank <= 3
-        |ORDER BY vec_id, rank""".stripMargin)),
-
-    // CELL-REFINED kNN join — the scale-honest form of sim_knn_join.
-    // The sf1 measurement (BASELINE.md round-4) showed the fixed-
-    // cardinality label blocking going quadratic: 19.8× time at 10×
-    // data, exactly Σ|block|² growth. Refining every block by the
-    // vector's trained IVF cell bounds block size by nlist, and nlist
-    // scales WITH the corpus (nlist ∝ n/target_block_size keeps
-    // per-row work constant — the knob every production ANN store
-    // turns). Deterministic training → centroids pinned into a
-    // rendered oracle; the whole assignment + blocked join + rank
-    // hash-verifies like the IVF family.
-    Q("sim_knn_join_cell",
-      (s, d) => {
-        val vecs = doubleVecs(s, d)
-        // corpus-derived nlist (deriveNlist) — block size stays bounded
-        // by TargetCellSize at any corpus scale, the property this
-        // query exists to demonstrate
-        val cents = Similarity.trainCentroids(vecs)
-        DynamicOracle.put("sim_knn_join_cell", knnCellOracle(cents))
-        Similarity.knnJoinCells(vecs, 3, cents)
-          .orderBy(col("vec_id"), col("rank"))
-      },
-      None)
-  )
+        |ORDER BY vec_id, rank""".stripMargin))
 }

@@ -78,6 +78,82 @@ class MultimodalSpec extends SparkSpec {
     assert(truncated.format === "undecodable")
   }
 
+  test("REAL JPEG codec: genuinely JPEG-compressed bytes decode " +
+       "bit-exactly for the block-constant fixture family; corrupt " +
+       "payloads degrade to the sentinel") {
+    // the exactness claim the oracle stands on: every id shape
+    // (600 covers all 24×18 dim combos several times over) AND every
+    // possible sample value round-trips bit-for-bit at quality 1.0
+    for (id <- 0L until 600L) {
+      val bytes = Multimodal.encodeJpeg(id)
+      // genuinely JPEG: SOI marker, not a PNG/BMP in disguise
+      assert((bytes(0) & 0xff) === 0xff && (bytes(1) & 0xff) === 0xd8,
+        s"id=$id fixture is not a JPEG container")
+      val m = Multimodal.decodeReal(id, bytes)
+      val w = (id % 24 + 2).toInt
+      val h = (id % 18 + 2).toInt
+      assert(m.format === "jpeg" && m.width === w && m.height === h &&
+        m.channels === 1, s"id=$id header mismatch: $m")
+      val expected = (for { y <- 0 until h; x <- 0 until w }
+        yield (id + 5L * (x / 8) + 11L * (y / 8)) % 256L).sum
+      assert(m.px_sum === expected,
+        s"id=$id pixel checksum wrong: JPEG decode not bit-exact")
+    }
+    // every sample value 0-255 survives the lossy round trip exactly
+    // (single-block constant image: DC-only DCT, quality-1.0 quant)
+    for (v <- 0 until 256) {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.getRaster.setSample(x, y, 0, v)
+      // same writer configuration as encodeJpeg, applied to this exact
+      // raster, verified through the public decodeReal seam
+      val bytes = {
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        val out = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream
+          .MemoryCacheImageOutputStream(out)
+        try {
+          writer.setOutput(ios)
+          val p = writer.getDefaultWriteParam
+          p.setCompressionMode(
+            javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          p.setCompressionQuality(1.0f)
+          writer.write(null,
+            new javax.imageio.IIOImage(img, null, null), p)
+        } finally { writer.dispose(); ios.close() }
+        out.toByteArray
+      }
+      val m = Multimodal.decodeReal(0L, bytes)
+      assert(m.px_sum === 64L * v, s"value $v not exact through JPEG")
+    }
+    // corrupt-media contract: a valid FFD8 magic with a truncated body
+    // yields the typed sentinel, never a task-killing exception
+    val truncated = Multimodal.decodeReal(
+      7L, Multimodal.encodeJpeg(7L).take(24))
+    assert(truncated.format === "undecodable" && truncated.channels === 0)
+  }
+
+  test("JPEG roundtrip is partition/batch-invariant; plan has no " +
+       "exchange and a doc_id-pruned scan") {
+    val docs = Tables.documents(spark, sf)
+    val a = Multimodal.decodeRealRoundtrip(
+      docs, batchSize = 64, encoder = Multimodal.encodeJpeg).toDF()
+    val b = Multimodal.decodeRealRoundtrip(
+      docs.repartition(7), batchSize = 1,
+      encoder = Multimodal.encodeJpeg).toDF()
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    assert(a.count() === docs.count())
+    assert(a.filter(col("format") =!= "jpeg").isEmpty,
+      "every synthesized payload must decode as jpeg")
+    val plan = a.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"),
+      s"JPEG decode plan shuffles:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"scan not pruned to doc_id alone:\n$plan")
+  }
+
   test("decodeRealRoundtrip is partition/batch-invariant like the stubs") {
     val docs = Tables.documents(spark, sf)
     val a = Multimodal.decodeRealRoundtrip(docs, batchSize = 64).toDF()

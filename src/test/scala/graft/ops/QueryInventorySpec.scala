@@ -182,12 +182,18 @@ class QueryInventorySpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  // the naive kNN join is a spec/bench extra since r10, not an
+  // inventory query — resolve its plan through the demonstrator Q
+  private def naivePlan: String =
+    SimilarityQueries.knnJoinNaive.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+
   test("sim_knn_join: per-query top-k limits below the ranking shuffle") {
     // Spark 4 pushes a WindowGroupLimit under the rank window's
     // Exchange: each map task keeps a per-group heap of k rows, so the
     // shuffle moves O(groups × k), not the full blocked pair set —
     // the property that makes a blocked kNN join survive 100 TB.
-    val p = plan("sim_knn_join")
+    val p = naivePlan
     val lines = p.linesIterator.toSeq
     val exchangeIdx = lines.indexWhere(l => l.contains("Exchange") &&
       !l.contains("BroadcastExchange"))
@@ -211,7 +217,7 @@ class QueryInventorySpec extends SparkSpec {
       s"no partial WindowGroupLimit below the shuffle:\n$p")
     val cellExchanges = lines.count(l =>
       l.contains("Exchange hashpartitioning"))
-    val plainExchanges = plan("sim_knn_join").linesIterator.count(l =>
+    val plainExchanges = naivePlan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning"))
     assert(cellExchanges <= plainExchanges + 1,
       s"cell refinement added shuffles: $cellExchanges vs " +
@@ -219,18 +225,30 @@ class QueryInventorySpec extends SparkSpec {
   }
 
   test("the cell-refined kNN join stays the documented default and " +
-       "stays oracled; the naive form stays fenced as a demonstrator") {
+       "stays oracled; the naive form stays OUT of the inventory as " +
+       "a demonstrator") {
     // r4 verdict: sim_knn_join is the one deliberately-quadratic plan
-    // in the inventory (15.1× time at 3× data measured). This pins the
-    // fence: the DEFAULT constant names the cell form, both queries
-    // exist, running the cell form registers its rendered oracle, and
-    // the PLANS.md generator carries a scale-demonstrator note for the
-    // naive form pointing at the default — so neither a rename nor a
-    // regenerated PLANS.md can silently drop the warning.
+    // (15.1× time at 3× data measured); r9 verdict item 2 demoted it
+    // out of the driver-run inventory so no scale record needs a
+    // by-design exclusion. This pins the new arrangement: the DEFAULT
+    // constant names the cell form and the cell form IS an inventory
+    // query with a rendered oracle; the naive form is NOT in
+    // SparkEntry.queries but survives as the demonstrator Q (plan
+    // pinned above, timed by Bench's knn extras, still documented in
+    // PLANS.md through Plans.demonstrators with its fence note) —
+    // so neither a rename, a re-promotion, nor a regenerated PLANS.md
+    // can silently change the story.
     assert(SimilarityQueries.knnJoinDefault == "sim_knn_join_cell")
     assert(SimilarityQueries.knnJoinScaleDemonstrator == "sim_knn_join")
     assert(SparkEntry.queries.contains(SimilarityQueries.knnJoinDefault))
-    assert(SparkEntry.queries.contains(
+    assert(!SparkEntry.queries.contains(
+      SimilarityQueries.knnJoinScaleDemonstrator),
+      "the quadratic demonstrator crept back into the inventory")
+    assert(SimilarityQueries.knnJoinNaive.name ==
+      SimilarityQueries.knnJoinScaleDemonstrator)
+    assert(SimilarityQueries.knnJoinNaive.oracle.nonEmpty,
+      "the demonstrator must stay hash-verifiable at spec level")
+    assert(graft.Plans.demonstrators.contains(
       SimilarityQueries.knnJoinScaleDemonstrator))
     SparkEntry.queries(SimilarityQueries.knnJoinDefault)(spark, sf).count()
     assert(DynamicOracle.snapshot.contains(SimilarityQueries.knnJoinDefault),
@@ -243,6 +261,41 @@ class QueryInventorySpec extends SparkSpec {
     assert(graft.Plans.notes.contains(SimilarityQueries.knnJoinDefault),
       "PLANS.md note no longer documents the default kNN join")
     assert(graft.Plans.selected.contains(SimilarityQueries.knnJoinDefault))
+  }
+
+  test("the demoted naive kNN join still hash-matches its oracle " +
+       "semantics via the cell form on shared pairs") {
+    // the demonstrator keeps its oracle SQL, but the driver no longer
+    // replays it — pin its SEMANTICS in-spec instead: rank-1 neighbors
+    // from the naive all-pairs form must agree with the cell-refined
+    // default wherever the cell form found the same neighbor set
+    // (same label AND same trained cell ⇒ identical candidate
+    // ordering). A full-equality check would re-prove the recall
+    // trade, not correctness; rank-1-in-same-cell is the invariant
+    // that is exactly true by construction.
+    import org.apache.spark.sql.functions.col
+    val naive = SimilarityQueries.knnJoinNaive.fn(spark, sf)
+      .filter(col("rank") === 1)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+    val cell = SparkEntry.queries("sim_knn_join_cell")(spark, sf)
+      .filter(col("rank") === 1)
+      .select(col("vec_id"), col("neighbor_id").as("cell_neighbor"),
+        col("cosine").as("cell_cosine"))
+    val joined = naive.join(cell, Seq("vec_id")).cache()
+    try {
+      val n = joined.count()
+      assert(n > 0, "no shared rank-1 rows to compare")
+      // where both forms picked the same neighbor, the cosine must be
+      // bit-identical (same kernel); and the naive rank-1 cosine can
+      // never be WORSE than the cell form's (naive searches a superset)
+      val mismatch = joined.filter(
+        col("neighbor_id") === col("cell_neighbor") &&
+          col("cosine") =!= col("cell_cosine")).count()
+      assert(mismatch === 0, "shared neighbors disagree on cosine")
+      val worse = joined.filter(col("cosine") < col("cell_cosine")).count()
+      assert(worse === 0,
+        "naive all-pairs rank-1 lost to the pruned cell form")
+    } finally { joined.unpersist(); () }
   }
 
   test("text_bm25: query-term postings filter sits on the token " +

@@ -71,12 +71,13 @@ CLASSES = {
         "sim_ann_ivf_sq8_append", "sim_ann_ivf_trained",
         "sim_ann_lsh", "sim_cosine_topk", "sim_hybrid_search",
         "sim_index_describe",
-        "sim_knn_join", "sim_knn_join_cell", "sim_quantized_topk",
+        "sim_knn_join_cell", "sim_quantized_topk",
         "sim_stream_ivf_ingest", "sim_stream_ivf_maintain",
         "sim_stream_sq8_ingest", "sim_stream_pq_ingest",
     ],
     "text/multimodal per-row": [
-        "mm_batch_embed", "mm_decode_meta", "mm_decode_real",
+        "mm_batch_embed", "mm_decode_jpeg", "mm_decode_meta",
+        "mm_decode_real",
         "mm_dedup_binary",
         "mm_feature_extract", "mm_frame_sample", "mm_resize", "text_bm25",
         "text_entropy", "text_fingerprint", "text_histogram",
@@ -172,14 +173,26 @@ CLASSES = {
 #      paying a temp-file round trip PER IMAGE — setUseCache(false)
 #      took the query to 0.777 s clean warm, and the floor prices the
 #      fixed form.)
+# Round-10 amendment (BASELINE.md "Round-10"):
+#   similarity/ANN     55.8 - 1.4*0.68           -> 54.8
+#     (sim_knn_join DEMOTED out of the driver-run inventory — r9
+#      verdict item 2: the deliberately-quadratic demonstrator now
+#      lives in Bench's knn extras + QueryInventorySpec, so its
+#      priced share (committed r9 warm 0.68 s) leaves the floor with
+#      the query.)
+#   text/multimodal     12.1 + 1.4*0.69          -> 13.1
+#     (mm_decode_jpeg — real JPEG roundtrip through the same
+#      partition-batched seam as mm_decode_real: per-row JPEG encode
+#      at quality 1.0 + full in-JDK ImageIO decode + raster checksum
+#      over the whole corpus, clean warm 0.69 s min-of-2.)
 BUDGETS = {
     "scan/agg/window": 32.0,
     "joins/sets": 16.0,
     "cdc materialize/timeline": 22.0,
     "streaming/state-store": 28.0,
     "dedup family": 74.2,
-    "similarity/ANN": 55.8,
-    "text/multimodal per-row": 12.1,
+    "similarity/ANN": 54.8,
+    "text/multimodal per-row": 13.1,
     "pipeline composites": 15.1,
 }
 
