@@ -144,6 +144,16 @@ object Bench {
       // (3/16 cells) and the buy-recall-back setting (8/16)
       extras("ivf_probe_recall_at5") = recallAt(3)
       extras("ivf_probe_recall_at5_np8") = recallAt(8)
+      // the AUTO-TUNED policy (r10): smallest nprobe whose SAMPLE
+      // recall meets 0.95, picked deterministically from the bounded
+      // training sample — recorded beside the CORPUS recall actually
+      // measured at that setting, so the record shows how well the
+      // sample CDF predicts the corpus
+      val cents = sim.Similarity.readCentroids(spark, idxDir,
+        sim.Similarity.indexVersion(spark, idxDir))
+      val tuned = sim.Similarity.tuneNprobe(vecs, cents, 0.95)
+      extras("nprobe_tuned_r95") = tuned.toDouble
+      extras("ivf_probe_recall_at5_tuned") = recallAt(tuned)
       // raw cells bytes/vector, measured BEFORE the append below (so
       // the divisor is the corpus count) — the baseline for the PQ
       // compression ratio in the pq extras

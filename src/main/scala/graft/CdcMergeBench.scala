@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max, min}
+
+/** Sustained-ingest throughput for the CDC merge path (r9 verdict
+  * item 4): replay the sf feed as N time-ordered micro-batches through
+  * [[graft.streaming.CdcPipeline.mergeBatch]] and report events/s plus
+  * a PER-PHASE attribution of each commit's cost (via the pipeline's
+  * phaseRecorder hook) — where the fixed per-commit overhead actually
+  * goes: batch materialization, the touched-bucket collect, the
+  * read-merge-write job, pointer flips, manifest append, GC.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.CdcMergeBench
+  *
+  * Optional env: SPARK_GRAFT_MERGE_BATCHES (comma list, default
+  * "2,10,25"). Prints one JSON line; numbers land in BASELINE.md's
+  * round-10 table.
+  */
+object CdcMergeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val batchCounts = sys.env.getOrElse("SPARK_GRAFT_MERGE_BATCHES",
+      "2,10,25").split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup (codegen/scheduler spin-up, cf. Bench)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val feed = ops.CdcQueries.flatFeed(spark, sfDir).localCheckpoint()
+    val n = feed.count()
+    val bounds = feed.agg(min("ts_us"), max("ts_us")).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val cfg = streaming.CdcPipeline.Config(
+      keyCols = Seq("key"), orderCols = Seq("ts_us", "event_id"),
+      opCol = "op")
+
+    val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
+    streaming.CdcPipeline.phaseRecorder = Some { (p, s) =>
+      phases(p) = phases.getOrElse(p, 0.0) + s
+    }
+
+    def replay(nb: Int): (Double, Map[String, Double]) = {
+      phases.clear()
+      val statePath = s"/tmp/graft_mergebench_state_$nb"
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+      val t0 = System.nanoTime()
+      (0 until nb).foreach { i =>
+        val from = lo + (hi - lo + 1) * i / nb
+        val until = lo + (hi - lo + 1) * (i + 1) / nb
+        streaming.CdcPipeline.mergeBatch(
+          feed.filter(col("ts_us") >= from && col("ts_us") < until),
+          statePath, cfg, i)
+      }
+      ((System.nanoTime() - t0) / 1e9, phases.toMap)
+    }
+
+    val results = batchCounts.map { nb =>
+      val (w1, _) = replay(nb)         // cold: pays plan compile + JIT
+      val (w2, ph) = replay(nb)        // warm: the reported number
+      val wall = math.min(w1, w2)
+      (nb, wall, ph)
+    }
+
+    val sb = new StringBuilder
+    sb ++= s"""{"metric":"cdc_merge_sustained","sf_dir":"$sfDir","events":$n"""
+    results.foreach { case (nb, wall, ph) =>
+      val eps = n / wall
+      sb ++= f""","b$nb":{"wall_sec":$wall%.3f,"events_per_sec":$eps%.0f"""
+      val accounted = ph.values.sum
+      ph.toSeq.sortBy(-_._2).foreach { case (p, s) =>
+        sb ++= f""","$p%s_sec":$s%.3f"""
+      }
+      sb ++= f""","driver_unaccounted_sec":${wall - accounted}%.3f}"""
+    }
+    sb ++= "}"
+    println(sb.toString)
+    streaming.CdcPipeline.phaseRecorder = None
+    spark.stop()
+  }
+}

@@ -80,6 +80,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => VectorSum(args(0))
         .toAggregateExpression()))
     ext.injectFunction((
+      FunctionIdentifier("graft_topk_rows"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.TopKRows].getName,
+        "graft_topk_rows"),
+      (args: Seq[Expression]) => org.apache.spark.sql.graft.TopKRows(
+        args(0), args(1), args(2),
+        args(3).eval().asInstanceOf[Number].intValue(),
+        args(4).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
+    ext.injectFunction((
       FunctionIdentifier("graft_to_avro"),
       new ExpressionInfo(classOf[AvroEncode].getName, "graft_to_avro"),
       (args: Seq[Expression]) => AvroEncode(args(0))))

@@ -395,6 +395,96 @@ object Similarity {
     cents.zipWithIndex.map { case (v, i) => (i, v) }
   }
 
+  /** AUTO-TUNED nprobe (r9 verdict item 8): the recall@k → nprobe
+    * frontier, measured ON THE BOUNDED TRAINING SAMPLE, as a
+    * deterministic pure function of the corpus — the policy that makes
+    * the IVF families self-configuring instead of shipping a magic
+    * nprobe.
+    *
+    * The observation that makes this exact and cheap: within probed
+    * cells the engine scores candidates EXACTLY, so a true top-k
+    * neighbor is retrieved iff its cell is among the query's nprobe
+    * highest-cosine centroids. The nprobe a (query, true-neighbor)
+    * pair NEEDS is therefore the RANK of the neighbor's cell in the
+    * query's centroid ranking — and recall(nprobe) is just the CDF of
+    * that rank distribution. One pass computes the whole frontier:
+    * sample recall at EVERY nprobe simultaneously, no per-setting
+    * re-probe.
+    *
+    * Sample, not corpus: the same `hashSample` selection the centroids
+    * trained on (driver cost ∝ sampleN·(nlist + nQueries)·dim,
+    * independent of corpus scale), queries = the nQueries lowest-id
+    * sample points — deterministic end to end, so the picked nprobe is
+    * reproducible anywhere and can be pinned in a spec. The sample
+    * CDF estimates the corpus CDF; BASELINE.md round-10 records the
+    * sample-predicted vs corpus-measured recall at the picked setting.
+    */
+  def nprobeRecallFrontier(pts: Array[Array[Double]],
+                           cents: Array[Array[Double]],
+                           k: Int = 5, nQueries: Int = 32)
+      : Array[(Int, Double)] = {
+    require(pts.nonEmpty && cents.nonEmpty, "empty sample or centroids")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < a.length) {
+        xy += a(i) * b(i); xx += a(i) * a(i); yy += b(i) * b(i); i += 1
+      }
+      if (xx == 0.0 || yy == 0.0) 0.0
+      else xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    val nlist = cents.length
+    // cell of every sample point: argmax cosine, ties → lower cell id
+    // (nearestCellStructs' tie-break — the engine's assignment)
+    val cellOf = pts.map { p =>
+      var arg = 0; var best = Double.MinValue; var j = 0
+      while (j < nlist) {
+        val s = cos(p, cents(j))
+        if (s > best) { best = s; arg = j }
+        j += 1
+      }
+      arg
+    }
+    val nq = math.min(nQueries, pts.length)
+    // rank needed per (query, true-neighbor): neighbor cell's position
+    // in the query's centroid ranking (desc cosine, ties → lower id)
+    val neededRanks = (0 until nq).flatMap { qi =>
+      val q = pts(qi)
+      // exact top-k among the sample (self excluded, ties → lower idx
+      // — the same rounded-cosine discipline as the engine would add
+      // nothing here: both sides of the comparison are THIS function)
+      val scored = pts.indices.filter(_ != qi)
+        .map(i => (cos(q, pts(i)), i))
+        .sortBy { case (s, i) => (-s, i) }
+        .take(k)
+      val centRank: Map[Int, Int] = cents.indices
+        .map(j => (cos(q, cents(j)), j))
+        .sortBy { case (s, j) => (-s, j) }
+        .zipWithIndex
+        .map { case ((_, j), r) => j -> (r + 1) }
+        .toMap
+      scored.map { case (_, i) => centRank(cellOf(i)) }
+    }
+    (1 to nlist).map { np =>
+      np -> neededRanks.count(_ <= np).toDouble / neededRanks.length
+    }.toArray
+  }
+
+  /** The smallest nprobe whose sample recall@k meets `recallTarget`
+    * (nlist if even probing everything falls short — can only happen
+    * with target > 1). See [[nprobeRecallFrontier]].
+    */
+  def tuneNprobe(corpus: DataFrame, cents: Array[(Int, Array[Double])],
+                 recallTarget: Double, k: Int = 5, nQueries: Int = 32,
+                 idCol: String = "vec_id", vecCol: String = "embedding")
+      : Int = {
+    val n = math.max(1L, corpus.count())
+    val pts = hashSample(corpus, deriveSampleN(cents.length), n,
+      idCol, vecCol)
+    val frontier = nprobeRecallFrontier(pts, cents.map(_._2), k, nQueries)
+    frontier.collectFirst { case (np, r) if r >= recallTarget => np }
+      .getOrElse(cents.length)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 0, nprobe: Int = 0,
               refineIters: Int = 0,

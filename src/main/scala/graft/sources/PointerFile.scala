@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, LocalFileSystem,
+  Options, Path, RawLocalFileSystem}
 
 /** Tiny atomic pointer files — the shared primitive under every
   * crash-safe commit protocol in the engine (the CDC sink's per-bucket
@@ -13,13 +14,57 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   */
 object PointerFile {
 
+  /** One cached FileContext per scheme#authority: `getFileContext`
+    * constructs a fresh AbstractFileSystem per call, measurable
+    * per-commit overhead when a merge flips dozens of pointers.
+    */
+  private val fcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileContext]()
+
+  private def fileContext(uri: java.net.URI,
+                          conf: org.apache.hadoop.conf.Configuration)
+      : FileContext =
+    fcCache.computeIfAbsent(
+      s"${uri.getScheme}#${uri.getAuthority}",
+      _ => FileContext.getFileContext(uri, conf))
+
   def write(fs: FileSystem, dst: Path, value: String): Unit = {
-    val tmp = new Path(dst.getParent, dst.getName + "." +
-      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(value.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(tmp.toUri, fs.getConf)
-      .rename(tmp, dst, Options.Rename.OVERWRITE)
+    // LOCAL fast path (r10, measured in BASELINE.md round-10): the
+    // hadoop create + FileContext-rename pair costs ~37 ms per pointer
+    // on a local disk (checksum-file churn + an AbstractFileSystem
+    // round trip per call) — 32 bucket flips made the CDC merge's
+    // per-commit cost 52% pointer writes. Plain java.nio write +
+    // ATOMIC_MOVE is the SAME protocol (unique tmp sibling, ONE atomic
+    // overwrite-rename — POSIX rename(2)) at 0.36 ms. Non-local
+    // filesystems (HDFS/S3 at cluster scale) keep the hadoop path,
+    // where per-op latency is network-bound and the FileContext rename
+    // carries the required semantics.
+    fs match {
+      case _: LocalFileSystem | _: RawLocalFileSystem =>
+        val dir = java.nio.file.Paths.get(dst.getParent.toUri.getPath)
+        java.nio.file.Files.createDirectories(dir)
+        // a LEGACY checksummed write may have left `.<name>.crc`; new
+        // data under an old crc would fail a ChecksumFileSystem read,
+        // so drop it first (old data + old crc stays consistent until
+        // the move; no crc = no verification after it)
+        java.nio.file.Files.deleteIfExists(
+          dir.resolve(s".${dst.getName}.crc"))
+        val tmp = dir.resolve(dst.getName + "." +
+          java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+        java.nio.file.Files.write(tmp,
+          value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, dir.resolve(dst.getName),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      case _ =>
+        val tmp = new Path(dst.getParent, dst.getName + "." +
+          java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(value.getBytes("UTF-8")) finally out.close()
+        fileContext(tmp.toUri, fs.getConf)
+          .rename(tmp, dst, Options.Rename.OVERWRITE)
+    }
   }
 
   def read(fs: FileSystem, p: Path): String = {

@@ -65,6 +65,26 @@ object CdcPipeline {
     pmod(xxhash64(cfg.keyCols.map(col): _*), lit(cfg.numBuckets))
       .cast("int")
 
+  /** Optional per-phase wall-clock recorder for [[mergeBatch]] — set
+    * only by `graft.CdcMergeBench` to attribute where a commit's fixed
+    * cost goes (batch materialization vs merge write vs pointer/
+    * manifest/GC filesystem work). None in production: the `timed`
+    * wrapper is a nanoTime pair and a None check per PHASE (≤6 per
+    * commit), not per row.
+    */
+  @volatile private[graft] var phaseRecorder
+      : Option[(String, Double) => Unit] = None
+
+  private def timed[T](phase: String)(f: => T): T =
+    phaseRecorder match {
+      case None => f
+      case Some(rec) =>
+        val t0 = System.nanoTime()
+        val r = f
+        rec(phase, (System.nanoTime() - t0) / 1e9)
+        r
+    }
+
   /** File-backed change-event stream (schema must be supplied: streaming
     * sources cannot infer). `options` passes source tuning through —
     * e.g. `maxFilesPerTrigger` to bound micro-batch size (the file-source
@@ -248,24 +268,45 @@ object CdcPipeline {
     val missing = required.filterNot(batch.columns.contains)
     require(missing.isEmpty,
       s"batch is missing required CDC columns: ${missing.mkString(", ")}")
-    if (batch.isEmpty) return
-    val spark = batch.sparkSession
     val order = cfg.orderCols.map(col)
     // ONE materialization of the batch's latest-per-key feeds BOTH the
     // touched-bucket collect and the merge union (no double window).
+    // cache(), NOT localCheckpoint(): checkpointing ran a THIRD Spark
+    // job per commit that wrote every partition of the batch to local
+    // disk before any real work — measured 0.49 s of the 2.1 s
+    // per-commit fixed cost at sf0.1 (BASELINE.md round-10). The cache
+    // materializes lazily inside the touched-bucket collect job and is
+    // reused by the merge write; foreachBatch batch sources are
+    // offset-pinned, so an eviction-forced recompute is deterministic.
     val latest = Materialize.latest(batch, cfg.keyCols, order)
       .withColumn("__bucket", bucketOf(cfg))
-      .localCheckpoint()
+      .cache()
+    try {
+      mergeLatest(latest, statePath, cfg, batchId)
+    } finally { latest.unpersist(blocking = false); () }
+  }
+
+  private def mergeLatest(latest: DataFrame, statePath: String,
+                          cfg: Config, batchId: Long): Unit = {
+    val spark = latest.sparkSession
+    val order = cfg.orderCols.map(col)
+    // touched-bucket list: ≤ numBuckets ints, driver-side by design.
+    // This collect doubles as the empty-batch probe: the pre-r10 code
+    // paid a SEPARATE batch.isEmpty job on every commit before doing
+    // anything — folding it here saves one scheduler round trip per
+    // commit on the path that matters (non-empty batches), and an
+    // empty batch still costs exactly one cheap job.
+    val touched = timed("touched_collect")(
+      latest.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).sorted)
+    if (touched.isEmpty) return
     val fs = new Path(statePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     checkBucketLayout(fs, statePath, cfg)
-    // touched-bucket list: ≤ numBuckets ints, driver-side by design
-    val touched = latest.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
     val ptrs = readPointers(fs, statePath)
     val statePaths = touched.flatMap(b =>
       ptrs.get(b).map(v => bucketPath(statePath, v, b)))
-    val merged =
+    val merged: DataFrame =
       if (statePaths.nonEmpty) {
         // state's bucket is recomputed from the key (deterministic) —
         // files never store it; I/O scoping is pure path selection.
@@ -299,15 +340,24 @@ object CdcPipeline {
     // partitionBy fans out up to (partitions × buckets) small files per
     // batch — the classic small-file explosion. One exchange on the
     // write column keeps it to one file group per touched bucket with
-    // full-size row groups.
-    merged.repartition(col("__bucket")).write
-      .partitionBy("__bucket")
-      .mode("overwrite")
-      .parquet(s"$statePath/batches/$outDir")
-    touched.foreach(b => writePointer(fs, statePath, b, outDir))
-    writeManifest(fs, statePath, batchId,
-      ptrs ++ touched.map(_ -> outDir))
-    gcUnreferenced(fs, statePath, cfg.retainVersions)
+    // full-size row groups. The EXPLICIT partition count (= touched
+    // buckets, never the session's shuffle.partitions) keeps the write
+    // stage at one task per touched bucket — inside a streaming
+    // foreachBatch AQE is disabled for stateful queries, so without
+    // the count a small batch paid shuffle.partitions near-empty write
+    // tasks per commit (pure scheduler overhead at high commit rates).
+    timed("merge_write")(
+      merged.repartition(touched.length, col("__bucket")).write
+        .partitionBy("__bucket")
+        .mode("overwrite")
+        .parquet(s"$statePath/batches/$outDir"))
+    timed("ptr_flips")(
+      touched.foreach(b => writePointer(fs, statePath, b, outDir)))
+    timed("manifest")(
+      writeManifest(fs, statePath, batchId,
+        ptrs ++ touched.map(_ -> outDir)))
+    timed("gc")(
+      gcUnreferenced(fs, statePath, cfg.retainVersions))
   }
 
   /** Read the current materialized state (live rows only — retained

@@ -180,5 +180,40 @@ object Native {
       (args: Seq[Expression]) => FreqSketch(args.head,
         args(1).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression())
+    // r10 (SqlEntrySpec matrix): the remaining DATA-ONLY kernels, so a
+    // pure-SQL user reaches the same expression surface the DataFrame
+    // API does. NOT registered — and documented here as the boundary:
+    // NearestCells and PqEncode bind TRAINED ARTIFACTS (centroid /
+    // codebook arrays) as plan objects; from SQL text those artifacts
+    // have no sane literal form — the SQL route to the IVF/PQ families
+    // is the persisted index (build once, probe via the read API), not
+    // an inline expression.
+    reg.registerFunction(
+      FunctionIdentifier("graft_topk_rows"),
+      new ExpressionInfo(classOf[TopKRows].getName, "graft_topk_rows"),
+      (args: Seq[Expression]) => TopKRows(args.head, args(1), args(2),
+        args(3).eval().asInstanceOf[Number].intValue(),
+        args(4).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression())
+    reg.registerFunction(
+      FunctionIdentifier("graft_vecsum"),
+      new ExpressionInfo(classOf[VectorSum].getName, "graft_vecsum"),
+      (args: Seq[Expression]) => VectorSum(args.head)
+        .toAggregateExpression())
+    reg.registerFunction(
+      FunctionIdentifier("graft_min_shingle_md5"),
+      new ExpressionInfo(classOf[MinShingleMd5].getName,
+        "graft_min_shingle_md5"),
+      (args: Seq[Expression]) => MinShingleMd5(args.head))
+    reg.registerFunction(
+      FunctionIdentifier("graft_minhash_md5"),
+      new ExpressionInfo(classOf[MinHashMd5].getName, "graft_minhash_md5"),
+      (args: Seq[Expression]) => MinHashMd5(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue()))
+    reg.registerFunction(
+      FunctionIdentifier("graft_simhash_md5"),
+      new ExpressionInfo(classOf[SimHashMd5].getName, "graft_simhash_md5"),
+      (args: Seq[Expression]) => SimHashMd5(args.head))
   }
 }

@@ -37,4 +37,218 @@ class SqlEntrySpec extends SparkSpec {
     assert(viaSql.nonEmpty)
     assert(viaSql.sameElements(viaApi))
   }
+
+  // ------------------------------------------------------------------
+  // The SQL-ENTRY MATRIX (r9 verdict item 6): one representative query
+  // per §2.B category, written as PURE spark.sql TEXT in a child
+  // session with the graft extensions registered, asserted
+  // row-identical (exact, doubles bitwise — same kernels both sides)
+  // against the inventory's DataFrame form. This is what a production
+  // user typing SQL at the engine actually exercises: view resolution,
+  // the function registry (graft_* kernels from SQL text), and plan
+  // parity with the API forms.
+  //
+  // NOT SQL-expressible, by design (the documented boundary):
+  //  - the multimodal codecs (`mm_decode_*`, `mm_batch_embed`) are
+  //    partition-batched mapPartitions seams — a codec is not an
+  //    expression;
+  //  - the persisted-index lifecycle verbs (build/append/compact/
+  //    stream) are commit-protocol PROCEDURES, reached from SQL
+  //    through their read side (probe views), not as SELECTs;
+  //  - NearestCells / PqEncode bind TRAINED ARTIFACTS (centroid and
+  //    codebook arrays) as plan objects — no sane SQL literal form;
+  //    the SQL route to IVF/PQ is the persisted index (see
+  //    Native.install's registry note).
+  // ------------------------------------------------------------------
+
+  private lazy val sqlSess: org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    org.apache.spark.sql.graft.Native.install(s)
+    org.apache.spark.sql.graft.TopKRewrite.enable(s)
+    graft.sources.Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+    graft.sources.Tables.orders(s, sf).createOrReplaceTempView("orders")
+    graft.sources.Tables.customer(s, sf).createOrReplaceTempView("customer")
+    graft.sources.Tables.nation(s, sf).createOrReplaceTempView("nation")
+    graft.sources.Tables.events(s, sf).createOrReplaceTempView("events")
+    graft.sources.Tables.documents(s, sf)
+      .createOrReplaceTempView("documents")
+    CdcQueries.flatFeed(s, sf).createOrReplaceTempView("feed")
+    TextQueries.plantedDocs(s, sf).createOrReplaceTempView("planted_docs")
+    SimilarityQueries.doubleVecs(s, sf)
+      .createOrReplaceTempView("graft_vecs")
+    s
+  }
+
+  /** (inventory query, equivalent Spark SQL text over the views). */
+  private val matrix: Seq[(String, String)] = Seq(
+
+    // scans/sources
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= '2000-01-01' AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // projection/filter
+    "include_list_filter" ->
+      """SELECT user_id, count(1) AS n_events
+        |FROM events WHERE user_id IN (1, 2, 3, 5, 8)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // joins (with the broadcast hint a SQL user writes)
+    "join_broadcast" ->
+      """SELECT /*+ BROADCAST(customer), BROADCAST(nation) */
+        |  n_name, count(1) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // aggregations
+    "agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(1) AS avg_qty,
+        |  count(1) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // windows
+    "win_rank" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  rank() OVER (PARTITION BY c_nationkey
+        |               ORDER BY c_acctbal DESC, c_custkey) AS bal_rank
+        |FROM customer
+        |ORDER BY c_nationkey, bal_rank, c_custkey""".stripMargin,
+
+    // set ops
+    "set_union" ->
+      """SELECT o_custkey FROM orders WHERE o_orderdate < '1996-01-01'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= '2000-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+
+    // string/date/math/json functions
+    "fn_json" ->
+      """SELECT event_id,
+        |  get_json_object(props, '$.k') AS k_str,
+        |  CAST(get_json_object(props, '$.k') AS INT) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // CDC materialization (the flagship latest-wins semantics)
+    "cdc_latest_state" ->
+      """WITH ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM feed)
+        |SELECT key, event_id AS last_event_id, op, ts_us, value
+        |FROM ranked WHERE rn = 1 AND op <> 'd'
+        |ORDER BY key""".stripMargin,
+
+    // north-star dedup (md5 content digest — the exact-dedup kernel)
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS rep_id, count(1) AS n_copies
+        |FROM planted_docs GROUP BY md5(text)
+        |ORDER BY rep_id""".stripMargin,
+
+    // north-star text analysis (pure built-ins)
+    "text_histogram" ->
+      """SELECT CAST(floor(length(text) / 200) * 200 AS BIGINT)
+        |    AS len_bucket, count(1) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY len_bucket""".stripMargin,
+
+    // north-star text analysis (tokenizers from SQL text)
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(size(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS n_subword,
+        |  CAST(length(text) AS BIGINT) AS n_chars_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // north-star similarity: the int8-quantized search written as SQL
+    // over the REGISTERED graft kernels (graft_quantize_i8 +
+    // graft_dot_i8 resolving from text — the function-registry proof
+    // beyond sql_entry_topk's graft_cosine)
+    "sim_quantized_topk" ->
+      """WITH coded AS (
+        |  SELECT vec_id, graft_quantize_i8(embedding) AS v
+        |  FROM graft_vecs),
+        | normed AS (
+        |  SELECT vec_id, v,
+        |    sqrt(CAST(graft_dot_i8(v, v) AS DOUBLE)) AS nrm
+        |  FROM coded),
+        | q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+        |       FROM normed WHERE vec_id < 8 AND nrm > 0),
+        | c AS (SELECT vec_id AS cand_id, v AS cv, nrm AS cn
+        |       FROM normed WHERE nrm > 0),
+        | sc AS (
+        |  SELECT query_id, cand_id,
+        |    CAST(graft_dot_i8(qv, cv) AS DOUBLE) / (qn * cn) AS cos
+        |  FROM q JOIN c ON query_id <> cand_id),
+        | r AS (
+        |  SELECT query_id, cand_id, cos, row_number() OVER (
+        |    PARTITION BY query_id
+        |    ORDER BY round(cos, 6) DESC, cand_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, rank, cand_id, round(cos, 4) AS cosine
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)
+
+  matrix.foreach { case (name, sqlText) =>
+    test(s"SQL-entry matrix: $name ≡ its DataFrame form, exactly") {
+      val viaSql = sqlSess.sql(sqlText)
+      val viaApi = graft.SparkEntry.queries(name)(sqlSess, sf)
+      assert(viaSql.columns.toSeq === viaApi.columns.toSeq,
+        s"column sets differ for $name")
+      val n = viaSql.count()
+      assert(n > 0 && n === viaApi.count(), s"row counts differ for $name")
+      // exact row-set equality — doubles compare bitwise (both forms
+      // run the same kernels in the same engine)
+      assert(viaSql.exceptAll(viaApi).isEmpty &&
+        viaApi.exceptAll(viaSql).isEmpty,
+        s"row sets differ for $name")
+    }
+  }
+
+  test("SQL-entry matrix: the broadcast hint lands (join_broadcast " +
+       "plans two BroadcastHashJoins from SQL text)") {
+    val p = sqlSess.sql(matrix.toMap.apply("join_broadcast"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("SQL-entry matrix: newly registered kernels resolve from text " +
+       "(graft_min_shingle_md5 / graft_simhash_md5 / graft_vecsum / " +
+       "graft_topk_rows)") {
+    // smoke each registration with a one-row evaluation: resolution
+    // from SQL text is the contract under test; kernel semantics are
+    // pinned by their own expression specs
+    // token arrays (the kernels shingle internally with k=3, so ≥3
+    // tokens — fewer returns null by contract)
+    val r = sqlSess.sql("""
+      |SELECT
+      |  graft_min_shingle_md5(array('a', 'b', 'c', 'd')) AS f,
+      |  graft_simhash_md5(array('a', 'b', 'c')) AS sh,
+      |  graft_minhash_md5(array('a', 'b', 'c', 'd'), 4, 3) AS mh
+      |""".stripMargin).collect()(0)
+    assert(r.getString(0).nonEmpty)
+    assert(r.get(1) != null)
+    assert(r.getSeq[String](2).length === 4)
+    val agg = sqlSess.sql("""
+      |SELECT graft_vecsum(embedding) AS vs,
+      |       graft_topk_rows(CAST(vec_id AS DOUBLE), vec_id,
+      |         struct(label), 3, 0) AS tk
+      |FROM graft_vecs
+      |""".stripMargin).collect()(0)
+    assert(agg.getSeq[Double](0).nonEmpty)
+    assert(agg.getSeq[Any](1).length === 3)
+  }
 }

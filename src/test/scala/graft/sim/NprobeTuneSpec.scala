@@ -1,0 +1,104 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The auto-tuned nprobe policy (r9 verdict item 8): a deterministic
+  * recall-target → nprobe function measured on the bounded training
+  * sample — [[Similarity.nprobeRecallFrontier]] / [[Similarity.tuneNprobe]].
+  */
+class NprobeTuneSpec extends SparkSpec {
+
+  private def vecs = graft.ops.SimilarityQueries.doubleVecs(spark, sf)
+
+  test("frontier: monotone nondecreasing, exact-1.0 at nprobe=nlist, " +
+       "and the CDF interpretation holds on a planted geometry") {
+    // planted geometry: 4 orthogonal axis clusters in 8-d, centroids =
+    // the axes. A point's true neighbors live in its own cluster, so
+    // nprobe=1 must already reach recall 1.0.
+    val cents = (0 until 4).map { j =>
+      val v = new Array[Double](8); v(j) = 1.0; v
+    }.toArray
+    val pts = (0 until 64).map { i =>
+      val v = new Array[Double](8)
+      v(i % 4) = 1.0
+      v(4 + i % 4) = 0.01 * (i / 4 + 1) // tiny in-cluster spread
+      v
+    }.toArray
+    val frontier = Similarity.nprobeRecallFrontier(pts, cents,
+      k = 3, nQueries = 16)
+    assert(frontier.length === 4)
+    assert(frontier.head._1 === 1 && frontier.last._1 === 4)
+    // CDF: monotone nondecreasing, ends at 1.0
+    frontier.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(a <= b, s"frontier not monotone: $a > $b")
+    }
+    assert(frontier.last._2 === 1.0)
+    // planted separability: one probed cell suffices
+    assert(frontier.head._2 === 1.0,
+      "axis-clustered points must reach full recall at nprobe=1")
+  }
+
+  test("tuneNprobe: minimal pick, deterministic, and ordered in the " +
+       "target — a higher recall target can never pick a smaller nprobe") {
+    val cents = Similarity.trainCentroids(vecs)
+    val picks = Seq(0.25, 0.5, 0.8, 0.95, 1.0)
+      .map(t => t -> Similarity.tuneNprobe(vecs, cents, t))
+    picks.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(a <= b, s"picks not ordered in target: $picks")
+    }
+    assert(picks.forall { case (_, np) =>
+      np >= 1 && np <= cents.length })
+    // determinism: the whole pipeline (hash sample → frontier → pick)
+    // is a pure function of the corpus
+    val again = Seq(0.25, 0.5, 0.8, 0.95, 1.0)
+      .map(t => t -> Similarity.tuneNprobe(vecs, cents, t))
+    assert(picks === again)
+    // minimality: the pick's frontier recall meets the target and the
+    // setting below it does not (recompute the frontier directly)
+    val n = vecs.count()
+    val pts = {
+      // same bounded selection tuneNprobe uses — via the public
+      // trainCentroids path the sample is private, so re-derive with
+      // the documented arithmetic
+      val sN = Similarity.deriveSampleN(cents.length)
+      val num = math.min(1000000L, math.max(1L, sN * 1000000L / n))
+      vecs.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < num)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+    }
+    val frontier = Similarity.nprobeRecallFrontier(pts,
+      cents.map(_._2)).toMap
+    picks.foreach { case (t, np) =>
+      assert(frontier(np) >= t,
+        s"picked nprobe=$np misses target $t: recall=${frontier(np)}")
+      if (np > 1)
+        assert(frontier(np - 1) < t,
+          s"nprobe=${np - 1} already met target $t — pick not minimal")
+    }
+  }
+
+  test("the tuned pick buys the recall it promises on the actual " +
+       "corpus probe (sample CDF ≈ corpus recall)") {
+    // small-SF smoke of the Bench extras contract: probe the corpus at
+    // the tuned setting and compare measured recall@5 to the target.
+    // The sample IS the estimator — allow the usual estimation slack
+    // (±0.15 at this tiny SF; BASELINE.md records the sf0.1 point).
+    val cents = Similarity.trainCentroids(vecs)
+    val tuned = Similarity.tuneNprobe(vecs, cents, recallTarget = 0.95)
+    val probes = vecs.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(vecs, probes, 5)
+      .select(col("query_id"), col("cand_id"))
+    val nBrute = brute.count().toDouble
+    val probed = Similarity.ivfTopK(vecs, probes, 5,
+        nlist = cents.length, nprobe = tuned)
+      .select(col("query_id"), col("cand_id"))
+    val recall = probed.intersect(brute).count() / nBrute
+    assert(recall >= 0.80,
+      s"tuned nprobe=$tuned delivered corpus recall $recall " +
+        "— sample estimate off by more than the allowed slack")
+  }
+}

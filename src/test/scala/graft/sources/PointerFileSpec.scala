@@ -59,6 +59,42 @@ class PointerFileSpec extends SparkSpec {
     assert(dirs(base) == Set("v-003", "v-004"))
   }
 
+  test("local fast path (r10): overwrite is atomic-rename semantics, " +
+       "tmp naming stays cleanStaleTmp-compatible, and a LEGACY " +
+       "checksum file cannot poison the read") {
+    val base = new Path(
+      java.nio.file.Files.createTempDirectory("ptrfast").toString)
+    val fs = fsFor(base)
+    val dst = new Path(base, "p0")
+    // plain write + read round trip (the nio path on a local fs)
+    PointerFile.write(fs, dst, "v-001")
+    assert(PointerFile.read(fs, dst) == "v-001")
+    // overwrite: last write wins, no tmp litter left behind
+    PointerFile.write(fs, dst, "v-002")
+    assert(PointerFile.read(fs, dst) == "v-002")
+    val litter = fs.listStatus(base)
+      .map(_.getPath.getName).filter(_.endsWith(".tmp"))
+    assert(litter.isEmpty, s"tmp litter: ${litter.mkString(",")}")
+    // LEGACY state: a pointer written by the old hadoop path carries a
+    // `.p1.crc` sibling; the nio overwrite must not leave new data
+    // under the old checksum (ChecksumFileSystem would fail the read)
+    val legacy = new Path(base, "p1")
+    val out = fs.create(legacy, true) // checksummed create → .p1.crc
+    try out.write("v-old".getBytes("UTF-8")) finally out.close()
+    assert(fsFor(base).exists(new Path(base, ".p1.crc")),
+      "precondition: legacy write should have produced a crc sibling")
+    PointerFile.write(fs, legacy, "v-new")
+    assert(PointerFile.read(fs, legacy) == "v-new")
+    // cleanStaleTmp still recognizes the fast path's tmp naming: plant
+    // an aged tmp sibling and collect it
+    val stale = new Path(base, "p0.deadbeef.tmp")
+    fs.create(stale, true).close()
+    new java.io.File(stale.toUri.getPath)
+      .setLastModified(System.currentTimeMillis() - 7200000L)
+    PointerFile.cleanStaleTmp(fs, dst)
+    assert(!fs.exists(stale), "aged tmp sibling not collected")
+  }
+
   test("an in-flight build's partial dir NEWER than the window is " +
        "left alone for its own commit to finish") {
     val base = new Path(
