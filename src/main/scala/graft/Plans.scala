@@ -102,7 +102,11 @@ object Plans {
     // round 9: the shared-scan exact+sketch distinct — the plan to
     // check is the ABSENCE of Expand (pre-dedup on the pair feeds both
     // the exact count and the duplicate-insensitive HLL in one agg)
-    "agg_approx_distinct")
+    "agg_approx_distinct",
+    // round 10: the lossy real-codec roundtrip — same shuffle-free
+    // partition-batched shape as mm_decode_real (no Exchange before
+    // the codec, scan pruned to doc_id)
+    "mm_decode_jpeg")
 
   /** Per-query caveats rendered under the plan heading — the place a
     * reader shopping the inventory learns a query's scale status

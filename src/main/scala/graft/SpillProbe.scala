@@ -35,6 +35,17 @@ object SpillProbe {
       // forces UnsafeExternalSorter / aggregation hash maps to spill
       .config("spark.memory.fraction",
         sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.2"))
+      // the universal force-spill lever: every Tungsten sorter spills
+      // after N rows regardless of free memory — with the window and
+      // SMJ buffers dropped to match, a local[32] run exercises the
+      // exact spill-merge code paths a memory-pressured 1000-executor
+      // run hits, even where sf1 per-task state would fit
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_FORCE_SPILL_ROWS", "2147483647"))
+      .config("spark.sql.windowExec.buffer.spill.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_FORCE_SPILL_ROWS", "2147483647"))
+      .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_FORCE_SPILL_ROWS", "2147483647"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -180,11 +180,11 @@ CLASSES = {
 #      lives in Bench's knn extras + QueryInventorySpec, so its
 #      priced share (committed r9 warm 0.68 s) leaves the floor with
 #      the query.)
-#   text/multimodal     12.1 + 1.4*0.69          -> 13.1
+#   text/multimodal     12.1 + 1.4*0.51          -> 12.8
 #     (mm_decode_jpeg — real JPEG roundtrip through the same
 #      partition-batched seam as mm_decode_real: per-row JPEG encode
 #      at quality 1.0 + full in-JDK ImageIO decode + raster checksum
-#      over the whole corpus, clean warm 0.69 s min-of-2.)
+#      over the whole corpus, clean warm 0.513 s min-of-2.)
 BUDGETS = {
     "scan/agg/window": 32.0,
     "joins/sets": 16.0,
@@ -192,7 +192,7 @@ BUDGETS = {
     "streaming/state-store": 28.0,
     "dedup family": 74.2,
     "similarity/ANN": 54.8,
-    "text/multimodal per-row": 13.1,
+    "text/multimodal per-row": 12.8,
     "pipeline composites": 15.1,
 }
 
