@@ -173,6 +173,37 @@ class SqlEntrySpec extends SparkSpec {
         |  CAST(length(text) AS BIGINT) AS n_chars_text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // north-star text analysis via a REGISTERED graft kernel: the
+    // document fingerprint's min-shingle digest resolving from text
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_full,
+        |  graft_min_shingle_md5(split(text, ' ')) AS fp_minshingle
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the custom TypedImperativeAggregate from SQL text: graft_topk's
+    // partial-combinable per-group heap instead of a window sort
+    "top_k_agg" ->
+      """WITH agg AS (
+        |  SELECT o_orderpriority,
+        |         graft_topk(o_totalprice, o_orderkey, 3) AS tk
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, CAST(pos + 1 AS INT) AS rn,
+        |       col.id AS o_orderkey, col.v AS o_totalprice
+        |FROM agg LATERAL VIEW posexplode(tk) t AS pos, col
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    // vector hygiene pass: graft_dot from SQL text for the norm
+    "fn_vector" ->
+      """SELECT vec_id,
+        |  round(sqrt(graft_dot(embedding, embedding)), 6) AS l2_norm,
+        |  round(array_max(embedding), 6) AS max_c,
+        |  round(array_min(embedding), 6) AS min_c,
+        |  round(array_max(embedding)
+        |    / sqrt(graft_dot(embedding, embedding)), 6)
+        |    AS max_c_normalized,
+        |  size(embedding) AS dim
+        |FROM graft_vecs ORDER BY vec_id""".stripMargin,
+
     // north-star similarity: the int8-quantized search written as SQL
     // over the REGISTERED graft kernels (graft_quantize_i8 +
     // graft_dot_i8 resolving from text — the function-registry proof
