@@ -81,6 +81,35 @@ class NprobeTuneSpec extends SparkSpec {
     }
   }
 
+  test("frontier property: for ANY deterministic point/centroid " +
+       "geometry the frontier is a valid CDF and the pick is minimal") {
+    // deterministic pseudo-random geometries (no RNG — seeds are the
+    // loop indices): points on mixed scales, centroid counts from 2
+    // to 16, dims 4 to 16; the CDF contract must hold for all of them
+    for (seed <- 1 to 6) {
+      val dim = 4 + (seed * 3) % 13
+      val nlist = 2 + (seed * 5) % 15
+      val n = 40 + seed * 17
+      def vec(tag: Int, i: Int): Array[Double] =
+        Array.tabulate(dim)(j =>
+          (((tag * 2654435761L + i * 40503L + j * 97L) % 2048L) - 1024L)
+            / 1024.0)
+      val pts = Array.tabulate(n)(i => vec(seed, i))
+      val cents = Array.tabulate(nlist)(c => vec(seed + 100, c))
+      val k = 1 + seed % 4
+      val f = Similarity.nprobeRecallFrontier(pts, cents, k,
+        nQueries = 8)
+      assert(f.length === nlist)
+      assert(f.map(_._1).toSeq === (1 to nlist))
+      f.sliding(2).foreach { case Array((_, a), (_, b)) =>
+        assert(a <= b, s"seed=$seed frontier not monotone")
+      }
+      assert(f.last._2 === 1.0,
+        s"seed=$seed probing every cell must recall everything")
+      assert(f.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+    }
+  }
+
   test("the tuned pick buys the recall it promises on the actual " +
        "corpus probe (sample CDF ≈ corpus recall)") {
     // small-SF smoke of the Bench extras contract: probe the corpus at

@@ -95,6 +95,50 @@ class PointerFileSpec extends SparkSpec {
     assert(!fs.exists(stale), "aged tmp sibling not collected")
   }
 
+  test("local fast path: concurrent writers never corrupt a pointer — " +
+       "every read observes some writer's complete value") {
+    val base = new Path(
+      java.nio.file.Files.createTempDirectory("ptrrace").toString)
+    val fs = fsFor(base)
+    val dst = new Path(base, "hot")
+    PointerFile.write(fs, dst, "v-seed")
+    val writers = 8
+    val perWriter = 50
+    val legal = (0 until writers)
+      .flatMap(w => (0 until perWriter).map(i => s"v-$w-$i"))
+      .toSet + "v-seed"
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers + 2)
+    try {
+      val done = new java.util.concurrent.CountDownLatch(writers)
+      (0 until writers).foreach { w =>
+        pool.execute { () =>
+          try (0 until perWriter).foreach { i =>
+            PointerFile.write(fs, dst, s"v-$w-$i")
+          }
+          catch { case e: Throwable => errs.add(s"writer $w: $e") }
+          finally done.countDown()
+        }
+      }
+      // readers race the writers: a torn/partial value or a
+      // missing-pointer window would both surface here
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      (0 until 2).foreach { r =>
+        pool.execute { () =>
+          try while (!stop.get()) {
+            val v = PointerFile.read(fs, dst)
+            if (!legal(v)) errs.add(s"reader $r saw torn value '$v'")
+          }
+          catch { case e: Throwable => errs.add(s"reader $r: $e") }
+        }
+      }
+      assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      stop.set(true)
+    } finally pool.shutdownNow()
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    assert(legal(PointerFile.read(fs, dst)))
+  }
+
   test("an in-flight build's partial dir NEWER than the window is " +
        "left alone for its own commit to finish") {
     val base = new Path(
