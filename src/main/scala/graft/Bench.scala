@@ -71,7 +71,7 @@ object Bench {
         (name, math.min(warm, retry), cold, ok)
       }
     }
-    val extras = benchExtras(spark, sfDir)
+    val extras = benchExtras(spark, sfDir, skip)
     // FULL record (both per-query maps + extras) goes to the committed
     // BENCH_LOCAL.json — the durable artifact the judge reads.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -90,8 +90,8 @@ object Bench {
     * CDC sink's micro-batch merge throughput (K3's perf signal — the
     * inventory only covers its semantics via CdcPipelineSpec).
     */
-  private def benchExtras(spark: SparkSession, sfDir: String)
-      : Seq[(String, Double)] = {
+  private def benchExtras(spark: SparkSession, sfDir: String,
+                          skip: Set[String]): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions.{col, max, min}
     val extras = scala.collection.mutable.LinkedHashMap[String, Double]()
     // Host-speed proxies FIRST (so the stdout extras clamp keeps them):
@@ -214,13 +214,15 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ivf extras FAILED: ${e.getMessage}")
     }
+    // the kNN-join contrast (r9 verdict item 2): the deliberately-
+    // quadratic naive form left the driver-run inventory in r10 —
+    // these extras keep the naive-vs-cell contrast MEASURED at the
+    // bench SF so the demonstrator's pedagogy survives the demotion.
+    // SPARK_GRAFT_SKIP gates it under the demonstrator's old inventory
+    // name (ADVICE r10): at replica SFs the naive timing is exactly the
+    // Σ|block|² blow-up the demotion removed, so a scale run skips it
+    // with SPARK_GRAFT_SKIP=sim_knn_join; the cell form always runs.
     try {
-      // the kNN-join contrast (r9 verdict item 2): the deliberately-
-      // quadratic naive form left the driver-run inventory in r10 —
-      // these extras keep the naive-vs-cell contrast MEASURED at the
-      // bench SF so the demonstrator's pedagogy survives the demotion.
-      // (At replica SFs the naive number is exactly the Σ|block|²
-      // blow-up BASELINE.md documents; at sf0.1 both are sub-second.)
       def timeNoopKnn(fn: (SparkSession, String)
           => org.apache.spark.sql.DataFrame): Double = {
         def once: Double = {
@@ -230,8 +232,9 @@ object Bench {
         }
         val f = once; math.min(f, once)
       }
-      extras("knn_join_naive_sec") =
-        timeNoopKnn(ops.SimilarityQueries.knnJoinNaive.fn)
+      if (!skip("sim_knn_join"))
+        extras("knn_join_naive_sec") =
+          timeNoopKnn(ops.SimilarityQueries.knnJoinNaive.fn)
       extras("knn_join_cell_sec") =
         timeNoopKnn(SparkEntry.queries("sim_knn_join_cell"))
     } catch { case e: Throwable =>

@@ -64,18 +64,24 @@ object CdcMergeBench {
       ((System.nanoTime() - t0) / 1e9, phases.toMap)
     }
 
+    // wall and phases come from the SAME replay (the warm one) so the
+    // attribution always sums ≤ its wall (ADVICE r10: reporting
+    // min(cold, warm) beside warm-only phases let phase sums exceed
+    // the wall when the cold run happened to be faster, pushing
+    // driver_unaccounted_sec negative). The cold wall is kept as its
+    // own field for the compile+JIT delta.
     val results = batchCounts.map { nb =>
       val (w1, _) = replay(nb)         // cold: pays plan compile + JIT
       val (w2, ph) = replay(nb)        // warm: the reported number
-      val wall = math.min(w1, w2)
-      (nb, wall, ph)
+      (nb, w2, w1, ph)
     }
 
     val sb = new StringBuilder
     sb ++= s"""{"metric":"cdc_merge_sustained","sf_dir":"$sfDir","events":$n"""
-    results.foreach { case (nb, wall, ph) =>
+    results.foreach { case (nb, wall, cold, ph) =>
       val eps = n / wall
-      sb ++= f""","b$nb":{"wall_sec":$wall%.3f,"events_per_sec":$eps%.0f"""
+      sb ++= f""","b$nb":{"wall_sec":$wall%.3f,"wall_cold_sec":$cold%.3f"""
+      sb ++= f""","events_per_sec":$eps%.0f"""
       val accounted = ph.values.sum
       ph.toSeq.sortBy(-_._2).foreach { case (p, s) =>
         sb ++= f""","$p%s_sec":$s%.3f"""

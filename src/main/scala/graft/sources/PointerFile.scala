@@ -14,18 +14,38 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, LocalFileSystem,
   */
 object PointerFile {
 
-  /** One cached FileContext per scheme#authority: `getFileContext`
-    * constructs a fresh AbstractFileSystem per call, measurable
-    * per-commit overhead when a merge flips dozens of pointers.
+  /** One cached FileContext per (scheme#authority, Configuration
+    * instance): `getFileContext` constructs a fresh AbstractFileSystem
+    * per call, measurable per-commit overhead when a merge flips dozens
+    * of pointers. The Configuration is part of the IDENTITY of the key
+    * (ADVICE r10): keying on scheme#authority alone bound the
+    * first-seen conf forever, so a later caller with different settings
+    * (kerberos tokens, fs impl overrides) silently reused a stale
+    * context. Identity (eq), not value equality — Configuration's
+    * equals is reference-based anyway, and in practice each
+    * SparkSession hands every caller the same hadoopConfiguration
+    * instance, so the cache stays one entry per scheme per session
+    * (no unbounded growth).
     */
+  private final class FcKey(
+      val schemeAuth: String,
+      val conf: org.apache.hadoop.conf.Configuration) {
+    override def hashCode: Int =
+      schemeAuth.hashCode ^ System.identityHashCode(conf)
+    override def equals(o: Any): Boolean = o match {
+      case k: FcKey => k.schemeAuth == schemeAuth && (k.conf eq conf)
+      case _ => false
+    }
+  }
+
   private val fcCache =
-    new java.util.concurrent.ConcurrentHashMap[String, FileContext]()
+    new java.util.concurrent.ConcurrentHashMap[FcKey, FileContext]()
 
   private def fileContext(uri: java.net.URI,
                           conf: org.apache.hadoop.conf.Configuration)
       : FileContext =
     fcCache.computeIfAbsent(
-      s"${uri.getScheme}#${uri.getAuthority}",
+      new FcKey(s"${uri.getScheme}#${uri.getAuthority}", conf),
       _ => FileContext.getFileContext(uri, conf))
 
   def write(fs: FileSystem, dst: Path, value: String): Unit = {

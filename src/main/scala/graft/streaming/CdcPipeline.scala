@@ -351,6 +351,33 @@ object CdcPipeline {
         .partitionBy("__bucket")
         .mode("overwrite")
         .parquet(s"$statePath/batches/$outDir"))
+    // DETERMINISM GUARD (ADVICE r10): `latest` is cache()d, not
+    // checkpointed — an eviction-forced recompute between the
+    // touched-bucket collect above and the write is only safe if the
+    // input batch is replayable (foreachBatch sources are offset-
+    // pinned; mergeBatch is also a public API callers can feed
+    // anything). If a nondeterministic recompute emitted rows in
+    // buckets ABSENT from `touched`, their pointers would never flip
+    // and the rows would be silently lost. One listStatus turns that
+    // silent loss into a loud failure BEFORE any pointer moves: the
+    // crash leaves only an unreferenced batch dir (GC'd later), state
+    // intact — the same fail-stop localCheckpoint gave, without its
+    // per-commit write-everything job.
+    timed("bucket_guard") {
+      val touchedSet = touched.toSet
+      val written = fs.listStatus(
+          new Path(s"$statePath/batches/$outDir"))
+        .map(_.getPath.getName)
+        .filter(_.startsWith("__bucket="))
+        .map(_.stripPrefix("__bucket=").toInt)
+      val stray = written.filterNot(touchedSet)
+      require(stray.isEmpty,
+        s"non-deterministic batch: write produced bucket(s) " +
+          s"${stray.sorted.mkString(",")} outside the touched set " +
+          s"${touched.mkString(",")} — the input to mergeBatch must be " +
+          "replayable (offset-pinned source or checkpointed DataFrame); " +
+          "state is untouched, the orphan batch dir will be GC'd")
+    }
     timed("ptr_flips")(
       touched.foreach(b => writePointer(fs, statePath, b, outDir)))
     timed("manifest")(
