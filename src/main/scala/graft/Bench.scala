@@ -43,6 +43,11 @@ object Bench {
         try {
           val cold = runOnce(fn)
           val warm = runOnce(fn)
+          // progress heartbeat for replica-scale runs (sf10 takes
+          // minutes-to-hours; without this the run is a black box
+          // until the final JSON line)
+          System.err.println(
+            f"[bench] $name%s cold=$cold%.2f warm=$warm%.2f")
           (name, math.min(cold, warm), cold, true)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
