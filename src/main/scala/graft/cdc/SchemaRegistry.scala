@@ -31,7 +31,13 @@ final class SchemaRegistry(mode: Mode = Backward) {
         versions(subject) = Vector(schema)
         Right(1)
       case Some(history) =>
-        if (history.last == schema) Right(history.size) // idempotent re-register
+        // idempotent re-register by CONTENT against the whole history,
+        // not just the latest version — Confluent/Glue resolve a known
+        // schema to its existing version id, which is what lets a
+        // crash-replayed stream batch re-present an OLD writer version
+        // without polluting the registry or tripping the gate
+        val known = history.indexOf(schema)
+        if (known >= 0) Right(known + 1)
         else SchemaEvolution.check(history.last, schema, mode) match {
           case Compatible =>
             versions(subject) = history :+ schema

