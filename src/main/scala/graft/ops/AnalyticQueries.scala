@@ -206,7 +206,15 @@ object AnalyticQueries extends QueryPack {
     // First-class AS-OF join API (graft.ops.AsOf) with a 1-hour
     // tolerance: latest click ≤ each purchase, union + one
     // key-partitioned running frame — one shuffle, linear per key.
-    // The oracle is the quadratic argmax definition.
+    // The oracle keeps the independent argmax DEFINITION but bounds
+    // the candidate set with hour-cell bucketing (the join_range
+    // precedent): a click within the 1-hour tolerance of a purchase
+    // lies in the purchase's hour cell or the one before, and each
+    // click carries ONE cell, so every qualifying pair appears exactly
+    // once. The naive non-equi argmax replay was the r11 oracle-growth
+    // detector's one superlinear flag — 360 s at the sf10 replica
+    // (Σ per-user |purchases|·|clicks|); this equi-join form replays
+    // the identical rows (hash-verified at sf0.1) in 12 s there.
     Q("join_asof_tolerance",
       (s, d) => {
         val p = Tables.events(s, d)
@@ -222,22 +230,30 @@ object AnalyticQueries extends QueryPack {
             toleranceUs = Some(3600000000L))
           .orderBy(col("event_id"))
       },
-      Some("""WITH p AS (
+      Some("""WITH p AS MATERIALIZED (
         |  SELECT event_id, user_id, epoch_us(ts) AS p_ts FROM events
         |  WHERE event_type = 'purchase'),
-        | c AS (
-        |  SELECT user_id, epoch_us(ts) AS c_ts, event_id AS click_id
+        | c AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(ts) AS c_ts, event_id AS click_id,
+        |         epoch_us(ts) // 3600000000 AS cell
         |  FROM events WHERE event_type = 'click'),
-        | j AS (
-        |  SELECT p.event_id, p.user_id, p.p_ts, c.click_id,
-        |         c.c_ts AS asof_ts,
-        |         row_number() OVER (PARTITION BY p.event_id
-        |           ORDER BY c.c_ts DESC, c.click_id DESC) AS rn
-        |  FROM p LEFT JOIN c
-        |    ON p.user_id = c.user_id AND c.c_ts <= p.p_ts
-        |   AND p.p_ts - c.c_ts <= 3600000000)
-        |SELECT event_id, user_id, p_ts, click_id, asof_ts
-        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+        | cand AS (
+        |  SELECT pl.event_id, c.click_id, c.c_ts
+        |  FROM (SELECT event_id, user_id, p_ts,
+        |          unnest([p_ts // 3600000000 - 1, p_ts // 3600000000])
+        |            AS cell
+        |        FROM p) pl
+        |  JOIN c ON pl.user_id = c.user_id AND pl.cell = c.cell
+        |  WHERE c.c_ts <= pl.p_ts AND pl.p_ts - c.c_ts <= 3600000000),
+        | w AS (
+        |  SELECT event_id, click_id, c_ts,
+        |         row_number() OVER (PARTITION BY event_id
+        |           ORDER BY c_ts DESC, click_id DESC) AS rn
+        |  FROM cand)
+        |SELECT p.event_id, p.user_id, p_ts, w.click_id, w.c_ts AS asof_ts
+        |FROM p LEFT JOIN (SELECT * FROM w WHERE rn = 1) w
+        |  USING (event_id)
+        |ORDER BY event_id""".stripMargin)),
 
     // Skew-salted fact join (graft.ops.Skew): the probe side's key space
     // is spread over 8 deterministic salt buckets and the build side

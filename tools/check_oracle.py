@@ -194,6 +194,18 @@ if json_out:
         report["_provenance"] = json.load(open(skipped_path))
     with open(json_out, "w") as f:
         json.dump(report, f, indent=1)
+# Oracle-side runtime telemetry (r10 verdict item 6): the CHECKER, not
+# the engine, is the next scale bottleneck (sf10 needed crash-isolated
+# batches with 2400 s timeouts). Surface the top-5 slowest replays in
+# every run so a growing oracle is visible before it eats a replica
+# record; tools/oracle_growth.py compares two records for superlinear
+# growth across sf points.
+slow = sorted(((r.get("oracle_sec"), q) for q, r in report.items()
+               if isinstance(r, dict) and r.get("oracle_sec")),
+              reverse=True)[:5]
+if slow:
+    print("slowest oracles: " +
+          ", ".join(f"{q}={s:.1f}s" for s, q in slow))
 tmo = f", {n_timeout} oracle-timeout" if n_timeout else ""
 print(f"\n{n_pass} pass, {n_fail} fail{tmo}")
 sys.exit(1 if n_fail else 0)
