@@ -841,5 +841,20 @@ object CdcPipeline {
           .exists(_.getPath.getName.startsWith("__bucket=")))
         fs.delete(bd.getPath, true)
     }
+    // MANIFEST GC (r10 verdict item 5, the one unbounded accretion the
+    // small-file audit found): every commit appends one manifest file
+    // and nothing ever deleted them — a months-long low-rate stream
+    // accretes one per commit forever. Commits older than the keep
+    // window are unreadable anyway (their bucket dirs are GC'd above),
+    // so their manifests are dead metadata. Keep retain + 1: the last
+    // `retain` readable commits PLUS the most recently aged-out one,
+    // whose manifest is what lets stateAsOf fail with the precise
+    // "beyond the retention window" diagnostic instead of a bare
+    // "no commit" (TimeTravelSpec pins that error). Sequence numbering
+    // survives: writeManifest derives the next seq from the NEWEST
+    // manifest, which is always kept.
+    listManifests(fs, statePath)
+      .dropRight(math.max(retain, 1) + 1)
+      .foreach { case (_, p) => fs.delete(p, false) }
   }
 }

@@ -62,6 +62,18 @@ object MaintainProbe {
         n
       }
     }
+    // small-file hygiene (r10 verdict item 5): COUNT of live files
+    // under a root — the metric that catches metadata accretion
+    // (_TAGS/manifests/version dirs) that byte totals hide
+    def liveFiles(dir: String): Long = {
+      val p = new Path(dir)
+      if (!fs.exists(p)) 0L
+      else {
+        val it = fs.listFiles(p, true); var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      }
+    }
     def chainLen(dir: String): Int =
       SegmentedIndex.segments(spark, dir,
         SegmentedIndex.currentVersion(spark, dir)).size
@@ -105,6 +117,7 @@ object MaintainProbe {
             println(f"[$name%s] $mode%-12s batches ${r * perRound}%3d " +
               f"probe $tProbe%6.2f s  chain ${chainLen(dir)}%2d  " +
               f"disk ${liveBytes(base) / 1048576.0}%7.1f MiB  " +
+              f"files ${liveFiles(dir)}%5d  " +
               f"sitting $tSit%6.2f s")
           }
       }
@@ -137,5 +150,50 @@ object MaintainProbe {
       (dir, cp, maxSeg) =>
         Similarity.ivfStreamSink(dir, cp, maxSegments = maxSeg),
       dir => () => Similarity.ivfProbeIndexed(dir, qs, 5).count())
+
+    // ---- CDC upsert store: the ~100-commit file-count audit ----
+    // A months-long low-rate stream is ~1 commit per trigger; the
+    // store's live file population must reach a PLATEAU (buckets ×
+    // retained versions + pointers + bounded manifests), not grow with
+    // commit count. Pre-r11 this curve diverged: one manifest file per
+    // commit accreted forever (gcUnreferenced now bounds manifests to
+    // retain + 1). Replays the sf feed as `cdcCommits` time-ordered
+    // micro-batches; prints the curve every 10 commits and FAILS if
+    // the second half still grows.
+    val cdcCommits = sys.env.getOrElse("SPARK_GRAFT_CDC_COMMITS", "100")
+      .toInt
+    val feed = graft.ops.CdcQueries.flatFeed(spark, sfDir)
+      .localCheckpoint()
+    val bounds = feed.agg(min("ts_us"), max("ts_us")).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val statePath = "/tmp/graft_maintain_probe_cdc"
+    fs.delete(new Path(statePath), true)
+    val cfg = graft.streaming.CdcPipeline.Config(
+      keyCols = Seq("key"), orderCols = Seq("ts_us", "event_id"),
+      opCol = "op")
+    val curve = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    (0 until cdcCommits).foreach { i =>
+      val from = lo + (hi - lo + 1) * i / cdcCommits
+      val until = lo + (hi - lo + 1) * (i + 1) / cdcCommits
+      graft.streaming.CdcPipeline.mergeBatch(
+        feed.filter(col("ts_us") >= from && col("ts_us") < until),
+        statePath, cfg, i.toLong)
+      if ((i + 1) % 10 == 0) {
+        val n = liveFiles(statePath)
+        curve += ((i + 1, n))
+        println(f"[cdc-store] commits ${i + 1}%3d  files $n%5d  " +
+          f"disk ${liveBytes(statePath) / 1048576.0}%7.1f MiB")
+      }
+    }
+    // bounded = the max of the second half does not exceed the max of
+    // the first half by more than the per-commit jitter (a commit's
+    // touched-bucket count varies with its key draw; 15% slack)
+    val (h1, h2) = curve.splitAt(curve.size / 2)
+    val (m1, m2) = (h1.map(_._2).max, h2.map(_._2).max)
+    require(m2 <= m1 * 1.15,
+      s"cdc store file count still growing: first-half max $m1, " +
+        s"second-half max $m2 — metadata accretion is back")
+    println(f"[cdc-store] BOUNDED: first-half max $m1%d files, " +
+      f"second-half max $m2%d (${cdcCommits}%d commits)")
   }
 }
