@@ -37,8 +37,13 @@ object Bench {
     // BASELINE.md.
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // SPARK_GRAFT_ONLY (mirror of Verify's): time a named subset — the
+    // single-query replica re-measurement after a fix, without paying
+    // the full inventory + extras
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => !skip(q._1)).map {
+      .filter(q => !skip(q._1) && only.forall(_(q._1))).map {
       case (name, fn) =>
         try {
           val cold = runOnce(fn)
@@ -76,7 +81,10 @@ object Bench {
         (name, math.min(warm, retry), cold, ok)
       }
     }
-    val extras = benchExtras(spark, sfDir, skip)
+    val extras =
+      if (sys.env.contains("SPARK_GRAFT_NO_EXTRAS") || only.isDefined)
+        Seq.empty[(String, Double)]
+      else benchExtras(spark, sfDir, skip)
     // FULL record (both per-query maps + extras) goes to the committed
     // BENCH_LOCAL.json — the durable artifact the judge reads.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

@@ -601,6 +601,55 @@ object SimilarityQueries extends QueryPack {
       |SELECT a_id AS vec_id, b_id AS neighbor_id, rank, cos AS cosine
       |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
 
+  /** Cell-refined near-dup replay for
+    * [[Similarity.cosineNearDupPairsCells]]: the planted universe
+    * (base ∪ perturbed copies) assigns to its argmax cell over the
+    * pinned centroid literals, then exact threshold pairs within
+    * (label, cell). Same assignment conventions as [[knnCellOracle]]
+    * (NaN → -2 mapping, min-cid tie-break).
+    */
+  private def nearDupCellOracle(cents: Array[(Int, Array[Double])])
+      : String =
+    s"""WITH cents(cid, centroid) AS (
+      |  VALUES ${DynamicOracle.centroidValues(cents)}),
+      | base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings),
+      | v AS MATERIALIZED (
+      |  SELECT vec_id, vec, label FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 100000, [vec[1] + 0.05] || vec[2:], label
+      |  FROM base WHERE vec_id % 20 = 0),
+      | cells AS (
+      |   SELECT v.vec_id, c.cid,
+      |     list_dot_product(v.vec, c.centroid) /
+      |       (sqrt(list_dot_product(v.vec, v.vec)) *
+      |        sqrt(list_dot_product(c.centroid, c.centroid))) AS simc
+      |   FROM v CROSS JOIN cents c),
+      | asgn0 AS (
+      |   SELECT c.vec_id, min(c.cid) AS cid
+      |   FROM cells c JOIN (
+      |     SELECT vec_id, max(CASE WHEN isnan(simc)
+      |       THEN -2.0 ELSE simc END) AS bs
+      |     FROM cells GROUP BY vec_id) b
+      |     ON b.vec_id = c.vec_id
+      |    AND (CASE WHEN isnan(c.simc)
+      |         THEN -2.0 ELSE c.simc END) = b.bs
+      |   GROUP BY c.vec_id),
+      | asgn AS MATERIALIZED (
+      |   SELECT a.vec_id, v.vec, v.label, a.cid
+      |   FROM asgn0 a JOIN v USING (vec_id)),
+      | pairs AS (
+      |   SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |     list_dot_product(a.vec, b.vec) /
+      |       (sqrt(list_dot_product(a.vec, a.vec)) *
+      |        sqrt(list_dot_product(b.vec, b.vec))) AS cos
+      |   FROM asgn a JOIN asgn b
+      |     ON a.label = b.label AND a.cid = b.cid
+      |       AND a.vec_id < b.vec_id)
+      |SELECT a_id, b_id, round(cos, 4) AS cosine
+      |FROM pairs WHERE cos >= 0.99
+      |ORDER BY a_id, b_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
 
     // Per-vector kernel functions: L2 norm (fused native dot), component
@@ -1603,28 +1652,28 @@ object SimilarityQueries extends QueryPack {
       },
       None),
 
-    // Embedding-cosine near-dup pairs within a coarse partition (IVF
-    // shape), over planted perturbed copies.
+    // Embedding-cosine near-dup pairs within (coarse partition ×
+    // trained-IVF cell), over planted perturbed copies. CELL-REFINED
+    // since r11: the label-only blocking was the inventory's last
+    // fixed-cardinality all-pairs join — the sf10 bench measured it at
+    // 50.5× time for 10× data, the exact Σ|block|² signature that
+    // demoted sim_knn_join in r10 — so the blocks are subdivided by
+    // the vector's nearest trained centroid exactly like
+    // sim_knn_join_cell (nlist ∝ corpus keeps block size bounded;
+    // planted near-dups co-locate with their original's cell). The
+    // blocking is part of the declared semantics and the centroids pin
+    // into a rendered oracle, so the assignment + bounded pair join +
+    // threshold all hash-verify.
     Q("dedup_embedding_cosine",
-      (s, d) => Similarity.cosineNearDupPairs(plantedVecs(s, d), 0.99)
-        .orderBy(col("a_id"), col("b_id")),
-      Some("""WITH base AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-        | vecs AS (
-        |  SELECT vec_id, v, label FROM base
-        |  UNION ALL
-        |  SELECT vec_id + 100000, [v[1] + 0.05] || v[2:], label
-        |  FROM base WHERE vec_id % 20 = 0),
-        | pairs AS (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |    list_dot_product(a.v, b.v) /
-        |      (sqrt(list_dot_product(a.v, a.v)) *
-        |       sqrt(list_dot_product(b.v, b.v))) AS cos
-        |  FROM vecs a JOIN vecs b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT a_id, b_id, round(cos, 4) AS cosine
-        |FROM pairs WHERE cos >= 0.99
-        |ORDER BY a_id, b_id""".stripMargin)),
+      (s, d) => {
+        val planted = plantedVecs(s, d)
+        val cents = Similarity.trainCentroids(planted)
+        DynamicOracle.put("dedup_embedding_cosine",
+          nearDupCellOracle(cents))
+        Similarity.cosineNearDupPairsCells(planted, 0.99, cents)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
 
     // CELL-REFINED kNN join — the scale-honest form of sim_knn_join.
     // The sf1 measurement (BASELINE.md round-4) showed the fixed-

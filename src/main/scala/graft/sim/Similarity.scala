@@ -1514,4 +1514,39 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
   }
+
+  /** CELL-REFINED near-dup pairs — [[cosineNearDupPairs]] with each
+    * partition block subdivided by the vector's trained-IVF cell, the
+    * same bound [[knnJoinCells]] applies to the kNN join (r4) and for
+    * the same reason: the partition column's cardinality is fixed, so
+    * unrefined pair volume is Σ|block|² and grows quadratically with
+    * the corpus (the r11 sf10 bench measured the unrefined form at
+    * 50.5× time for 10× data — the exact signature that demoted
+    * `sim_knn_join`). Refining by cell bounds block size by
+    * TargetCellSize with nlist ∝ corpus. Near-identical vectors
+    * co-locate in a cell by construction (the dedup workload's planted
+    * property, RecallProbe), and the blocking is part of the declared
+    * semantics — the rendered oracle replays the identical assignment
+    * from the pinned centroids, so the whole phase hash-verifies.
+    */
+  def cosineNearDupPairsCells(vecs: DataFrame, threshold: Double,
+                              cents: Array[(Int, Array[Double])],
+                              partitionCol: String = "label",
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val assigned = vecs.select(col(idCol), col(vecCol),
+      col(partitionCol).as("part"),
+      element_at(nearestCellStructs(col(vecCol), cents, 1), 1)
+        .getField("centroid_id").as("cell"))
+    val a = assigned.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
+      norm(col(vecCol)).as("a_norm"), col("part"), col("cell"))
+    val b = assigned.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+      norm(col(vecCol)).as("b_norm"), col("part"), col("cell"))
+    a.join(b, Seq("part", "cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos",
+        dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
+  }
 }
