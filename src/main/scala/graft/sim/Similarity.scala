@@ -951,7 +951,20 @@ object Similarity {
     * sampled vectors and broadcast; never on the corpus. Result shape:
     * (m)(ksub)(dim/m).
     */
-  def trainPqBooks(corpus: DataFrame, m: Int = 16, ksub: Int = 64,
+  /** Subquantizer count for a dimension: one 4-d subvector per 4
+    * dimensions — m = dim/4 holds BITS PER DIMENSION constant
+    * (log2(ksub)/4 = 1.5 b/dim at the default ksub) as embeddings get
+    * wider. The r11 dim-transfer probe (BASELINE.md round-11) measured
+    * why this must scale: at a FIXED m=16 the subvector width grows
+    * with dim and ADC recall@5 collapses 0.59 → 0.23 → 0.19 across
+    * 64/256/768-d on the same clustered corpus; deriving m holds the
+    * quantization rate — and at 64-d derives exactly the historical
+    * m=16 operating point, so every existing index and oracle is
+    * bit-identical.
+    */
+  def derivePqM(dim: Int): Int = math.max(1, dim / 4)
+
+  def trainPqBooks(corpus: DataFrame, m: Int = 0, ksub: Int = 64,
                    iters: Int = 4, sampleN: Int = 0,
                    idCol: String = "vec_id", vecCol: String = "embedding")
       : Array[Array[Array[Double]]] = {
@@ -960,9 +973,11 @@ object Similarity {
     val pts = hashSample(corpus, sN, n, idCol, vecCol)
     require(pts.nonEmpty, "PQ training sample is empty")
     val dim = pts.head.length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
-    val ds = dim / m
-    Array.tabulate(m) { j =>
+    val mEff = if (m > 0) m else derivePqM(dim)
+    require(dim % mEff == 0,
+      s"dim $dim not divisible by m=$mEff subspaces")
+    val ds = dim / mEff
+    Array.tabulate(mEff) { j =>
       val sub = pts.map(_.slice(j * ds, j * ds + ds))
       trainL2(sub, math.min(ksub, sub.length), iters)
     }
@@ -1006,7 +1021,7 @@ object Similarity {
     * centroids, codebooks and cells atomically together.
     */
   def buildIvfPqIndex(corpus: DataFrame, dir: String,
-                      m: Int = 16, ksub: Int = 64,
+                      m: Int = 0, ksub: Int = 64,
                       nlist: Int = 0, sampleN: Int = 0, iters: Int = 4,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): Unit = {

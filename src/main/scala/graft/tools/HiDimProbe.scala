@@ -14,12 +14,17 @@ import org.apache.spark.sql.functions._
   *
   * The corpus is a hash-seeded mixture (no RNG, reproducible to the
   * bit): `clusters` centers with uniform[-1,1] coordinates, each
-  * vector = its center + 0.35·uniform noise per coordinate. Cluster
-  * count deliberately exceeds the derived nlist at the default scale,
-  * so the coarse quantizer has to merge real structure — the shape an
-  * actual embedding corpus (topical clusters ≫ cells) presents.
+  * vector = its center + `noise`·uniform[-1,1] per coordinate. At the
+  * default noise 1.0 the cluster signal and the intra-cluster spread
+  * carry EQUAL per-coordinate variance — the hard regime where cells
+  * overlap and nprobe actually buys recall (at 0.35 the mixture is so
+  * separated that nprobe=1 already scores 1.0 at any dim, which tests
+  * nothing). Cluster count deliberately exceeds the derived nlist at
+  * the default scale, so the coarse quantizer has to merge real
+  * structure — the shape an actual embedding corpus (topical clusters
+  * ≫ cells) presents.
   *
-  * Usage: runMain graft.tools.HiDimProbe <dim> [n] [clusters] [label]
+  * Usage: runMain graft.tools.HiDimProbe <dim> [n] [clusters] [noise]
   * One JSON line per run; rows across dims make the BASELINE.md
   * dim-transfer table.
   */
@@ -31,7 +36,7 @@ object HiDimProbe {
     * materialization at any n.
     */
   def genEmbeddings(spark: SparkSession, n: Long, dim: Int,
-                    clusters: Int): DataFrame = {
+                    clusters: Int, noise: Double = 1.0): DataFrame = {
     // uniform [-1, 1] from a 64-bit hash, exactly reproducible
     def u(cols: org.apache.spark.sql.Column*) =
       pmod(xxhash64(cols: _*), lit(2000001L)).cast("double") / 1000000.0 - 1.0
@@ -40,7 +45,7 @@ object HiDimProbe {
       .withColumn("label", c)
       .withColumn("embedding",
         transform(sequence(lit(0), lit(dim - 1)), j =>
-          u(lit("c"), col("label"), j) + lit(0.35) * u(lit("n"),
+          u(lit("c"), col("label"), j) + lit(noise) * u(lit("n"),
             col("vec_id"), j)))
       .select(col("vec_id"), col("embedding"),
         col("label").cast("int").as("label"))
@@ -50,7 +55,8 @@ object HiDimProbe {
     val dim = args.headOption.map(_.toInt).getOrElse(256)
     val n = args.lift(1).map(_.toLong).getOrElse(2000L)
     val clusters = args.lift(2).map(_.toInt).getOrElse(48)
-    val label = args.lift(3).getOrElse(s"d$dim-n$n")
+    val noise = args.lift(3).map(_.toDouble).getOrElse(1.0)
+    val label = s"d$dim-n$n-z$noise"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -68,7 +74,7 @@ object HiDimProbe {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    genEmbeddings(spark, n, dim, clusters)
+    genEmbeddings(spark, n, dim, clusters, noise)
       .write.parquet(s"$dir/corpus")
     val vecs = spark.read.parquet(s"$dir/corpus")
 
@@ -103,7 +109,8 @@ object HiDimProbe {
       Similarity.ivfSq8ProbeIndexed(s"$dir/sq8", probes, 5))
 
     println(f"""{"probe":"hidim","label":"$label","dim":$dim,""" +
-      f""""n_vecs":$n,"clusters":$clusters,"nlist":$nlist,""" +
+      f""""n_vecs":$n,"clusters":$clusters,"noise":$noise%.2f,""" +
+      f""""nlist":$nlist,""" +
       f""""nprobe_default":$npDefault,"nprobe_tuned_r95":$tuned,""" +
       f""""recall_at5_npdefault":$rDefault%.3f,""" +
       f""""recall_at5_tuned":$rTuned%.3f,""" +

@@ -48,7 +48,8 @@ CLASSES = {
     ],
     "streaming/state-store": [
         "cdc_multi_table_pipeline", "cdc_stream_dedup",
-        "cdc_stream_enrich", "cdc_stream_pipeline", "cdc_stream_stateful",
+        "cdc_stream_enrich", "cdc_stream_evolving", "cdc_stream_pipeline",
+        "cdc_stream_stateful",
         "stream_interval_join", "stream_late_audit",
         "stream_session_window", "stream_sliding_window",
         "stream_tumbling_window",
@@ -185,11 +186,19 @@ CLASSES = {
 #      partition-batched seam as mm_decode_real: per-row JPEG encode
 #      at quality 1.0 + full in-JDK ImageIO decode + raster checksum
 #      over the whole corpus, clean warm 0.513 s min-of-2.)
+# Round-11 amendment (BASELINE.md "Round-11"):
+#   streaming/state-store 28.0 + 1.4*8.43        -> 39.8
+#     (cdc_stream_evolving — LIVE mid-stream schema evolution: the
+#      feed Avro-encoded under three writer schemas + one poison
+#      version, streamed one slice per trigger through the registry
+#      gate with dead-letter quarantine, then the merged-read-schema
+#      materialization — four real micro-batches with per-commit cost
+#      plus the wire encode, clean warm 8.428 s min-of-2.)
 BUDGETS = {
     "scan/agg/window": 32.0,
     "joins/sets": 16.0,
     "cdc materialize/timeline": 22.0,
-    "streaming/state-store": 28.0,
+    "streaming/state-store": 39.8,
     "dedup family": 74.2,
     "similarity/ANN": 54.8,
     "text/multimodal per-row": 12.8,
