@@ -27,11 +27,20 @@ object SimilarityQueries extends QueryPack {
       transform(col("embedding"), x => x.cast("double")).as("embedding"),
       col("label"))
 
+  /** Id offset of planted near-dup copies — far above any replica's
+    * genuine vec_id range. The r11 sf10 replay caught the old +100000
+    * offset COLLIDING with real ids once the corpus passed 100 k
+    * vectors (sf10 = 200 k): a colliding id conflates two different
+    * vectors under one key, which any per-id grouping (the cell-
+    * assignment oracle, planted-recall hit tests) silently corrupts.
+    */
+  val PlantedIdOffset = 1000000000L
+
   def plantedVecs(s: SparkSession, d: String): DataFrame = {
     val v = doubleVecs(s, d)
     v.unionAll(
       v.filter(col("vec_id") % 20 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"),
+        .select((col("vec_id") + PlantedIdOffset).as("vec_id"),
           concat(array(element_at(col("embedding"), 1) + lit(0.05)),
             slice(col("embedding"), 2, 63)).as("embedding"),
           col("label")))
@@ -617,7 +626,8 @@ object SimilarityQueries extends QueryPack {
       | v AS MATERIALIZED (
       |  SELECT vec_id, vec, label FROM base
       |  UNION ALL
-      |  SELECT vec_id + 100000, [vec[1] + 0.05] || vec[2:], label
+      |  SELECT vec_id + $PlantedIdOffset, [vec[1] + 0.05] || vec[2:],
+      |         label
       |  FROM base WHERE vec_id % 20 = 0),
       | cells AS (
       |   SELECT v.vec_id, c.cid,

@@ -63,11 +63,11 @@ object RecallProbe {
     // at fixed nprobe regardless of corpus scale (unlike random top-5,
     // which is coverage-bound on a decorrelated corpus)
     val planted = graft.ops.SimilarityQueries.plantedVecs(spark, sfDir)
-    val pq = planted.filter(col("vec_id") >= 100000L)
+    val pq = planted.filter(col("vec_id") >= graft.ops.SimilarityQueries.PlantedIdOffset)
     val top = graft.sim.Similarity.ivfTopK(planted, pq, 1,
       nprobe = 3, centroids =
         Some(graft.sim.Similarity.trainCentroids(planted)))
-    val hits = top.filter(col("cand_id") === col("query_id") - 100000L)
+    val hits = top.filter(col("cand_id") === col("query_id") - graft.ops.SimilarityQueries.PlantedIdOffset)
       .count()
     val nPlanted = pq.count()
 

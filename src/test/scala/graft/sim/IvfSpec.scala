@@ -11,9 +11,9 @@ class IvfSpec extends SparkSpec {
   private def planted = SimilarityQueries.plantedVecs(spark, sf)
 
   test("IVF retrieves the planted near-identical vector at rank 1") {
-    val queries = planted.filter(col("vec_id") >= 100000L)
+    val queries = planted.filter(col("vec_id") >= graft.ops.SimilarityQueries.PlantedIdOffset)
     val top = Similarity.ivfTopK(planted, queries, 1, nlist = 16, nprobe = 3)
-    val hits = top.filter(col("cand_id") === col("query_id") - 100000L)
+    val hits = top.filter(col("cand_id") === col("query_id") - graft.ops.SimilarityQueries.PlantedIdOffset)
     val total = queries.count()
     // a near-identical vector lands in the same best cell virtually
     // always; nprobe=3 covers quantization boundary wobble
@@ -58,10 +58,10 @@ class IvfSpec extends SparkSpec {
     assert(after > before + 1e-4, s"refine did not improve: $before -> $after")
 
     // recall with refined centroids stays at the planted-dup bar
-    val queries = planted.filter(col("vec_id") >= 100000L)
+    val queries = planted.filter(col("vec_id") >= graft.ops.SimilarityQueries.PlantedIdOffset)
     val top = Similarity.ivfTopK(planted, queries, 1, nlist = 16,
       nprobe = 3, refineIters = 2)
-    val hits = top.filter(col("cand_id") === col("query_id") - 100000L)
+    val hits = top.filter(col("cand_id") === col("query_id") - graft.ops.SimilarityQueries.PlantedIdOffset)
     assert(hits.count() >= (queries.count() * 0.9).toLong)
   }
 
@@ -91,10 +91,10 @@ class IvfSpec extends SparkSpec {
     assert(meanBestSim(trained) > meanBestSim(seeds) - 1e-9,
       "trained centroids fit worse than strided seeds")
 
-    val queries = planted.filter(col("vec_id") >= 100000L)
+    val queries = planted.filter(col("vec_id") >= graft.ops.SimilarityQueries.PlantedIdOffset)
     val top = Similarity.ivfTopK(planted, queries, 1, nprobe = 3,
       centroids = Some(Similarity.trainCentroids(planted, 16, 2000, 4)))
-    val hits = top.filter(col("cand_id") === col("query_id") - 100000L)
+    val hits = top.filter(col("cand_id") === col("query_id") - graft.ops.SimilarityQueries.PlantedIdOffset)
     assert(hits.count() >= (queries.count() * 0.9).toLong,
       "trained-IVF recall below planted-dup bar")
   }

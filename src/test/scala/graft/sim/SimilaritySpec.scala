@@ -11,20 +11,20 @@ class SimilaritySpec extends SparkSpec {
   private def planted = SimilarityQueries.plantedVecs(spark, sf)
 
   test("brute-force top-1 of a planted near-copy is its original") {
-    val queries = planted.filter(col("vec_id") >= 100000L)
+    val queries = planted.filter(col("vec_id") >= graft.ops.SimilarityQueries.PlantedIdOffset)
     val top = Similarity.bruteForceTopK(planted, queries, 1).cache()
     top.collect().foreach { r =>
       val (q, cand, cos) = (r.getLong(0), r.getLong(2), r.getDouble(3))
-      assert(cand === q - 100000L, s"query $q: top-1 was $cand")
+      assert(cand === q - graft.ops.SimilarityQueries.PlantedIdOffset, s"query $q: top-1 was $cand")
       assert(cos > 0.99, s"query $q: cosine $cos")
     }
-    assert(top.count() === planted.filter(col("vec_id") >= 100000L).count())
+    assert(top.count() === planted.filter(col("vec_id") >= graft.ops.SimilarityQueries.PlantedIdOffset).count())
   }
 
   test("LSH ANN retrieves the planted near-identical vector at rank 1") {
-    val queries = planted.filter(col("vec_id") >= 100000L)
+    val queries = planted.filter(col("vec_id") >= graft.ops.SimilarityQueries.PlantedIdOffset)
     val top = Similarity.lshTopK(planted, queries, 1)
-    val hits = top.filter(col("cand_id") === col("query_id") - 100000L)
+    val hits = top.filter(col("cand_id") === col("query_id") - graft.ops.SimilarityQueries.PlantedIdOffset)
     val total = queries.count()
     // near-identical vectors agree on every hyperplane sign with
     // overwhelming probability, so recall should be essentially total
@@ -67,7 +67,8 @@ class SimilaritySpec extends SparkSpec {
     val pairs = Similarity.cosineNearDupPairs(planted, 0.99).cache()
     val expected = vecs.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("a_id"),
-        (col("vec_id") + 100000L).as("b_id"))
+        (col("vec_id") + graft.ops.SimilarityQueries.PlantedIdOffset)
+          .as("b_id"))
     assert(expected.except(pairs.select("a_id", "b_id")).isEmpty,
       "a planted pair is missing")
     assert(pairs.count() === expected.count(),
