@@ -106,7 +106,13 @@ object Plans {
     // round 10: the lossy real-codec roundtrip — same shuffle-free
     // partition-batched shape as mm_decode_real (no Exchange before
     // the codec, scan pruned to doc_id)
-    "mm_decode_jpeg")
+    "mm_decode_jpeg",
+    // round 11: the audio and video real-codec roundtrips — same
+    // shuffle-free partition-batched shape (scan pruned to doc_id, no
+    // Exchange before the codec); the frame-sampled video path adds
+    // the per-row explode a real frame extractor produces, still
+    // shuffle-free below the presentation sort
+    "mm_decode_wav", "mm_decode_avi", "mm_video_framesum")
 
   /** Per-query caveats rendered under the plan heading — the place a
     * reader shopping the inventory learns a query's scale status

@@ -209,9 +209,9 @@ object Multimodal {
     * default file-cache path) with an optional compression quality —
     * the one write call site both fixture encoders share.
     */
-  private def writeImage(img: java.awt.image.BufferedImage,
-                         format: String,
-                         quality: Option[Float]): Array[Byte] = {
+  private[multimodal] def writeImage(img: java.awt.image.BufferedImage,
+                                     format: String,
+                                     quality: Option[Float]): Array[Byte] = {
     val writer =
       javax.imageio.ImageIO.getImageWritersByFormatName(format).next()
     val out = new java.io.ByteArrayOutputStream()

@@ -2,17 +2,22 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{AudioCodec, Multimodal, VideoCodec}
 import graft.sources.Tables
 
 /** Multimodal-column inventory (north-star M6): opaque binary payloads
-  * with typed metadata. Two REAL in-JDK codecs run through the
-  * partition-batched seam (`mm_decode_real`: PNG/BMP; `mm_decode_jpeg`:
-  * baseline JPEG — the dominant web-corpus format); the remaining
-  * decode steps are clearly-marked deterministic stubs
-  * ([[Multimodal.decodeStub]] — no other media libs in the container).
-  * The Spark plumbing (binary schema, partition-batched decode,
-  * frame-sampling explode) is real and oracle-verified throughout.
+  * with typed metadata. Every modality now has a REAL in-JDK codec
+  * proof through the partition-batched seam — image lossless
+  * (`mm_decode_real`: PNG/BMP), image lossy (`mm_decode_jpeg`:
+  * baseline JPEG, the dominant web-corpus format), audio
+  * (`mm_decode_wav`: RIFF/WAVE 16-bit PCM via javax.sound.sampled),
+  * and video (`mm_decode_avi` / `mm_video_framesum`: MJPEG-in-AVI —
+  * a real RIFF demuxer + per-frame ImageIO JPEG decode). The
+  * remaining metadata/feature/embed steps are clearly-marked
+  * deterministic stubs ([[Multimodal.decodeStub]] — no ML runtimes in
+  * the container); the Spark plumbing (binary schema,
+  * partition-batched decode, frame-sampling explode) is real and
+  * oracle-verified throughout.
   */
 object MultimodalQueries extends QueryPack {
 
@@ -116,6 +121,104 @@ object MultimodalQueries extends QueryPack {
         |       1 AS channels, 'jpeg' AS format,
         |       CAST(s AS BIGINT) AS px_sum
         |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // REAL AUDIO decode (r11: audio was the last stubbed modality with
+    // no real-codec proof). Deterministic 16-bit PCM WAV bytes — built
+    // AND parsed by the in-JDK javax.sound.sampled codec — flow through
+    // the same partition-batched seam as the image paths. PCM is
+    // lossless, so smp_sum (checksum of EVERY decoded sample) and
+    // zero_cross (per-channel sign-change count — a real DSP feature
+    // computed from the decoded samples) are pure integer functions of
+    // the id the oracle reproduces; a hash match proves the codec
+    // actually unpacked the RIFF/fmt/data chunks and the LE16 frames.
+    Q("mm_decode_wav",
+      (s, d) => AudioCodec
+        .decodeWavRoundtrip(Tables.documents(s, d))
+        .toDF()
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+        |    doc_id % 120 + 30 AS n_frames
+        |  FROM documents),
+        | s AS (
+        |  SELECT doc_id, channels, sample_rate, n_frames,
+        |    sum((doc_id * 31 + i.i * 17 + c.c * 7919) % 65536 - 32768)
+        |      AS smp,
+        |    sum(CASE WHEN i.i >= 1 AND
+        |          ((doc_id * 31 + i.i * 17 + c.c * 7919) % 65536 < 32768)
+        |          <> ((doc_id * 31 + (i.i - 1) * 17 + c.c * 7919) % 65536
+        |              < 32768)
+        |        THEN 1 ELSE 0 END) AS zc
+        |  FROM d, generate_series(0, 149) i(i), generate_series(0, 1) c(c)
+        |  WHERE i.i < n_frames AND c.c < channels
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, sample_rate, channels,
+        |       CAST(n_frames AS BIGINT) AS n_frames, 'wav' AS format,
+        |       CAST(smp AS BIGINT) AS smp_sum,
+        |       CAST(zc AS BIGINT) AS zero_cross
+        |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // REAL VIDEO decode (r11): MJPEG frames in a spec-complete AVI
+    // container — a real RIFF demuxer (hdrl→avih metadata, movi→##dc
+    // frames) plus a full ImageIO JPEG decode of EVERY frame. The
+    // frames are the block-constant family mm_decode_jpeg proved
+    // bit-exact at quality 1.0, extended with a per-frame term, so the
+    // all-frames raster checksum is id arithmetic the oracle recomputes
+    // block-wise (block value × clipped block area — no per-pixel
+    // enumeration, the oracle stays cheap at replica scale).
+    Q("mm_decode_avi",
+      (s, d) => VideoCodec
+        .decodeAviRoundtrip(Tables.documents(s, d))
+        .toDF()
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+        |  SELECT doc_id, doc_id % 16 + 8 AS w, doc_id % 12 + 8 AS h,
+        |         doc_id % 5 + 2 AS nf
+        |  FROM documents),
+        | px AS (
+        |  SELECT doc_id, w, h, nf,
+        |    sum(((doc_id + 13 * f.f + 5 * bx.bx + 11 * bb.bb) % 256)
+        |        * least(8, w - 8 * bx.bx) * least(8, h - 8 * bb.bb)) AS s
+        |  FROM d, generate_series(0, 5) f(f), generate_series(0, 2) bx(bx),
+        |       generate_series(0, 2) bb(bb)
+        |  WHERE f.f < nf AND 8 * bx.bx < w AND 8 * bb.bb < h
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |       CAST(h AS INTEGER) AS height,
+        |       CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(CASE doc_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 16
+        |            WHEN 2 THEN 20 ELSE 25 END AS INTEGER) AS fps,
+        |       'mjpeg' AS format, CAST(s AS BIGINT) AS px_sum
+        |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // Frame sampling on REAL video: demux, entropy-decode ONLY every
+    // 2nd frame (skipped frames never hit the JPEG decoder — the cost
+    // model frame sampling exists for), one row per sampled frame with
+    // its full raster checksum. The real-bytes counterpart of the
+    // mm_frame_sample stub explode.
+    Q("mm_video_framesum",
+      (s, d) => VideoCodec
+        .frameSampleRoundtrip(Tables.documents(s, d), step = 2)
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx")),
+      Some("""WITH d AS (
+        |  SELECT doc_id, doc_id % 16 + 8 AS w, doc_id % 12 + 8 AS h,
+        |         doc_id % 5 + 2 AS nf
+        |  FROM documents),
+        | fr AS (
+        |  SELECT doc_id, f.f AS frame_idx,
+        |    sum(((doc_id + 13 * f.f + 5 * bx.bx + 11 * bb.bb) % 256)
+        |        * least(8, w - 8 * bx.bx) * least(8, h - 8 * bb.bb)) AS fs
+        |  FROM d, generate_series(0, 5) f(f), generate_series(0, 2) bx(bx),
+        |       generate_series(0, 2) bb(bb)
+        |  WHERE f.f < nf AND f.f % 2 = 0 AND 8 * bx.bx < w
+        |    AND 8 * bb.bb < h
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |       CAST(fs AS BIGINT) AS f_sum
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // Frame sampling: every 7th frame of a payload-derived clip length.
     Q("mm_frame_sample",

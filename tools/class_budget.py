@@ -77,8 +77,9 @@ CLASSES = {
         "sim_stream_sq8_ingest", "sim_stream_pq_ingest",
     ],
     "text/multimodal per-row": [
-        "mm_batch_embed", "mm_decode_jpeg", "mm_decode_meta",
-        "mm_decode_real",
+        "mm_batch_embed", "mm_decode_avi", "mm_decode_jpeg",
+        "mm_decode_meta",
+        "mm_decode_real", "mm_decode_wav", "mm_video_framesum",
         "mm_dedup_binary",
         "mm_feature_extract", "mm_frame_sample", "mm_resize", "text_bm25",
         "text_entropy", "text_fingerprint", "text_histogram",
@@ -194,6 +195,16 @@ CLASSES = {
 #      gate with dead-letter quarantine, then the merged-read-schema
 #      materialization — four real micro-batches with per-commit cost
 #      plus the wire encode, clean warm 8.428 s min-of-2.)
+#   text/multimodal     12.8 + 1.4*(0.92 + 1.98 + 1.70) -> 19.2
+#     (the r11 audio/video real-codec trio — mm_decode_wav: per-row
+#      16-bit PCM WAV build + full javax.sound decode + sample
+#      checksum + zero-crossings; mm_decode_avi: per-row AVI/MJPEG
+#      container build + RIFF demux + full ImageIO decode of every
+#      frame; mm_video_framesum: same demux decoding only every 2nd
+#      frame, exploded per frame. Clean min-of-2 at sf0.1: 0.915,
+#      1.981, 1.703 s — measured on a sitting whose serial proxy ran
+#      1.51x SLOWER than the r11-close record's, so the floor is
+#      conservative.)
 BUDGETS = {
     "scan/agg/window": 32.0,
     "joins/sets": 16.0,
@@ -201,7 +212,7 @@ BUDGETS = {
     "streaming/state-store": 39.8,
     "dedup family": 74.2,
     "similarity/ANN": 54.8,
-    "text/multimodal per-row": 12.8,
+    "text/multimodal per-row": 19.2,
     "pipeline composites": 15.1,
 }
 
