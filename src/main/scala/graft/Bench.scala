@@ -93,7 +93,7 @@ object Bench {
       java.nio.file.Paths.get(outFile),
       BenchRecord.full(results, extras, sfDir) + "\n")
     catch { case _: Throwable => () }
-    println(BenchRecord.compact(results, extras, sfDir))
+    println(BenchRecord.compact(results, extras, sfDir, outFile))
     spark.stop()
   }
 

@@ -56,7 +56,7 @@ object BenchRecord {
     * totals LAST (see object doc for why the order matters).
     */
   def compact(results: Seq[Result], extras: Seq[(String, Double)],
-      sfDir: String): String = {
+      sfDir: String, outFile: String = "BENCH_LOCAL.json"): String = {
     val heaviest = results.filter(_._4).sortBy(-_._2)
       .map { case (k, v, _, _) => kv(k, v) }
     val failedNames = results.collect { case (k, _, _, false) =>
@@ -64,7 +64,7 @@ object BenchRecord {
     val exEntries = extras.map { case (k, v) => kv(k, v) }
     val total = results.map(_._2).sum
     s"""{"queries":{${clamp(heaviest, 600)}},"extras":{${clamp(exEntries,
-      300)}},"failed":[${clamp(failedNames, 150)}],"full_record":"BENCH_LOCAL.json","sf":"$sfDir","metric":"total","unit":"sec","n_queries":${
+      300)}},"failed":[${clamp(failedNames, 150)}],"full_record":"$outFile","sf":"$sfDir","metric":"total","unit":"sec","n_queries":${
       results.size},"n_failed":${failedNames.size},"value":${r3(total)}}"""
   }
 }

@@ -112,7 +112,12 @@ object Plans {
     // Exchange before the codec); the frame-sampled video path adds
     // the per-row explode a real frame extractor produces, still
     // shuffle-free below the presentation sort
-    "mm_decode_wav", "mm_decode_avi", "mm_video_framesum")
+    "mm_decode_wav", "mm_decode_avi", "mm_video_framesum",
+    // round 11: the media corpus-build composite — the plan to check
+    // is ONE digest-keyed hash exchange for the dedup (16-byte digest
+    // + metadata rows only, payload bytes never shuffle) and a
+    // map-side partial rollup above it; no Exchange below the codec
+    "pipeline_media_build")
 
   /** Per-query caveats rendered under the plan heading — the place a
     * reader shopping the inventory learns a query's scale status

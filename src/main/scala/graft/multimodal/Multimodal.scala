@@ -358,6 +358,51 @@ object Multimodal {
       }
   }
 
+  /** One media-corpus scan row: content digest + REAL decode result —
+    * everything the curation stages downstream need, produced in ONE
+    * pass over the bytes (digest and decode share the fetch; at
+    * 100 TB the payload is touched once and never again).
+    */
+  final case class MediaScan(doc_id: Long, digest: String, width: Int,
+      height: Int, px_sum: Long, format: String)
+
+  /** The media-corpus scan stage of `pipeline_media_build`: real PNG
+    * bytes enter (the fixture encoder stands where the blob fetch
+    * would), and each payload yields its md5 content digest + the
+    * REAL [[decodeReal]] result in one partition-batched pass. A
+    * deterministic corruption plant (every 97th id keeps only the
+    * first 20 bytes — the PNG signature with a truncated IHDR, which
+    * no decoder can read) gives the downstream corrupt-media gate
+    * real rows to drop, the fixture analog of the dead blobs every
+    * crawl carries.
+    *
+    * Scale shape: no shuffle — digest+decode parallelism = scan
+    * parallelism; only (digest, id, dims, checksum) rows ever leave
+    * the stage, the payload bytes never cross the network.
+    */
+  def scanMedia(docs: DataFrame, batchSize: Int = 64,
+                idCol: String = "doc_id"): Dataset[MediaScan] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.grouped(batchSize).flatMap { ids =>
+          ids.map { id =>
+            val full = encodePng(id)
+            val bytes =
+              if (id % 97 == 0) java.util.Arrays.copyOf(full, 20)
+              else full
+            md.reset()
+            val digest = md.digest(bytes)
+              .map(b => f"${b & 0xff}%02x").mkString
+            val m = decodeReal(id, bytes)
+            MediaScan(id, digest, m.width, m.height, m.px_sum, m.format)
+          }
+        }
+      }
+  }
+
   /** Partition-batched embedding inference — the multimodal → ANN
     * bridge: one vectorized model call per `batchSize` records, no
     * shuffle, output schema identical to the `embeddings` table's

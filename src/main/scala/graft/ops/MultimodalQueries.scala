@@ -220,6 +220,54 @@ object MultimodalQueries extends QueryPack {
         |       CAST(fs AS BIGINT) AS f_sum
         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // THE MEDIA CORPUS BUILD (r11) — the multimodal counterpart of
+    // pipeline_full_build: the separately-proven real-codec stages
+    // COMPOSED into one oracled curation query. One partition-batched
+    // pass computes content digest + REAL decode per payload (bytes
+    // touched once, never shuffled); the corrupt-media gate drops the
+    // planted truncations (every 97th id — a PNG signature with a
+    // truncated IHDR); exact binary dedup keeps the min-id survivor
+    // per digest (the PNG fixture family makes duplicate classes
+    // provably = id % 2304: dims repeat mod 24/18, the raster mod
+    // 256, and the encoder is deterministic — pinned byte-level in
+    // MultimodalSpec); the survivor rollup aggregates REAL decoded
+    // pixel statistics per height class. Only digest-keyed metadata
+    // rows reach the one dedup shuffle; the rollup is map-side
+    // partial. The oracle replays gate → class-dedup → rollup from
+    // the id arithmetic.
+    Q("pipeline_media_build",
+      (s, d) => {
+        val scan = Multimodal.scanMedia(Tables.documents(s, d)).toDF()
+        val keep = scan
+          .filter(col("format") =!= "undecodable")
+          .groupBy(col("digest"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            min(col("width")).as("width"),
+            min(col("height")).as("height"),
+            min(col("px_sum")).as("px_sum"))
+        keep.groupBy(col("height"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("px_sum")).as("total_px"),
+            sum(lit(3L) * col("width") * col("height"))
+              .as("total_samples"))
+          .orderBy(col("height"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, doc_id % 24 + 2 AS w, doc_id % 18 + 2 AS h
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        | px AS (
+        |  SELECT doc_id, w, h,
+        |         sum(3 * ((doc_id + 3 * x.x + 7 * y.y) % 256)) AS s
+        |  FROM d, generate_series(0, 24) x(x), generate_series(0, 18) y(y)
+        |  WHERE x.x < w AND y.y < h GROUP BY 1, 2, 3),
+        | keep AS (
+        |  SELECT min(w) AS w, min(h) AS h, min(s) AS s
+        |  FROM px GROUP BY doc_id % 2304)
+        |SELECT CAST(h AS INTEGER) AS height, count(*) AS n_docs,
+        |       CAST(sum(s) AS BIGINT) AS total_px,
+        |       CAST(sum(3 * w * h) AS BIGINT) AS total_samples
+        |FROM keep GROUP BY h ORDER BY height""".stripMargin)),
+
     // Frame sampling: every 7th frame of a payload-derived clip length.
     Q("mm_frame_sample",
       (s, d) => Multimodal

@@ -175,6 +175,71 @@ class MultimodalSpec extends SparkSpec {
       s"scan not pruned to doc_id alone:\n$plan")
   }
 
+  test("media build: duplicate classes are EXACTLY id % 2304 at the " +
+       "byte level (the invariant the pipeline_media_build oracle " +
+       "stands on)") {
+    // dims repeat mod 24 and 18, the raster mod 256; lcm = 2304 and
+    // the PNG encoder is deterministic, so same class ⇒ identical
+    // bytes. Different class ⇒ different dims or raster ⇒ different
+    // bytes. Check both directions across a spread of classes.
+    for (id <- 0L until 80L) {
+      assert(java.util.Arrays.equals(
+        Multimodal.encodePng(id), Multimodal.encodePng(id + 2304L)),
+        s"id=$id: same class not byte-identical")
+      assert(!java.util.Arrays.equals(
+        Multimodal.encodePng(id), Multimodal.encodePng(id + 1152L)),
+        s"id=$id: half-period class collided")
+    }
+  }
+
+  test("media build: the corruption plant is total (every 97th id " +
+       "scans to the sentinel, every other id decodes) and the scan " +
+       "digest keys byte equality") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = (0L until 500L).toDF("doc_id")
+    val scan = Multimodal.scanMedia(ids, batchSize = 32).toDF().cache()
+    try {
+      val corrupt = scan.filter(col("doc_id") % 97 === 0)
+      assert(corrupt.filter(col("format") =!= "undecodable").isEmpty,
+        "a planted truncation decoded")
+      val healthy = scan.filter(col("doc_id") % 97 =!= 0)
+      assert(healthy.filter(col("format") =!= "png").isEmpty,
+        "a healthy payload failed to decode")
+      // inside one 2304-period window every id is its own class, so
+      // every healthy digest must be unique (md5 keys the bytes)
+      val n = healthy.count()
+      assert(healthy.select("digest").distinct().count() === n)
+    } finally { scan.unpersist(); () }
+  }
+
+  test("pipeline_media_build composes gate, dedup and rollup " +
+       "(result matches the stage-by-stage recompute)") {
+    val q = graft.ops.MultimodalQueries.queries
+      .find(_.name == "pipeline_media_build").get
+    val result = q.fn(spark, sf).collect()
+    // independent recompute from the id arithmetic alone
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val survivors = ids.filter(_ % 97 != 0)
+      .groupBy(_ % 2304).values.map(_.min).toSeq
+    val expected = survivors.map { id =>
+      val w = (id % 24 + 2).toInt
+      val h = (id % 18 + 2).toInt
+      val s = (for { y <- 0 until h; x <- 0 until w }
+        yield 3L * ((id + 3L * x + 7L * y) % 256L)).sum
+      (h, s, 3L * w * h)
+    }.groupBy(_._1).map { case (h, rows) =>
+      h -> ((rows.size.toLong, rows.map(_._2).sum, rows.map(_._3).sum))
+    }
+    assert(result.length === expected.size)
+    result.foreach { r =>
+      val (h, n, px, smp) = (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      assert((n, px, smp) === expected(h), s"height $h rollup mismatch")
+    }
+  }
+
   test("batchEmbed: partition/batch-invariant and feeds the ANN stack") {
     val a = Multimodal.batchEmbed(media, batchSize = 64)
     val b = Multimodal.batchEmbed(media.repartition(5), batchSize = 3)

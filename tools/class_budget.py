@@ -93,6 +93,7 @@ CLASSES = {
         "pipeline_curriculum_sample", "pipeline_decontaminate",
         "pipeline_dedup_apply", "pipeline_event_funnel",
         "pipeline_full_build", "pipeline_incremental_agg",
+        "pipeline_media_build",
         "pipeline_mixture_sample", "pipeline_pack_sequences",
         "pipeline_semantic_decontaminate", "pipeline_shuffle_shard",
     ],
@@ -205,6 +206,12 @@ CLASSES = {
 #      1.981, 1.703 s — measured on a sitting whose serial proxy ran
 #      1.51x SLOWER than the r11-close record's, so the floor is
 #      conservative.)
+#   pipeline composites 15.1 + 1.4*0.93          -> 16.4
+#     (pipeline_media_build — the multimodal corpus-build composite:
+#      one partition-batched digest+real-decode pass, corrupt-media
+#      gate over planted truncations, digest-keyed exact dedup,
+#      survivor pixel-stat rollup; clean min-of-2 0.927 s at sf0.1 on
+#      the same slow sitting.)
 BUDGETS = {
     "scan/agg/window": 32.0,
     "joins/sets": 16.0,
@@ -213,7 +220,7 @@ BUDGETS = {
     "dedup family": 74.2,
     "similarity/ANN": 54.8,
     "text/multimodal per-row": 19.2,
-    "pipeline composites": 15.1,
+    "pipeline composites": 16.4,
 }
 
 
