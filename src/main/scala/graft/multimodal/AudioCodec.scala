@@ -33,6 +33,44 @@ object AudioCodec {
   final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
       n_frames: Long, format: String, smp_sum: Long, zero_cross: Long)
 
+  // The AudioSystem facade resolves its SPI providers through a
+  // SYNCHRONIZED, UNCACHED ServiceLoader scan on EVERY call
+  // (JDK13Services.getProviders) — measured here as 32 executor
+  // threads achieving 1.9x of the 32x ideal (the per-row codec work
+  // serialized on that lock, and the sf0.1→sf1 bench step went 33x at
+  // 10x data). Resolving the WAVE reader/writer ONCE through the same
+  // public SPI (javax.sound.sampled.spi) and invoking the providers
+  // directly removes the global lock from the hot loop; the codec
+  // implementations that run are the identical JDK ones.
+  private lazy val audioReaders
+      : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    // WAVE readers FIRST: the JDK's SPI order probes the Gervill
+    // SoftMidiAudioFileReader before WaveFileReader, and that probe
+    // synchronizes every thread on the soft-synth global state —
+    // measured as 0.9x of ideal at 32 threads (i.e. fully serial).
+    // The payloads this engine decodes are magic-sniffed RIFF/WAVE, so
+    // the wave readers accept them and the MIDI probe never runs; any
+    // other container still falls through the full SPI chain.
+    b.result().sortBy(r =>
+      if (r.getClass.getSimpleName.contains("Wave")) 0 else 1)
+  }
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var found: javax.sound.sampled.spi.AudioFileWriter = null
+    while (found == null && it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE)) found = w
+    }
+    require(found != null, "no WAVE writer provider in this JVM")
+    found
+  }
+
   /** Fixture PCM sample for (id, frame, channel) — pure integer
     * arithmetic a SQL oracle reproduces: value in [-32768, 32767].
     */
@@ -74,7 +112,7 @@ object AudioCodec {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
     val out = new java.io.ByteArrayOutputStream()
-    try javax.sound.sampled.AudioSystem.write(
+    try wavWriter.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     finally ais.close()
     out.toByteArray
@@ -95,8 +133,22 @@ object AudioCodec {
         bytes(3) != 'F' || bytes(8) != 'W' || bytes(9) != 'A' ||
         bytes(10) != 'V' || bytes(11) != 'E') return sentinel
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      // standard SPI dispatch (what AudioSystem does behind its lock):
+      // the first provider that recognizes the container wins
+      val ais = {
+        var found: javax.sound.sampled.AudioInputStream = null
+        val it = audioReaders.iterator
+        while (found == null && it.hasNext) {
+          val r = it.next()
+          try found = r.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+          }
+        }
+        if (found == null) return sentinel
+        found
+      }
       try {
         val fmt = ais.getFormat
         val ch = fmt.getChannels
