@@ -117,7 +117,19 @@ object Plans {
     // is ONE digest-keyed hash exchange for the dedup (16-byte digest
     // + metadata rows only, payload bytes never shuffle) and a
     // map-side partial rollup above it; no Exchange below the codec
-    "pipeline_media_build")
+    "pipeline_media_build",
+    // round 11c: corpus statistics — tfidf's row_number≤3 must plan a
+    // WindowGroupLimit below the per-doc window shuffle; the weighted
+    // sample must be a shuffle-free TakeOrderedAndProject; countmin
+    // must show a partial ObjectHashAggregate (one 1024-long row
+    // crossing the exchange) beside the exact top-20 refinement
+    "text_tfidf", "sample_weighted", "agg_countmin",
+    // bigram LM: the model join back to the corpus must NOT hard-code
+    // a broadcast (bigram vocab outgrows unigram vocab at scale) —
+    // check AQE is free to pick the strategy; PMI: the doc_id
+    // self-join is bounded by the eligible-vocab broadcast gate below
+    // it
+    "text_bigram_lm", "text_cooccur_pmi")
 
   /** Per-query caveats rendered under the plan heading — the place a
     * reader shopping the inventory learns a query's scale status

@@ -15,7 +15,7 @@ object SparkEntry {
   /** All query packs; order is display order only. */
   def packs: Seq[QueryPack] = Seq(
     CdcQueries, RelationalQueries, AnalyticQueries, FunctionQueries,
-    TextQueries, SimilarityQueries, MultimodalQueries)
+    TextQueries, SimilarityQueries, MultimodalQueries, CorpusStatsQueries)
 
   private lazy val allQueries: Seq[Q] = packs.flatMap(_.queries)
 

@@ -57,6 +57,13 @@ object Native {
   def vecsum(vec: Column): Column =
     c(VectorSum(e(vec)).toAggregateExpression())
 
+  /** Count-min sketch aggregate: depth×width exact counters as a flat
+    * `array<long>` (row-major), mergeable partials — O(depth·width)
+    * state independent of key cardinality.
+    */
+  def countmin(key: Column, depth: Int, width: Int): Column =
+    c(CountMinSketchAgg(e(key), depth, width).toAggregateExpression())
+
   /** Bloom-filter build aggregate over `xxhash64(key)` — binary
     * result, mergeable partials (Spark's own runtime-filter aggregate,
     * surfaced as an explicit API for application-level semi-join

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Assemble the r11c single-run sf10 correctness record: merge the batch
+outputs of tools/run_sf10_r11c.sh into CORRECTNESS_SF10.json with
+single-binary provenance. Fails loudly if any inventory query is
+missing a row or any row is red.
+"""
+import glob
+import json
+import sys
+
+BATCHES = sorted(glob.glob("/root/repo/localdata/sf10_r11c_*.json"))
+if not BATCHES:
+    sys.exit("no sf10_r11c_*.json batch outputs found")
+
+merged = {}
+for p in BATCHES:
+    d = json.load(open(p))
+    for k, v in d.items():
+        if k.startswith("_"):
+            continue
+        # a later batch never re-runs an earlier query; duplicates
+        # would mean an ONLY/SKIP overlap bug in the runner script
+        if k in merged:
+            sys.exit(f"query {k} appears in two batches")
+        merged[k] = v
+
+# inventory completeness, against the engine run's oracle dump
+oracles = json.load(
+    open("/root/repo/localdata/verify_sf10_r11c/oracle_sql.json"))
+missing = sorted(set(oracles) - set(merged))
+if missing:
+    sys.exit(f"missing replay rows for: {missing}")
+
+red = sorted(k for k, v in merged.items()
+             if not (v.get("rows_match") and v.get("schema_match")
+                     and v.get("hash_match")))
+out = dict(sorted(merged.items()))
+out["_provenance"] = {
+    "note": ("r11c single-run record: ONE full-inventory (169-query) "
+             "Verify of the r11c binary at the regenerated sf10 "
+             "replica (localdata/verify_sf10_r11c), oracles replayed "
+             "in crash-isolated batches by tools/run_sf10_r11c.sh; "
+             "no by-design exclusions"),
+    "oracle_caps": ("ORACLE_MEMORY_LIMIT 24GB (56GB for "
+                    "pipeline_distill_build), ORACLE_THREADS 16 (8 for "
+                    "distill), ORACLE_TIMEOUT_SEC 2400; heavy replays "
+                    "serial, DuckDB spill dir wiped between"),
+    "batches": [p.split("/")[-1] for p in BATCHES],
+    "n_queries": len(merged),
+    "n_red": len(red),
+    "red": red,
+}
+with open("/root/repo/CORRECTNESS_SF10.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(f"{len(merged)} rows, {len(red)} red -> CORRECTNESS_SF10.json")
+if red:
+    print("RED:", red)
+    sys.exit(1)

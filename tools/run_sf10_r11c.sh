@@ -1,0 +1,96 @@
+#!/bin/bash
+# r11c single-binary sf10 correctness record: ONE clean full-inventory
+# (169 queries — the r11 close's 164 + the corpus-statistics pack)
+# engine run of the r11c binary at the regenerated sf10 replica, then
+# the DuckDB oracle replay in crash-isolated batches (heavy replays
+# serial, spill dir wiped between), then a merge into
+# CORRECTNESS_SF10.json via tools/merge_sf10_r11c.py.
+# Launch: setsid nohup tools/run_sf10_r11c.sh > localdata/sf10_r11c.log 2>&1 & disown
+set -u
+cd /root/repo
+OUT=localdata/verify_sf10_r11c
+CLASSES=${1:-/tmp/graft_frozen_r11c/classes}
+ADDOPENS="--add-opens java.base/java.lang=ALL-UNNAMED \
+  --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
+  --add-opens java.base/java.lang.reflect=ALL-UNNAMED \
+  --add-opens java.base/java.io=ALL-UNNAMED \
+  --add-opens java.base/java.net=ALL-UNNAMED \
+  --add-opens java.base/java.nio=ALL-UNNAMED \
+  --add-opens java.base/java.util=ALL-UNNAMED \
+  --add-opens java.base/java.util.concurrent=ALL-UNNAMED \
+  --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+  --add-opens java.base/sun.nio.ch=ALL-UNNAMED \
+  --add-opens java.base/sun.nio.cs=ALL-UNNAMED \
+  --add-opens java.base/sun.security.action=ALL-UNNAMED \
+  --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+
+if [ ! -f "$OUT/oracle_sql.json" ]; then
+  echo "=== engine: full-inventory Verify at sf10 (r11c binary) ==="
+  rm -rf "$OUT"
+  # shellcheck disable=SC2086
+  java -Xmx24g $ADDOPENS -Dspark.ui.enabled=false \
+    -Dspark.sql.session.timeZone=UTC \
+    -cp "$CLASSES:/opt/spark/jars/*" \
+    graft.Verify /root/repo/localdata/sf10 "$OUT" 2>&1 \
+    | grep -E "\[verify\]" || true
+  echo "=== engine verify rc=$? ==="
+fi
+
+mkdir -p localdata/oracle_scratch_r11c
+cd localdata/oracle_scratch_r11c
+export ORACLE_TIMEOUT_SEC=2400
+
+# heavy replays (serial, one name or family per batch); the r11c
+# corpus-stats additions text_bigram_lm (bigram self-model join) and
+# text_cooccur_pmi (doc_id self-join) go serial out of caution
+HEAVY="dedup_containment dedup_simhash dedup_clusters pipeline_dedup_apply \
+pipeline_pack_sequences join_range join_asof_tolerance \
+pipeline_semantic_decontaminate \
+sim_knn_join_cell sim_hybrid_search text_substring_dedup \
+text_bigram_lm text_cooccur_pmi"
+IVF1="sim_ann_ivf,sim_ann_ivf_trained,sim_ann_ivf_indexed,sim_ann_ivf_append"
+IVF2="sim_ann_ivf_compact,sim_ann_ivf_pq,sim_ann_ivf_pq_append,sim_ann_ivf_pq_refined"
+IVF3="sim_stream_ivf_ingest,sim_stream_ivf_maintain,sim_ann_ivf_sq8,sim_ann_ivf_sq8_append"
+IVF4="sim_stream_sq8_ingest,sim_stream_pq_ingest"
+
+SKIPLIST=$(echo $HEAVY | tr ' ' ',')",$IVF1,$IVF2,$IVF3,$IVF4,pipeline_distill_build"
+
+echo "=== bulk replay (everything light) ==="
+rm -rf .tmp
+ORACLE_MEMORY_LIMIT=24GB ORACLE_THREADS=16 ORACLE_SKIP="$SKIPLIST" \
+  python3 /root/repo/tools/check_oracle.py \
+  /root/repo/localdata/sf10 "/root/repo/$OUT" \
+  /root/repo/localdata/sf10_r11c_bulk.json
+echo "=== bulk rc=$? ==="
+
+i=1
+for batch in "$IVF1" "$IVF2" "$IVF3" "$IVF4"; do
+  rm -rf .tmp
+  echo "=== ivf batch $i: $batch ==="
+  ORACLE_MEMORY_LIMIT=24GB ORACLE_THREADS=16 ORACLE_ONLY="$batch" \
+    python3 /root/repo/tools/check_oracle.py \
+    /root/repo/localdata/sf10 "/root/repo/$OUT" \
+    /root/repo/localdata/sf10_r11c_ivf$i.json
+  echo "=== ivf batch $i rc=$? ==="
+  i=$((i+1))
+done
+
+for q in $HEAVY; do
+  rm -rf .tmp
+  echo "=== heavy: $q ==="
+  ORACLE_MEMORY_LIMIT=24GB ORACLE_THREADS=16 ORACLE_ONLY="$q" \
+    python3 /root/repo/tools/check_oracle.py \
+    /root/repo/localdata/sf10 "/root/repo/$OUT" \
+    "/root/repo/localdata/sf10_r11c_$q.json"
+  echo "=== $q rc=$? ==="
+done
+
+rm -rf .tmp
+echo "=== distill (56GB/8t — the one oversized replay) ==="
+ORACLE_MEMORY_LIMIT=56GB ORACLE_THREADS=8 ORACLE_ONLY=pipeline_distill_build \
+  python3 /root/repo/tools/check_oracle.py \
+  /root/repo/localdata/sf10 "/root/repo/$OUT" \
+  /root/repo/localdata/sf10_r11c_distill.json
+echo "=== distill rc=$? ==="
+rm -rf .tmp
+echo SF10_R11C_DONE
