@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{AvroEncode, CosineSimilarity, DotProduct, DotProductI8, FreqSketch, MinHashMd5, MinHashSig, MinShingleMd5, MortonInterleave, QuantizeI8, ShingleHashes, SimHash, SimHashMd5, TopKPairs, TopKRewriteRule, VectorSum}
+import org.apache.spark.sql.graft.{AvroEncode, CosineSimilarity, CountMinSketchAgg, DotProduct, DotProductI8, FreqSketch, MinHashMd5, MinHashSig, MinShingleMd5, MortonInterleave, QuantizeI8, ShingleHashes, SimHash, SimHashMd5, TopKPairs, TopKRewriteRule, VectorSum}
 
 /** Public extension injector: enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions` to get the
@@ -73,6 +73,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FreqSketch].getName, "graft_freq_sketch"),
       (args: Seq[Expression]) => FreqSketch(args(0),
         args(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_countmin"),
+      new ExpressionInfo(classOf[CountMinSketchAgg].getName,
+        "graft_countmin"),
+      (args: Seq[Expression]) => CountMinSketchAgg(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier("graft_vecsum"),

@@ -187,6 +187,14 @@ object Native {
       (args: Seq[Expression]) => FreqSketch(args.head,
         args(1).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression())
+    reg.registerFunction(
+      FunctionIdentifier("graft_countmin"),
+      new ExpressionInfo(classOf[CountMinSketchAgg].getName,
+        "graft_countmin"),
+      (args: Seq[Expression]) => CountMinSketchAgg(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression())
     // r10 (SqlEntrySpec matrix): the remaining DATA-ONLY kernels, so a
     // pure-SQL user reaches the same expression surface the DataFrame
     // API does. NOT registered — and documented here as the boundary:

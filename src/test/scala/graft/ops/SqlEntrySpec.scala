@@ -282,4 +282,15 @@ class SqlEntrySpec extends SparkSpec {
     assert(agg.getSeq[Double](0).nonEmpty)
     assert(agg.getSeq[Any](1).length === 3)
   }
+
+  test("SQL-entry matrix: graft_countmin resolves from text and its " +
+       "counters sum to depth x row-count") {
+    val r = sqlSess.sql(
+      "SELECT graft_countmin(vec_id, 4, 256) AS cms FROM graft_vecs")
+      .collect()(0).getSeq[Long](0)
+    assert(r.length === 4 * 256)
+    val n = sqlSess.sql("SELECT count(*) FROM graft_vecs")
+      .collect()(0).getLong(0)
+    assert(r.sum === 4 * n) // each row of the sketch counts every key once
+  }
 }
