@@ -123,7 +123,8 @@ object Plans {
     // sample must be a shuffle-free TakeOrderedAndProject; countmin
     // must show a partial ObjectHashAggregate (one 1024-long row
     // crossing the exchange) beside the exact top-20 refinement
-    "text_tfidf", "sample_weighted", "agg_countmin",
+    "text_tfidf", "sample_weighted", "sample_weighted_group",
+    "agg_countmin",
     // bigram LM: the model join back to the corpus must NOT hard-code
     // a broadcast (bigram vocab outgrows unigram vocab at scale) —
     // check AQE is free to pick the strategy; PMI: the doc_id

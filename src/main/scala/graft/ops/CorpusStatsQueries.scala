@@ -168,6 +168,39 @@ object CorpusStatsQueries extends QueryPack {
         |FROM documents WHERE n_chars >= 1
         |ORDER BY draw, doc_id LIMIT 100""".stripMargin)),
 
+    // PER-GROUP WEIGHTED SAMPLE — the mixture-building primitive: k
+    // weight-proportional picks WITHOUT replacement per language,
+    // same deterministic A-ExpJ draws as sample_weighted but ranked
+    // within the group (row_number ≤ k plans as WindowGroupLimit, so
+    // each partition forwards at most k rows per group to the window
+    // shuffle — per-group top-k never materializes a group). Distinct
+    // from pipeline_mixture_sample, which selects a TOKEN BUDGET in
+    // md5-uniform order: this one is inclusion-probability ∝ weight.
+    Q("sample_weighted_group",
+      (s, d) => {
+        val u = ((col("doc_id") * lit(2654435761L)) % lit(1000003L) +
+          lit(1L)).cast("double") / lit(1000004.0)
+        Tables.documents(s, d)
+          .filter(col("n_chars") >= 1)
+          .select(col("lang"), col("doc_id"), col("n_chars").as("weight"),
+            round(-log(u) / col("n_chars").cast("double"), 9).as("draw"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy(col("draw"), col("doc_id"))))
+          .filter(col("rk") <= 25)
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH draws AS (
+        |  SELECT lang, doc_id, n_chars AS weight,
+        |    round(-ln((((doc_id * 2654435761) % 1000003) + 1) / 1000004.0)
+        |          / n_chars, 9) AS draw
+        |  FROM documents WHERE n_chars >= 1),
+        | r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY lang ORDER BY draw, doc_id) AS rk
+        |  FROM draws)
+        |SELECT lang, doc_id, weight, draw, rk FROM r WHERE rk <= 25
+        |ORDER BY lang, rk""".stripMargin)),
+
     // PMI CO-OCCURRENCE MINING — word-association pairs over per-doc
     // distinct tokens: pmi(a,b) = ln(n_ab·N / (df_a·df_b)). The
     // self-join on doc_id is the textbook quadratic trap; it is

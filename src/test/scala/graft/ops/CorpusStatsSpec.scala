@@ -127,6 +127,36 @@ class CorpusStatsSpec extends SparkSpec {
       s"weighted sample must not shuffle:\n$p")
   }
 
+  test("sample_weighted_group: k per group, ranked by the same draws") {
+    val rows = run("sample_weighted_group")
+      .select("lang", "doc_id", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length <= 25, s"$lang has ${rs.length}")
+      assert(rs.map(_._3).sorted.sameElements(1 to rs.length))
+    }
+    // per-group picks = global brute force restricted to the group
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect()
+    byLang.foreach { case (lang, rs) =>
+      val brute = docs.filter(d => d._1 == lang && d._3 >= 1).map { d =>
+        val u = ((d._2 * 2654435761L) % 1000003L + 1).toDouble / 1000004.0
+        val draw = BigDecimal(-math.log(u) / d._3)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (draw, d._2)
+      }.sorted.take(25).map(_._2)
+      assert(rs.sortBy(_._3).map(_._2).sameElements(brute), lang)
+    }
+  }
+
+  test("sample_weighted_group: per-group top-k plans as WindowGroupLimit") {
+    val p = run("sample_weighted_group").queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   // --- text_cooccur_pmi ----------------------------------------------
 
   test("text_cooccur_pmi: pair order is canonical and PMI matches hand calc") {

@@ -25,7 +25,7 @@ CLASSES = {
         "json_select_by_key", "envelope_project", "topic_regex_filter",
         "layout_zorder_slice", "log_scan", "profile_columns",
         "q_star_revenue", "sample_hash_split", "sample_stratified",
-        "sample_weighted", "agg_countmin",
+        "sample_weighted", "sample_weighted_group", "agg_countmin",
         "scan_parquet", "sort_limit", "sql_entry_topk", "top_k_agg",
         "top_k_payload", "top_k_per_group", "win_distribution",
         "win_first_last", "win_gaps_islands", "win_lead_lag",
@@ -216,17 +216,18 @@ CLASSES = {
 #      the same slow sitting.)
 # Round-11c amendment (BASELINE.md "Round-11c"): same 1.4x formula for
 # the corpus-statistics pack:
-#   scan/agg/window     32.0 + 1.4*(0.35 + 0.10)        -> 32.6
+#   scan/agg/window     32.0 + 1.4*(0.35 + 0.10 + 0.43)  -> 33.2
 #     (agg_countmin — one 4x256 CMS exchange row + exact top-20
-#      refinement; sample_weighted — shuffle-free A-ExpJ top-k.
-#      Clean warm at sf0.1 (proxy-1.0 sitting): 0.35 / 0.10 s.)
+#      refinement; sample_weighted — shuffle-free A-ExpJ top-k;
+#      sample_weighted_group — per-group A-ExpJ via WindowGroupLimit.
+#      Clean warm at sf0.1 (proxy-1.0 sitting): 0.35 / 0.10 / 0.43 s.)
 #   text/multimodal     19.2 + 1.4*(0.89 + 1.11 + 1.12) -> 23.6
 #     (text_tfidf — two corpus passes + WindowGroupLimit top-3;
 #      text_bigram_lm — lag-window bigrams + corpus-LM join back;
 #      text_cooccur_pmi — eligible-vocab-gated doc_id self-join.
 #      Clean warm at sf0.1 (proxy-1.0 sitting): 0.89 / 1.11 / 1.12 s.)
 BUDGETS = {
-    "scan/agg/window": 32.6,
+    "scan/agg/window": 33.2,
     "joins/sets": 16.0,
     "cdc materialize/timeline": 22.0,
     "streaming/state-store": 39.8,
