@@ -281,6 +281,14 @@ object Bench {
         ev.groupBy(col("event_type"))
           .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
             .as("est_users")))
+      // count-min build throughput vs the exact GROUP BY it replaces
+      // at unbounded key cardinality: sketch pass = one exchange ROW
+      // (1024 longs); exact pass shuffles every distinct key
+      extras("countmin_sketch_only_sec") = timeNoop2(
+        ev.agg(org.apache.spark.sql.graft.Native
+          .countmin(col("user_id"), 4, 256).as("counters")))
+      extras("countmin_exact_groupby_sec") = timeNoop2(
+        ev.groupBy(col("user_id")).count())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sketch extras FAILED: ${e.getMessage}")
     }
