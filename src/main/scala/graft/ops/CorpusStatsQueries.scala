@@ -99,7 +99,13 @@ object CorpusStatsQueries extends QueryPack {
           .filter(col("prev").isNotNull)
           .select("doc_id", "prev", "tok")
         val vocabN = toks.select(countDistinct(col("tok"))).head().getLong(0)
+        // the MODEL is bigram-vocab-sized (≪ corpus bigram instances);
+        // cache it so the context-count rollup and the score join read
+        // it instead of re-running the corpus scan + lag window twice
+        // (plan audit r11c: uncached, 3 corpus passes; cached, 2 — the
+        // model-build pass and the scoring pass, the irreducible pair)
         val bc = bi.groupBy("prev", "tok").agg(count(lit(1)).as("cnt_uv"))
+          .cache()
         val cc = bc.groupBy("prev").agg(sum(col("cnt_uv")).as("cnt_u"))
         val model = bc.join(cc, Seq("prev"))
           .select(col("prev"), col("tok"),
@@ -222,9 +228,16 @@ object CorpusStatsQueries extends QueryPack {
         val dt = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .distinct()
+        // eligible vocabulary is vocab-sized — cache it so the a/b
+        // self-join sides broadcast ONE computed copy instead of each
+        // re-running the scan + distinct + df rollup (plan audit r11c:
+        // 4 corpus scans → 3; the two dt scans are the self-join's
+        // irreducible pair, recomputed rather than cached because dt
+        // is corpus-sized)
         val dfq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
           .filter(col("df") >= greatest(lit(3L), floor(lit(n) * lit(0.005))) &&
             col("df") <= lit(n) * lit(0.95))
+          .cache()
         val dte = dt.join(broadcast(dfq), Seq("tok"))
         val a = dte.select(col("doc_id"), col("tok").as("tok_a"),
           col("df").as("df_a"))
