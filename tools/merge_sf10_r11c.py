@@ -36,11 +36,13 @@ red = sorted(k for k, v in merged.items()
                      and v.get("hash_match")))
 out = dict(sorted(merged.items()))
 out["_provenance"] = {
-    "note": ("r11c single-run record: ONE full-inventory (169-query) "
-             "Verify of the r11c binary at the regenerated sf10 "
-             "replica (localdata/verify_sf10_r11c), oracles replayed "
-             "in crash-isolated batches by tools/run_sf10_r11c.sh; "
-             "no by-design exclusions"),
+    "note": ("r11c single-run record: ONE full-inventory (170-query) "
+             "Verify of the r11c binary (frozen at commit 95ee2b5; the "
+             "two later commits only add query-result-invariant "
+             "model-table caching and records) at the regenerated "
+             "sf10 replica (localdata/verify_sf10_r11c), oracles "
+             "replayed in crash-isolated batches by "
+             "tools/run_sf10_r11c.sh; no by-design exclusions"),
     "oracle_caps": ("ORACLE_MEMORY_LIMIT 24GB (56GB for "
                     "pipeline_distill_build), ORACLE_THREADS 16 (8 for "
                     "distill), ORACLE_TIMEOUT_SEC 2400; heavy replays "
