@@ -12,11 +12,14 @@ import graft.sources.Tables
   * deterministic weighted sampling, and count-min point-frequency
   * estimation over an unbounded key domain.
   *
-  * Reference behavior anchors: the toolkit's per-table frequency
-  * tallies and sampled exports (/root/reference/bin/metrics-report.sh,
-  * /root/reference/README.md §monitoring) are the exact-GROUP-BY
-  * versions of these; at engine scale they become the sketch/sample
-  * operators here.
+  * Anchors: these are north-star extensions (BASELINE.json
+  * `north_star`: "add the LLM-data-pipeline operators ... text
+  * analysis"), not reimplementations of a reference script — the
+  * toolkit's only monitoring surface is the MSK cluster's
+  * PER_TOPIC_PER_PARTITION metric level
+  * (/root/reference/bin/msk-cluster.sh:71), which counts per-topic
+  * event flow; at engine scale per-key tallies over unbounded domains
+  * become the sketch/sample operators here.
   *
   * Determinism contract (QueryPack scaladoc): irrational-family
   * scores (ln of integer ratios) are rounded BEFORE any ranking so a
@@ -159,8 +162,13 @@ object CorpusStatsQueries extends QueryPack {
     // heaps), the same O(k)-state pattern as top_k_agg.
     Q("sample_weighted",
       (s, d) => {
-        val u = ((col("doc_id") * lit(2654435761L)) % lit(1000003L) +
-          lit(1L)).cast("double") / lit(1000004.0)
+        // doc_id is reduced mod p BEFORE the Knuth multiply: same u
+        // (modular arithmetic), but the product is ≤ (p−1)·2654435761
+        // ≈ 2.65e15 ≪ 2^63, so the hash can never Long-wrap (Spark
+        // would wrap silently, DuckDB would raise — the engines must
+        // not diverge at doc_id ≥ ~3.5e9).
+        val u = (((col("doc_id") % lit(1000003L)) * lit(2654435761L)) %
+          lit(1000003L) + lit(1L)).cast("double") / lit(1000004.0)
         Tables.documents(s, d)
           .filter(col("n_chars") >= 1)
           .select(col("doc_id"), col("n_chars").as("weight"),
@@ -169,7 +177,7 @@ object CorpusStatsQueries extends QueryPack {
           .limit(100)
       },
       Some("""SELECT doc_id, n_chars AS weight,
-        |  round(-ln((((doc_id * 2654435761) % 1000003) + 1) / 1000004.0)
+        |  round(-ln(((((doc_id % 1000003) * 2654435761) % 1000003) + 1) / 1000004.0)
         |        / n_chars, 9) AS draw
         |FROM documents WHERE n_chars >= 1
         |ORDER BY draw, doc_id LIMIT 100""".stripMargin)),
@@ -184,8 +192,13 @@ object CorpusStatsQueries extends QueryPack {
     // md5-uniform order: this one is inclusion-probability ∝ weight.
     Q("sample_weighted_group",
       (s, d) => {
-        val u = ((col("doc_id") * lit(2654435761L)) % lit(1000003L) +
-          lit(1L)).cast("double") / lit(1000004.0)
+        // doc_id is reduced mod p BEFORE the Knuth multiply: same u
+        // (modular arithmetic), but the product is ≤ (p−1)·2654435761
+        // ≈ 2.65e15 ≪ 2^63, so the hash can never Long-wrap (Spark
+        // would wrap silently, DuckDB would raise — the engines must
+        // not diverge at doc_id ≥ ~3.5e9).
+        val u = (((col("doc_id") % lit(1000003L)) * lit(2654435761L)) %
+          lit(1000003L) + lit(1L)).cast("double") / lit(1000004.0)
         Tables.documents(s, d)
           .filter(col("n_chars") >= 1)
           .select(col("lang"), col("doc_id"), col("n_chars").as("weight"),
@@ -197,7 +210,7 @@ object CorpusStatsQueries extends QueryPack {
       },
       Some("""WITH draws AS (
         |  SELECT lang, doc_id, n_chars AS weight,
-        |    round(-ln((((doc_id * 2654435761) % 1000003) + 1) / 1000004.0)
+        |    round(-ln(((((doc_id % 1000003) * 2654435761) % 1000003) + 1) / 1000004.0)
         |          / n_chars, 9) AS draw
         |  FROM documents WHERE n_chars >= 1),
         | r AS (

@@ -31,11 +31,13 @@ import org.apache.spark.sql.types._
   * GROUP BY over the same hash arithmetic, making the CMS estimate
   * itself hash-verifiable, not just "within bound".
   *
-  * Reference behavior anchor: the toolkit's monitoring plane counts
-  * per-key event frequencies over unbounded key domains
-  * (/root/reference/bin/metrics-report.sh's per-table event tallies);
-  * at engine scale that exact GROUP BY becomes the sketch + exact
-  * top-k refinement pattern used by `agg_countmin`.
+  * Anchor: a north-star extension (BASELINE.json `north_star`), not a
+  * reference script. The toolkit's monitoring surface is MSK's
+  * PER_TOPIC_PER_PARTITION metric level
+  * (/root/reference/bin/msk-cluster.sh:71) — per-topic event counting
+  * over a bounded topic set; a data-plane engine counting per-KEY
+  * frequencies over an unbounded domain needs the sketch + exact
+  * top-k refinement pattern used by `agg_countmin` instead.
   */
 object CountMin {
   val Prime: Long = 2147483647L // 2^31 - 1

@@ -30,6 +30,11 @@ oracles = json.load(
 missing = sorted(set(oracles) - set(merged))
 if missing:
     sys.exit(f"missing replay rows for: {missing}")
+# extras mean a stale batch from an earlier sitting leaked in — its
+# provenance would be foreign to this engine run's binary
+extra = sorted(set(merged) - set(oracles))
+if extra:
+    sys.exit(f"extra replay rows not in this run's oracle dump: {extra}")
 
 red = sorted(k for k, v in merged.items()
              if not (v.get("rows_match") and v.get("schema_match")

@@ -1,7 +1,7 @@
 #!/bin/bash
 # Regenerate the full sf10 replica (rep=100 from the BASE sf0.1 dir —
 # never chain replicas; see GenScale scaladoc) for the r11c unified
-# 164-query correctness + bench records.
+# 170-query correctness + bench records.
 set -u
 cd /root/repo
 ADDOPENS="--add-opens java.base/java.lang=ALL-UNNAMED \

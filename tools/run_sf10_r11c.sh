@@ -1,6 +1,6 @@
 #!/bin/bash
 # r11c single-binary sf10 correctness record: ONE clean full-inventory
-# (169 queries — the r11 close's 164 + the corpus-statistics pack)
+# (170 queries — the r11 close's 164 + the corpus-statistics pack)
 # engine run of the r11c binary at the regenerated sf10 replica, then
 # the DuckDB oracle replay in crash-isolated batches (heavy replays
 # serial, spill dir wiped between), then a merge into
@@ -9,7 +9,12 @@
 set -u
 cd /root/repo
 OUT=localdata/verify_sf10_r11c
-CLASSES=${1:-/tmp/graft_frozen_r11c/classes}
+# Frozen classes MUST live under localdata/ (project memory: /tmp
+# freezes produced stale-on-write copies that silently ran an old
+# inventory). Default to the durable location; refuse a /tmp arg.
+CLASSES=${1:-/root/repo/localdata/frozen_r11c/classes}
+case "$CLASSES" in /tmp/*) echo "refusing /tmp classes dir: $CLASSES (use localdata/)"; exit 1;; esac
+[ -d "$CLASSES" ] || { echo "classes dir missing: $CLASSES"; exit 1; }
 ADDOPENS="--add-opens java.base/java.lang=ALL-UNNAMED \
   --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens java.base/java.lang.reflect=ALL-UNNAMED \
