@@ -130,6 +130,34 @@ class IvfSpec extends SparkSpec {
         i1 == i2 && java.util.Arrays.equals(v1, v2) })
   }
 
+  test("training memo: repeat calls hit the cache, independently-built " +
+      "reads of the same corpus share one artifact, and a cached hit " +
+      "is immune to caller mutation") {
+    Similarity.clearTrainingMemo()
+    val a = Similarity.trainCentroids(vecs, 8, 500, 2)
+    val (size1, hits1) = Similarity.trainingMemoStats
+    assert(size1 == 1 && hits1 == 0)
+    // a SECOND DataFrame built independently over the same data must
+    // canonicalize to the same key — this is what lets every query in
+    // the bench family reuse one training pass
+    val again = Similarity.trainCentroids(
+      SimilarityQueries.doubleVecs(spark, sf), 8, 500, 2)
+    val (size2, hits2) = Similarity.trainingMemoStats
+    assert(size2 == 1 && hits2 == 1,
+      s"expected a memo hit, got size=$size2 hits=$hits2")
+    assert(a.zip(again).forall { case ((i1, v1), (i2, v2)) =>
+      i1 == i2 && java.util.Arrays.equals(v1, v2) })
+    // different params → different artifact, no false sharing
+    Similarity.trainCentroids(vecs, 4, 500, 2)
+    assert(Similarity.trainingMemoStats._1 == 2)
+    // returned arrays are clones: trashing one caller's copy must not
+    // poison the cache for the next
+    a(0)._2(0) = Double.NaN
+    val c = Similarity.trainCentroids(vecs, 8, 500, 2)
+    assert(!c(0)._2(0).isNaN, "cache contaminated by caller mutation")
+    Similarity.clearTrainingMemo()
+  }
+
   test("deriveNlist holds cell population constant, floored and capped") {
     assert(Similarity.deriveNlist(500L) == 16)        // small-corpus floor
     assert(Similarity.deriveNlist(4096L) == 16)       // 4096/256 exactly
