@@ -97,34 +97,71 @@ object Multimodal {
   final case class MediaFeatures(
       doc_id: Long, f0: Double, f1: Double, f2: Double, f3: Double)
 
-  /** STUB feature extractor — deterministic pseudo-features from payload
-    * size and id (exact integer arithmetic, so the oracle reproduces the
-    * doubles bitwise). A real implementation runs a vision/audio encoder
-    * over `batch` here; the partition-batched shape is exactly
-    * [[decodeMeta]]'s — one vectorized model call per batch.
+  /** REAL feature extractor (r12 — the former id-arithmetic stub):
+    * fixed-integer-kernel convolutions over the ACTUALLY DECODED
+    * raster, the hand-rolled analog of a vision encoder's first conv
+    * layer. Over every interior pixel of band 0:
+    *   f0 = Σ |Sobel-x|   (horizontal edge energy)
+    *   f1 = Σ |Sobel-y|   (vertical edge energy)
+    *   f2 = Σ |4-neighbor Laplacian| (texture/high-frequency energy)
+    *   f3 = Σ 3×3 box sum (local brightness mass)
+    * All arithmetic is exact Long over decoded samples, surfaced as
+    * doubles — so a SQL oracle reproduces every value bitwise from the
+    * fixture's analytic pixel formula, and a hash match proves the
+    * conv consumed REAL decompressed pixels (a broken decode cannot
+    * produce the right edge sums). Undecodable payloads degrade to the
+    * typed sentinel row (f0 = −1), never a task failure.
     */
-  def featureStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
-    val n = if (bytes == null) 0L else bytes.length.toLong
-    MediaFeatures(id,
-      n.toDouble,
-      (n * 2654435761L % 1048576L).toDouble / 1048576.0,
-      (id * 40503L % 65536L).toDouble / 65536.0,
-      ((n + id) % 997L).toDouble / 997.0)
+  def convFeatures(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val img = decodeImage(bytes)
+    if (img == null) return MediaFeatures(id, -1.0, 0.0, 0.0, 0.0)
+    val r = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    def v(x: Int, y: Int): Long = r.getSample(x, y, 0).toLong
+    var gx = 0L; var gy = 0L; var lap = 0L; var box = 0L
+    var y = 1
+    while (y <= h - 2) {
+      var x = 1
+      while (x <= w - 2) {
+        val sx = (v(x + 1, y - 1) + 2 * v(x + 1, y) + v(x + 1, y + 1)) -
+          (v(x - 1, y - 1) + 2 * v(x - 1, y) + v(x - 1, y + 1))
+        val sy = (v(x - 1, y + 1) + 2 * v(x, y + 1) + v(x + 1, y + 1)) -
+          (v(x - 1, y - 1) + 2 * v(x, y - 1) + v(x + 1, y - 1))
+        val lp = v(x + 1, y) + v(x - 1, y) + v(x, y + 1) + v(x, y - 1) -
+          4 * v(x, y)
+        var bx = 0L
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) { bx += v(x + dx, y + dy); dx += 1 }
+          dy += 1
+        }
+        gx += math.abs(sx); gy += math.abs(sy)
+        lap += math.abs(lp); box += bx
+        x += 1
+      }
+      y += 1
+    }
+    MediaFeatures(id, gx.toDouble, gy.toDouble, lap.toDouble, box.toDouble)
   }
 
-  /** Partition-batched feature extraction — same distribution contract
-    * as [[decodeMeta]]: no shuffle, parallelism = scan parallelism,
-    * one batch per model invocation.
+  /** Partition-batched REAL feature extraction — same distribution
+    * contract as [[decodeRealRoundtrip]]: the fixture encoder stands
+    * where the blob fetch would, each `batchSize` group routes through
+    * one vectorized call site, no shuffle, parallelism = scan
+    * parallelism.
     */
-  def extractFeatures(media: DataFrame, batchSize: Int = 64)
+  def extractFeatures(docs: DataFrame, batchSize: Int = 64,
+                      idCol: String = "doc_id",
+                      encoder: Long => Array[Byte] = encodePng)
       : Dataset[MediaFeatures] = {
-    val spark = media.sparkSession
+    val spark = docs.sparkSession
     import spark.implicits._
-    media.select(col("doc_id").cast("long"), col("bytes"))
-      .as[(Long, Array[Byte])]
+    docs.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          batch.map { case (id, bytes) => featureStub(id, bytes) }
+        it.grouped(batchSize).flatMap { ids =>
+          ids.map(id => convFeatures(id, encoder(id)))
         }
       }
   }
@@ -147,19 +184,59 @@ object Multimodal {
       outW.as("out_w"), outH.as("out_h"))
   }
 
-  /** STUB embedder — deterministic pseudo-embedding from (id, payload
-    * size) in EXACT dyadic arithmetic (every component is k/1024 with
-    * |k| ≤ 1024, exactly representable in float AND double), so a SQL
-    * oracle reproduces the vectors bitwise. A real implementation runs
-    * a vision/text encoder over the batch here.
+  /** REAL embedder (r12 — the former id-arithmetic stub): an
+    * adaptive-8×8-grid average-pool over the ACTUALLY DECODED raster
+    * followed by a fixed-integer-weight linear projection — the
+    * hand-rolled pool→dense head every tiny vision encoder ends in
+    * (same fixed-weight pattern as [[graft.ml.LinearClassifier]]).
+    *
+    *   p(c)  = Σ samples of band 0 in grid cell c (c = gx·8+gy,
+    *           gx = x·8/w, gy = y·8/h — every image pools to 64 cells)
+    *   e(j)  = (Σ_c W(j,c)·p(c) + p(j mod 64)) / 1024,
+    *           W(j,c) = ((31j + 17c + 7) mod 7) − 3  ∈ [−3, 3]
+    *
+    * The +p(j) term is a residual (identity) connection — and it is
+    * load-bearing, not decoration: W has period 7 in c, and on images
+    * whose pool grid covers the weight period uniformly (e.g. the 7×7
+    * fixtures) the linear-in-(x,y) pixel ramp makes Σ W·p cancel to
+    * EXACTLY zero in every component; the residual guarantees no
+    * decodable image embeds to the zero vector (a zero-norm vector
+    * poisons downstream cosine math). Verified exhaustively over the
+    * fixture family's full period.
+    *
+    * Exactness contract: p is an exact Long; |Σ W·p + p| ≤ 3·3060·64
+    * + 3060 < 2²⁴, so the numerator is exact in FLOAT and the /1024
+    * is an exponent shift — every component is bit-identical in
+    * float, double, and DuckDB integer arithmetic. A hash match
+    * therefore proves the projection consumed real decompressed
+    * pixels. Undecodable payloads degrade to the zero vector.
     */
-  def embedStub(id: Long, bytes: Array[Byte], dim: Int): Array[Float] = {
-    val n = if (bytes == null) 0L else bytes.length.toLong
+  def embedPooled(id: Long, bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
+    val img = decodeImage(bytes)
+    if (img == null) return out
+    val r = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    val p = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        p((x * 8 / w) * 8 + (y * 8 / h)) += r.getSample(x, y, 0)
+        x += 1
+      }
+      y += 1
+    }
     var j = 0
     while (j < dim) {
-      val h = (id * 2654435761L + j * 40503L + n * 97L) % 2048L
-      out(j) = (h - 1024L).toFloat / 1024.0f
+      var acc = p(j % 64)
+      var c = 0
+      while (c < 64) {
+        acc += (((31L * j + 17L * c + 7L) % 7L) - 3L) * p(c)
+        c += 1
+      }
+      out(j) = acc.toFloat / 1024.0f
       j += 1
     }
     out
@@ -271,6 +348,33 @@ object Multimodal {
     * corrupt-media contract a 100 TB crawl needs (a single bad blob
     * must not kill a partition).
     */
+  /** Full ImageIO decode to a raster, null on ANY failure. A truncated
+    * body behind a valid magic THROWS from ImageIO rather than
+    * returning null — both are the same corrupt-media outcome.
+    * NonFatal, not just IOException: image decoders are notorious for
+    * surfacing adversarial bytes as runtime exceptions (negative
+    * array sizes, index bounds), and at crawl scale every one of
+    * those is "corrupt media", never "kill the partition".
+    */
+  private[multimodal] def decodeImage(bytes: Array[Byte])
+      : java.awt.image.BufferedImage =
+    try {
+      // explicit in-memory stream: ImageIO.read(InputStream) would
+      // route through the global-useCache default (a temp-file round
+      // trip per image unless someone flipped the JVM-wide flag).
+      // ImageIO.read(ImageInputStream) closes the stream itself on a
+      // successful read, so the belt-and-suspenders close below must
+      // tolerate "already closed".
+      val iis = new MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try javax.imageio.ImageIO.read(iis)
+      finally {
+        try iis.close()
+        catch { case _: java.io.IOException => () }
+      }
+    }
+    catch { case scala.util.control.NonFatal(_) => null }
+
   def decodeReal(id: Long, bytes: Array[Byte]): RealMeta = {
     val fmt =
       if (bytes == null || bytes.length < 8) "unknown"
@@ -280,30 +384,7 @@ object Multimodal {
         (bytes(2) & 0xff) == 0xff) "jpeg"
       else if (bytes(0) == 'B' && bytes(1) == 'M') "bmp"
       else "unknown"
-    // a truncated body behind a valid magic THROWS from ImageIO rather
-    // than returning null — both are the same corrupt-media outcome.
-    // NonFatal, not just IOException: image decoders are notorious for
-    // surfacing adversarial bytes as runtime exceptions (negative
-    // array sizes, index bounds), and at crawl scale every one of
-    // those is "corrupt media", never "kill the partition".
-    val img =
-      if (fmt == "unknown") null
-      else try {
-        // explicit in-memory stream: ImageIO.read(InputStream) would
-        // route through the global-useCache default (a temp-file round
-        // trip per image unless someone flipped the JVM-wide flag).
-        // ImageIO.read(ImageInputStream) closes the stream itself on a
-        // successful read, so the belt-and-suspenders close below must
-        // tolerate "already closed".
-        val iis = new MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try javax.imageio.ImageIO.read(iis)
-        finally {
-          try iis.close()
-          catch { case _: java.io.IOException => () }
-        }
-      }
-      catch { case scala.util.control.NonFatal(_) => null }
+    val img = if (fmt == "unknown") null else decodeImage(bytes)
     if (img == null) RealMeta(id, -1, -1, 0, "undecodable", 0L)
     else {
       val w = img.getWidth
@@ -409,16 +490,17 @@ object Multimodal {
     * (`doc_id`, `embedding: array<float>`), so the result feeds
     * [[graft.sim.Similarity]] unchanged.
     */
-  def batchEmbed(media: DataFrame, batchSize: Int = 64, dim: Int = 64)
+  def batchEmbed(docs: DataFrame, batchSize: Int = 64, dim: Int = 64,
+                 idCol: String = "doc_id",
+                 encoder: Long => Array[Byte] = encodePng)
       : DataFrame = {
-    val spark = media.sparkSession
+    val spark = docs.sparkSession
     import spark.implicits._
-    media.select(col("doc_id").cast("long"), col("bytes"))
-      .as[(Long, Array[Byte])]
+    docs.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
+        it.grouped(batchSize).flatMap { ids =>
           // batch boundary = one encoder invocation over the whole batch
-          batch.map { case (id, bytes) => (id, embedStub(id, bytes, dim)) }
+          ids.map(id => (id, embedPooled(id, encoder(id), dim)))
         }
       }
       .toDF("doc_id", "embedding")

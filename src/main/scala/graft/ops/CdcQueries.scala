@@ -315,8 +315,7 @@ object CdcQueries extends QueryPack {
       (s, d) => {
         import org.apache.hadoop.fs.Path
         import graft.streaming.CdcPipeline
-        val statePath = "/tmp/graft_tt_state/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val statePath = QueryPack.scratch("tt_state", d)
         val fs = new Path(statePath).getFileSystem(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new Path(statePath), true)
@@ -350,8 +349,7 @@ object CdcQueries extends QueryPack {
       (s, d) => {
         import org.apache.hadoop.fs.Path
         import graft.streaming.CdcPipeline
-        val statePath = "/tmp/graft_diff_state/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val statePath = QueryPack.scratch("diff_state", d)
         val fs = new Path(statePath).getFileSystem(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new Path(statePath), true)
@@ -487,8 +485,7 @@ object CdcQueries extends QueryPack {
       (s, d) => {
         import org.apache.hadoop.fs.Path
         import graft.streaming.CdcPipeline
-        val statePath = "/tmp/graft_compact_q_state/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val statePath = QueryPack.scratch("compact_q_state", d)
         val fs = new Path(statePath).getFileSystem(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new Path(statePath), true)
@@ -521,8 +518,7 @@ object CdcQueries extends QueryPack {
       (s, d) => {
         import org.apache.hadoop.fs.Path
         import graft.streaming.CdcPipeline
-        val base = "/tmp/graft_stream_q/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val base = QueryPack.scratch("stream_q", d)
         val fs = new Path(base).getFileSystem(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new Path(base), true)
@@ -576,8 +572,7 @@ object CdcQueries extends QueryPack {
         val v4 = StructType(v3.fields :+
           StructField("priority", IntegerType, nullable = false))
 
-        val base = "/tmp/graft_stream_evo_q/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val base = QueryPack.scratch("stream_evo_q", d)
         val fs = new Path(base).getFileSystem(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new Path(base), true)
@@ -691,8 +686,7 @@ object CdcQueries extends QueryPack {
     Q("cdc_stream_enrich",
       (s, d) => {
         import org.apache.hadoop.fs.Path
-        val base = "/tmp/graft_enrich_q/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val base = QueryPack.scratch("enrich_q", d)
         val fs = new Path(base).getFileSystem(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new Path(base), true)
@@ -752,8 +746,7 @@ object CdcQueries extends QueryPack {
       (s, d) => {
         import org.apache.hadoop.fs.Path
         import graft.streaming.CdcPipeline
-        val base = "/tmp/graft_multitable_q/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val base = QueryPack.scratch("multitable_q", d)
         val fs = new Path(base).getFileSystem(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new Path(base), true)
@@ -822,8 +815,7 @@ object CdcQueries extends QueryPack {
       (s, d) => {
         import org.apache.hadoop.fs.Path
         import graft.streaming.StatefulLatest
-        val base = "/tmp/graft_stateful_q/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val base = QueryPack.scratch("stateful_q", d)
         val fs = new Path(base).getFileSystem(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new Path(base), true)

@@ -278,22 +278,64 @@ object MultimodalQueries extends QueryPack {
         |    AS frame_idx
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin)),
 
-    // Partition-batched feature extraction (stubbed encoder, real
-    // batching/schema): deterministic pseudo-features from exact integer
-    // arithmetic so the oracle reproduces the doubles bitwise.
+    // REAL feature extraction (r12 — formerly an id-arithmetic stub):
+    // fixed-integer Sobel-x/Sobel-y/Laplacian/box convolutions over
+    // the ACTUALLY DECODED PNG raster, through the same
+    // partition-batched seam as mm_decode_real. The fixture's pixels
+    // are analytic ((id+3x+7y)%256), so the oracle re-derives every
+    // edge-energy sum with pure integer SQL — a hash match proves the
+    // conv consumed real decompressed pixels, not header metadata.
+    // Images with an empty 3×3 interior (w or h = 2) yield zeros via
+    // the LEFT JOIN.
     Q("mm_feature_extract",
       (s, d) => Multimodal
-        .extractFeatures(Multimodal.asBinary(Tables.documents(s, d)))
+        .extractFeatures(Tables.documents(s, d))
         .toDF()
         .orderBy(col("doc_id")),
-      Some("""SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS DOUBLE) AS f0,
-        |  CAST(octet_length(encode(text)) * 2654435761 % 1048576 AS DOUBLE)
-        |    / 1048576 AS f1,
-        |  CAST(doc_id * 40503 % 65536 AS DOUBLE) / 65536 AS f2,
-        |  CAST((octet_length(encode(text)) + doc_id) % 997 AS DOUBLE)
-        |    / 997 AS f3
-        |FROM documents ORDER BY doc_id""".stripMargin)),
+      Some("""WITH d AS (
+        |  SELECT doc_id, doc_id % 24 + 2 AS w, doc_id % 18 + 2 AS h
+        |  FROM documents),
+        | g AS (
+        |  SELECT doc_id,
+        |    abs(((doc_id + 3*(x.x+1) + 7*(y.y-1)) % 256)
+        |      + 2*((doc_id + 3*(x.x+1) + 7*y.y) % 256)
+        |      + ((doc_id + 3*(x.x+1) + 7*(y.y+1)) % 256)
+        |      - ((doc_id + 3*(x.x-1) + 7*(y.y-1)) % 256)
+        |      - 2*((doc_id + 3*(x.x-1) + 7*y.y) % 256)
+        |      - ((doc_id + 3*(x.x-1) + 7*(y.y+1)) % 256)) AS sx,
+        |    abs(((doc_id + 3*(x.x-1) + 7*(y.y+1)) % 256)
+        |      + 2*((doc_id + 3*x.x + 7*(y.y+1)) % 256)
+        |      + ((doc_id + 3*(x.x+1) + 7*(y.y+1)) % 256)
+        |      - ((doc_id + 3*(x.x-1) + 7*(y.y-1)) % 256)
+        |      - 2*((doc_id + 3*x.x + 7*(y.y-1)) % 256)
+        |      - ((doc_id + 3*(x.x+1) + 7*(y.y-1)) % 256)) AS sy,
+        |    abs(((doc_id + 3*(x.x+1) + 7*y.y) % 256)
+        |      + ((doc_id + 3*(x.x-1) + 7*y.y) % 256)
+        |      + ((doc_id + 3*x.x + 7*(y.y+1)) % 256)
+        |      + ((doc_id + 3*x.x + 7*(y.y-1)) % 256)
+        |      - 4*((doc_id + 3*x.x + 7*y.y) % 256)) AS lp,
+        |    ((doc_id + 3*(x.x-1) + 7*(y.y-1)) % 256)
+        |      + ((doc_id + 3*x.x + 7*(y.y-1)) % 256)
+        |      + ((doc_id + 3*(x.x+1) + 7*(y.y-1)) % 256)
+        |      + ((doc_id + 3*(x.x-1) + 7*y.y) % 256)
+        |      + ((doc_id + 3*x.x + 7*y.y) % 256)
+        |      + ((doc_id + 3*(x.x+1) + 7*y.y) % 256)
+        |      + ((doc_id + 3*(x.x-1) + 7*(y.y+1)) % 256)
+        |      + ((doc_id + 3*x.x + 7*(y.y+1)) % 256)
+        |      + ((doc_id + 3*(x.x+1) + 7*(y.y+1)) % 256) AS bx
+        |  FROM d, generate_series(1, 23) x(x), generate_series(1, 17) y(y)
+        |  WHERE x.x <= w - 2 AND y.y <= h - 2),
+        | a AS (
+        |  SELECT doc_id, sum(sx) AS f0, sum(sy) AS f1,
+        |         sum(lp) AS f2, sum(bx) AS f3
+        |  FROM g GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(f0, 0) AS DOUBLE) AS f0,
+        |  CAST(coalesce(f1, 0) AS DOUBLE) AS f1,
+        |  CAST(coalesce(f2, 0) AS DOUBLE) AS f2,
+        |  CAST(coalesce(f3, 0) AS DOUBLE) AS f3
+        |FROM d LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
 
     // Aspect-preserving resize plan over decoded metadata: integer
     // column math (never upscale, fit 256²).
@@ -316,35 +358,54 @@ object MultimodalQueries extends QueryPack {
         |    ELSE height END AS INTEGER) AS out_h
         |FROM m ORDER BY doc_id""".stripMargin)),
 
-    // Partition-batched embedding inference (stubbed encoder, real
-    // batching/schema — output feeds Similarity unchanged). The stub's
-    // components are exact dyadic rationals (k/1024), so float, double,
-    // and the DuckDB list comprehension agree bitwise; the projection
-    // checks two raw components and the exact-in-double squared norm.
+    // REAL embedding inference (r12 — formerly an id-arithmetic stub):
+    // adaptive 8×8 grid pool over the ACTUALLY DECODED PNG raster +
+    // fixed-integer-weight linear head (Multimodal.embedPooled — the
+    // LinearClassifier fixed-weight pattern). Components are exact
+    // dyadic rationals (integer/1024 with the numerator < 2²⁴), so
+    // float, double, and DuckDB integer SQL agree bitwise. The
+    // projection checks three raw components and the exact component
+    // sum — Σⱼ W(j,c) telescopes to ((3c) mod 7) − 3, plus 1 for the
+    // residual term (each cell is its own j exactly once at dim 64),
+    // so the oracle verifies ALL 64 weights' mass in one cell-sized
+    // pass (never a 64× blowup of the pixel table). Output schema is the
+    // embeddings-table contract; the vectors feed Similarity unchanged.
     Q("mm_batch_embed",
       (s, d) => {
-        val emb = Multimodal
-          .batchEmbed(Multimodal.asBinary(Tables.documents(s, d)))
+        val emb = Multimodal.batchEmbed(Tables.documents(s, d))
         emb.select(col("doc_id"),
           element_at(col("embedding"), 1).cast("double").as("e0"),
           element_at(col("embedding"), 18).cast("double").as("e17"),
-          org.apache.spark.sql.graft.Native.dot(
-            transform(col("embedding"), x => x.cast("double")),
-            transform(col("embedding"), x => x.cast("double")))
-            .as("sq_norm"),
+          element_at(col("embedding"), 64).cast("double").as("e63"),
+          expr("aggregate(transform(embedding, x -> cast(x as double))," +
+            " cast(0.0 as double), (a, v) -> a + v)").as("comp_sum"),
           size(col("embedding")).as("dim"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH e AS (
+      Some("""WITH d AS (
+        |  SELECT doc_id, doc_id % 24 + 2 AS w, doc_id % 18 + 2 AS h
+        |  FROM documents),
+        | p AS (
+        |  SELECT doc_id, ((x.x * 8) // w) * 8 + ((y.y * 8) // h) AS cell,
+        |         sum((doc_id + 3 * x.x + 7 * y.y) % 256) AS p
+        |  FROM d, generate_series(0, 24) x(x), generate_series(0, 18) y(y)
+        |  WHERE x.x < w AND y.y < h GROUP BY 1, 2),
+        | e AS (
         |  SELECT doc_id,
-        |    [CAST(((doc_id * 2654435761 + j * 40503
-        |            + octet_length(encode(text)) * 97) % 2048 - 1024)
-        |          AS DOUBLE) / 1024.0
-        |     FOR j IN generate_series(0, 63)] AS emb
-        |  FROM documents)
-        |SELECT doc_id, emb[1] AS e0, emb[18] AS e17,
-        |  list_dot_product(emb, emb) AS sq_norm,
-        |  len(emb) AS dim
+        |    sum((((31 * 0 + 17 * cell + 7) % 7) - 3) * p
+        |        + CASE WHEN cell = 0 THEN p ELSE 0 END) AS n0,
+        |    sum((((31 * 17 + 17 * cell + 7) % 7) - 3) * p
+        |        + CASE WHEN cell = 17 THEN p ELSE 0 END) AS n17,
+        |    sum((((31 * 63 + 17 * cell + 7) % 7) - 3) * p
+        |        + CASE WHEN cell = 63 THEN p ELSE 0 END) AS n63,
+        |    sum((((3 * cell) % 7) - 2) * p) AS nsum
+        |  FROM p GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(n0 AS DOUBLE) / 1024 AS e0,
+        |  CAST(n17 AS DOUBLE) / 1024 AS e17,
+        |  CAST(n63 AS DOUBLE) / 1024 AS e63,
+        |  CAST(nsum AS DOUBLE) / 1024 AS comp_sum,
+        |  64 AS dim
         |FROM e ORDER BY doc_id""".stripMargin))
   )
 }

@@ -32,6 +32,25 @@ trait QueryPack {
   def queries: Seq[Q]
 }
 
+object QueryPack {
+  /** Per-process token in every in-query scratch path. The pid makes
+    * the inventory RE-ENTRANT — two concurrent harnesses on different
+    * checkouts but the same sfDir string can't collide on
+    * `/tmp/graft_*` state (ADVICE r11) — while the fixed prefix keeps
+    * paths predictable enough to inspect after a run.
+    */
+  val sessionToken: String = "p" + ProcessHandle.current().pid()
+
+  /** Scratch workspace for one query kind at one sf dir:
+    * `/tmp/graft_<pid>/<kind>/<sanitized sfDir>`. Queries own the
+    * lifecycle below this path exactly as before (delete-then-build);
+    * nothing under it is shared across processes.
+    */
+  def scratch(kind: String, sfDir: String): String =
+    s"/tmp/graft_$sessionToken/$kind/" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")
+}
+
 /** Oracles whose SQL embeds DATA-DERIVED LITERALS (e.g. the trained IVF
   * centroids): the literal values exist only once the query has run
   * against a concrete sf dir, so these oracles are RENDERED AT RUN TIME

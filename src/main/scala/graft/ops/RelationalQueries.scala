@@ -714,8 +714,7 @@ object RelationalQueries extends QueryPack {
     // the non-leading dimension.
     Q("layout_zorder_slice",
       (s, d) => {
-        val zDir = "/tmp/graft_zorder_q/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val zDir = QueryPack.scratch("zorder_q", d)
         Layout.writeZOrdered(
           Tables.events(s, d)
             .select(col("event_id"), col("user_id"),

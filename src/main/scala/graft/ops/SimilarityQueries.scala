@@ -965,8 +965,7 @@ object SimilarityQueries extends QueryPack {
     Q("sim_ann_ivf_indexed",
       (s, d) => {
         val vecs = doubleVecs(s, d)
-        val dir = "/tmp/graft_ivf_index/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = QueryPack.scratch("ivf_index", d)
         Similarity.buildIvfIndex(vecs, dir)
         val cents = Similarity.readCentroids(s, dir,
           Similarity.indexVersion(s, dir))
@@ -989,8 +988,7 @@ object SimilarityQueries extends QueryPack {
     Q("sim_ann_ivf_append",
       (s, d) => {
         val vecs = doubleVecs(s, d)
-        val dir = "/tmp/graft_ivf_append/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = QueryPack.scratch("ivf_append", d)
         Similarity.buildIvfIndex(
           vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), dir)
         Similarity.appendIvfIndex(dir,
@@ -1019,8 +1017,7 @@ object SimilarityQueries extends QueryPack {
     Q("sim_ann_ivf_compact",
       (s, d) => {
         val vecs = doubleVecs(s, d)
-        val dir = "/tmp/graft_ivf_compact/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = QueryPack.scratch("ivf_compact", d)
         Similarity.buildIvfIndex(
           vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), dir)
         Similarity.appendIvfIndex(dir,
@@ -1048,8 +1045,7 @@ object SimilarityQueries extends QueryPack {
       (s, d) => {
         import org.apache.hadoop.fs.Path
         val vecs = doubleVecs(s, d)
-        val root = "/tmp/graft_ivf_maintain/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val root = QueryPack.scratch("ivf_maintain", d)
         val fs = new Path(root).getFileSystem(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new Path(root), true)
@@ -1093,8 +1089,7 @@ object SimilarityQueries extends QueryPack {
     Q("sim_index_describe",
       (s, d) => {
         val vecs = doubleVecs(s, d)
-        val dir = "/tmp/graft_ivf_describe/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = QueryPack.scratch("ivf_describe", d)
         Similarity.buildIvfIndex(
           vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), dir)
         Similarity.appendIvfIndex(dir,
@@ -1153,8 +1148,7 @@ object SimilarityQueries extends QueryPack {
         import graft.text.Dedup
         val docs = Tables.documents(s, d).select("doc_id", "text")
         val vecs = doubleVecs(s, d)
-        val base = "/tmp/graft_hybrid/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val base = QueryPack.scratch("hybrid", d)
         Dedup.buildShingleIndex(docs, s"$base/shingle")
         Similarity.buildIvfIndex(vecs, s"$base/ivf")
         val qid = docs.filter(size(split(col("text"), " ")) >= 8)
@@ -1360,8 +1354,7 @@ object SimilarityQueries extends QueryPack {
       (s, d) => {
         import org.apache.hadoop.fs.Path
         val vecs = doubleVecs(s, d)
-        val root = "/tmp/graft_ivf_stream/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val root = QueryPack.scratch("ivf_stream", d)
         val fs = new Path(root).getFileSystem(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new Path(root), true)
@@ -1460,8 +1453,7 @@ object SimilarityQueries extends QueryPack {
     Q("sim_ann_ivf_pq",
       (s, d) => {
         val vecs = doubleVecs(s, d)
-        val dir = "/tmp/graft_ivf_pq/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = QueryPack.scratch("ivf_pq", d)
         Similarity.buildIvfPqIndex(vecs, dir)
         val ver = Similarity.indexVersion(s, dir)
         val cents = Similarity.readCentroids(s, dir, ver)
@@ -1483,8 +1475,7 @@ object SimilarityQueries extends QueryPack {
     Q("sim_ann_ivf_pq_append",
       (s, d) => {
         val vecs = doubleVecs(s, d)
-        val dir = "/tmp/graft_ivf_pq_append/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = QueryPack.scratch("ivf_pq_append", d)
         Similarity.buildIvfPqIndex(
           vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), dir)
         Similarity.appendIvfPqIndex(dir,
@@ -1510,8 +1501,7 @@ object SimilarityQueries extends QueryPack {
     Q("sim_ann_ivf_sq8",
       (s, d) => {
         val vecs = doubleVecs(s, d)
-        val dir = "/tmp/graft_ivf_sq8/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = QueryPack.scratch("ivf_sq8", d)
         Similarity.buildIvfSq8Index(vecs, dir)
         val ver = Similarity.indexVersion(s, dir)
         val cents = Similarity.readCentroids(s, dir, ver)
@@ -1534,8 +1524,7 @@ object SimilarityQueries extends QueryPack {
     Q("sim_ann_ivf_sq8_append",
       (s, d) => {
         val vecs = doubleVecs(s, d)
-        val dir = "/tmp/graft_ivf_sq8_append/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = QueryPack.scratch("ivf_sq8_append", d)
         Similarity.buildIvfSq8Index(
           vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), dir)
         Similarity.appendIvfSq8Index(dir,
@@ -1564,8 +1553,7 @@ object SimilarityQueries extends QueryPack {
       (s, d) => {
         import org.apache.hadoop.fs.Path
         val vecs = doubleVecs(s, d)
-        val root = "/tmp/graft_sq8_stream/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val root = QueryPack.scratch("sq8_stream", d)
         val fs = new Path(root).getFileSystem(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new Path(root), true)
@@ -1605,8 +1593,7 @@ object SimilarityQueries extends QueryPack {
       (s, d) => {
         import org.apache.hadoop.fs.Path
         val vecs = doubleVecs(s, d)
-        val root = "/tmp/graft_pq_stream/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val root = QueryPack.scratch("pq_stream", d)
         val fs = new Path(root).getFileSystem(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new Path(root), true)
@@ -1648,8 +1635,7 @@ object SimilarityQueries extends QueryPack {
     Q("sim_ann_ivf_pq_refined",
       (s, d) => {
         val vecs = doubleVecs(s, d)
-        val dir = "/tmp/graft_ivf_pq_refined/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = QueryPack.scratch("ivf_pq_refined", d)
         Similarity.buildIvfPqIndex(vecs, dir)
         val ver = Similarity.indexVersion(s, dir)
         val cents = Similarity.readCentroids(s, dir, ver)

@@ -764,8 +764,7 @@ object TextQueries extends QueryPack {
     // must give bit-identical pairs to the recompute path.
     Q("dedup_index_probe",
       (s, d) => {
-        val idxDir = "/tmp/graft_shingle_idx/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val idxDir = QueryPack.scratch("shingle_idx", d)
         val existing = Tables.documents(s, d).select("doc_id", "text")
         val incoming = existing.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
@@ -791,8 +790,7 @@ object TextQueries extends QueryPack {
     // read path hash-verifies against the single-table recompute.
     Q("dedup_index_append",
       (s, d) => {
-        val idxDir = "/tmp/graft_shingle_append/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val idxDir = QueryPack.scratch("shingle_append", d)
         val existing = Tables.documents(s, d).select("doc_id", "text")
         val incoming = existing.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
@@ -820,8 +818,7 @@ object TextQueries extends QueryPack {
     Q("dedup_stream_ingest",
       (s, d) => {
         import org.apache.hadoop.fs.Path
-        val root = "/tmp/graft_shingle_stream/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val root = QueryPack.scratch("shingle_stream", d)
         val fs = new Path(root).getFileSystem(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new Path(root), true)
@@ -868,8 +865,7 @@ object TextQueries extends QueryPack {
     // bit-identical to the segmented path dedup_index_append verifies.
     Q("dedup_index_compact",
       (s, d) => {
-        val idxDir = "/tmp/graft_shingle_compact/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val idxDir = QueryPack.scratch("shingle_compact", d)
         val existing = Tables.documents(s, d).select("doc_id", "text")
         val incoming = existing.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
@@ -902,8 +898,7 @@ object TextQueries extends QueryPack {
     Q("dedup_stream_maintain",
       (s, d) => {
         import org.apache.hadoop.fs.Path
-        val root = "/tmp/graft_shingle_maintain/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val root = QueryPack.scratch("shingle_maintain", d)
         val fs = new Path(root).getFileSystem(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new Path(root), true)
@@ -953,8 +948,7 @@ object TextQueries extends QueryPack {
     // describe reporting it would overstate the index population.
     Q("dedup_index_describe",
       (s, d) => {
-        val idxDir = "/tmp/graft_shingle_describe/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val idxDir = QueryPack.scratch("shingle_describe", d)
         val existing = Tables.documents(s, d).select("doc_id", "text")
         Dedup.buildShingleIndex(
           existing.filter(col("doc_id") % 3 =!= 0), idxDir)
@@ -996,8 +990,7 @@ object TextQueries extends QueryPack {
     // scan it replaces.
     Q("text_index_search",
       (s, d) => {
-        val idxDir = "/tmp/graft_shingle_search/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+        val idxDir = QueryPack.scratch("shingle_search", d)
         val docs = Tables.documents(s, d).select("doc_id", "text")
         Dedup.buildShingleIndex(
           docs.filter(col("doc_id") % 3 =!= 0), idxDir)

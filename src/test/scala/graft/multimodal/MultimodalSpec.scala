@@ -240,6 +240,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("convFeatures/embedPooled consume REAL decoded pixels: analytic " +
+      "parity, corrupt-payload degrade, and no zero-norm embedding " +
+      "anywhere in the fixture family") {
+    // analytic parity for one id: recompute the conv sums and the
+    // pooled projection straight from the fixture formula and compare
+    // against the codec-decoded path (a broken decode can't match)
+    val id = 41L
+    val w = (id % 24 + 2).toInt; val h = (id % 18 + 2).toInt
+    def v(x: Int, y: Int): Long = (id + 3L * x + 7L * y) % 256L
+    var gx = 0L; var lap = 0L
+    for (y <- 1 to h - 2; x <- 1 to w - 2) {
+      gx += math.abs((v(x + 1, y - 1) + 2 * v(x + 1, y) + v(x + 1, y + 1))
+        - (v(x - 1, y - 1) + 2 * v(x - 1, y) + v(x - 1, y + 1)))
+      lap += math.abs(v(x + 1, y) + v(x - 1, y) + v(x, y + 1) +
+        v(x, y - 1) - 4 * v(x, y))
+    }
+    val f = Multimodal.convFeatures(id, Multimodal.encodePng(id))
+    assert(f.f0 === gx.toDouble && f.f2 === lap.toDouble)
+    val p = new Array[Long](64)
+    for (y <- 0 until h; x <- 0 until w)
+      p((x * 8 / w) * 8 + (y * 8 / h)) += v(x, y)
+    val e = Multimodal.embedPooled(id, Multimodal.encodePng(id), 64)
+    (0 until 64).foreach { j =>
+      val n = p(j) + (0 until 64).map(c =>
+        (((31L * j + 17L * c + 7L) % 7L) - 3L) * p(c)).sum
+      assert(e(j) === n.toFloat / 1024.0f, s"component $j")
+    }
+    // corrupt payloads degrade to the typed sentinel / zero vector
+    val corrupt = java.util.Arrays.copyOf(Multimodal.encodePng(3L), 20)
+    assert(Multimodal.convFeatures(3L, corrupt).f0 === -1.0)
+    assert(Multimodal.embedPooled(3L, corrupt, 64).forall(_ == 0.0f))
+    // the residual term guarantees no decodable fixture embeds to the
+    // zero vector (the structured weights alone cancel EXACTLY on 7×7
+    // grids — id 5 et al.); the fixture family is periodic mod
+    // lcm(24, 18, 256) = 2304, so this sweep is exhaustive
+    (0L until 2304L).foreach { i =>
+      val emb = Multimodal.embedPooled(i, Multimodal.encodePng(i), 64)
+      assert(emb.exists(_ != 0.0f), s"zero-norm embedding at id $i")
+    }
+  }
+
   test("batchEmbed: partition/batch-invariant and feeds the ANN stack") {
     val a = Multimodal.batchEmbed(media, batchSize = 64)
     val b = Multimodal.batchEmbed(media.repartition(5), batchSize = 3)
