@@ -324,11 +324,22 @@ object Similarity {
     * ([[trainCentroids]]) and the PQ sub-codebooks ([[trainPqBooks]]).
     */
   private def hashSample(corpus: DataFrame, sampleN: Int, n: Long,
-                         idCol: String, vecCol: String)
+                         idCol: String, vecCol: String,
+                         heldOut: Boolean = false)
       : Array[Array[Double]] = {
     val num = math.min(1000000L, math.max(1L, sampleN * 1000000L / n))
+    // heldOut selects the ADJACENT hash band [num, 2·num) instead of
+    // the training band [0, num): rows the quantizer never fit, so a
+    // recall measured on them is out-of-sample (the r11 tuner bias was
+    // exactly the in-sample fit: centroids place themselves to serve
+    // the training rows, flattering a frontier measured on those same
+    // rows). Clamped when the bands can't both fit in [0, 10⁶) — at
+    // num = 10⁶ the "sample" is the whole corpus and the measurement
+    // is exact rather than biased, so the overlap is benign.
+    val lo = if (heldOut) math.min(num, 1000000L - num) else 0L
+    val band = pmod(xxhash64(col(idCol)), lit(1000000L))
     corpus
-      .filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < num)
+      .filter(band >= lo && band < lo + num)
       .select(col(idCol), col(vecCol))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Any](1).map {
@@ -542,9 +553,34 @@ object Similarity {
     }.toArray
   }
 
-  /** The smallest nprobe whose sample recall@k meets `recallTarget`
-    * (nlist if even probing everything falls short — can only happen
-    * with target > 1). See [[nprobeRecallFrontier]].
+  /** One-sided finite-sample margin the tuner adds to its target: the
+    * normal-approximation standard error of a recall estimate at
+    * `target` over `m` (query, true-neighbor) rank observations. Pure
+    * arithmetic, deterministic, spec-pinnable.
+    */
+  def tuneMargin(target: Double, m: Int): Double =
+    if (m <= 0) 0.0
+    else math.sqrt(target * (1.0 - target) / m)
+
+  /** The smallest nprobe whose HELD-OUT sample recall@k clears
+    * `recallTarget` plus a one-sided finite-sample margin (nlist if
+    * even probing everything falls short). See
+    * [[nprobeRecallFrontier]].
+    *
+    * Bias correction (r11 verdict item 6): the r9–r11 tuner measured
+    * its frontier on the SAME hash band the centroids trained on, and
+    * the in-sample fit (centroids place themselves to serve exactly
+    * those rows) made the sample CDF one-sidedly optimistic — tuned
+    * recall landed 0.90–0.925 against a 0.95 target at sf1/sf10, with
+    * the repo shipping "ask for r+0.05" as guidance. The correction
+    * lives INSIDE the tuner now: (a) the frontier is measured on the
+    * ADJACENT held-out hash band ([[hashSample]] `heldOut`), rows the
+    * quantizer never fit; (b) the pick must clear the target by the
+    * estimate's own standard error ([[tuneMargin]] over the m rank
+    * observations the frontier actually used), absorbing the residual
+    * sampling noise of a ~160-observation CDF. Both corrections are
+    * deterministic pure functions of the corpus, so the pick stays
+    * reproducible and spec-pinnable.
     */
   def tuneNprobe(corpus: DataFrame, cents: Array[(Int, Array[Double])],
                  recallTarget: Double, k: Int = 5, nQueries: Int = 32,
@@ -554,13 +590,20 @@ object Similarity {
     // the frontier is target-independent — memoize it once per
     // (corpus, centroids, k, nQueries) so multi-target callers (and
     // the bench extras) pay the sample scan + rank pass once
-    val frontier = memoized(s"front|$n|$k|$nQueries|$idCol|$vecCol|" +
-      centsDigest(cents) + "|" + planKey(corpus)) {
+    val (frontier, m) = memoized(
+      s"front|$n|$k|$nQueries|$idCol|$vecCol|" +
+        centsDigest(cents) + "|" + planKey(corpus)) {
       val pts = hashSample(corpus, deriveSampleN(cents.length), n,
-        idCol, vecCol)
-      nprobeRecallFrontier(pts, cents.map(_._2), k, nQueries)
+        idCol, vecCol, heldOut = true)
+      val f = nprobeRecallFrontier(pts, cents.map(_._2), k, nQueries)
+      // observation count behind the CDF: top-k per query, capped by
+      // available candidates (pts minus the query itself)
+      val obs = math.min(nQueries, pts.length) *
+        math.min(k, math.max(0, pts.length - 1))
+      (f, obs)
     }
-    frontier.collectFirst { case (np, r) if r >= recallTarget => np }
+    val need = math.min(1.0, recallTarget + tuneMargin(recallTarget, m))
+    frontier.collectFirst { case (np, r) if r >= need => np }
       .getOrElse(cents.length)
   }
 

@@ -56,6 +56,10 @@ object RecallProbe {
     val rDef = recallAt(npDefault)
     val r3 = recallAt(3)
     val r8 = recallAt(8)
+    // the auto-tuned policy point (r12: held-out band + margin — the
+    // row that shows whether tuned recall clears its 0.95 target)
+    val tuned = graft.sim.Similarity.tuneNprobe(vecs, cents, 0.95)
+    val rTuned = recallAt(tuned)
 
     // planted near-identical neighbors (the dedup workload): every
     // 20th vector gets a perturbed copy; recall@1 at PINNED nprobe=3
@@ -75,6 +79,7 @@ object RecallProbe {
       f""""nlist":$nlist,"nprobe_default":$npDefault,""" +
       f""""recall_at5_npdefault":$rDef%.3f,""" +
       f""""recall_at5_np3":$r3%.3f,"recall_at5_np8":$r8%.3f,""" +
+      f""""nprobe_tuned_r95":$tuned,"recall_at5_tuned":$rTuned%.3f,""" +
       f""""planted_recall_at1_np3":${hits.toDouble / nPlanted}%.3f,""" +
       f""""n_planted":$nPlanted}""")
     spark.stop()
