@@ -392,7 +392,21 @@ object Similarity {
       : Array[(Int, Array[Double])] = {
     val pts = hashSample(corpus, sN, n, idCol, vecCol)
     require(pts.nonEmpty, "centroid training sample is empty")
-    val k = math.min(kWant, pts.length)
+    kmeansCosine(pts, math.min(kWant, pts.length), iters)
+      .zipWithIndex.map { case (v, i) => (i, v) }
+  }
+
+  /** The deterministic cosine k-means core every training path shares:
+    * Gonzalez maxmin seeding + fixed-iteration Lloyd over an in-memory
+    * point set, id-order tie-breaks throughout. Pure function — safe
+    * to run driver-side (the classic bounded-sample path) or inside an
+    * executor task (the sharded beyond-cap path,
+    * [[trainCentroidsSharded]]).
+    */
+  private[sim] def kmeansCosine(pts: Array[Array[Double]], kIn: Int,
+                                iters: Int): Array[Array[Double]] = {
+    require(pts.nonEmpty, "k-means over an empty point set")
+    val k = math.min(kIn, pts.length)
 
     // cosine with a defined value (0) for zero-norm vectors: a NaN here
     // would poison every maxmin comparison below (NaN < x is always
@@ -476,7 +490,80 @@ object Similarity {
         else sums(j).map(_ / counts(j))
       }
     }
-    cents.zipWithIndex.map { case (v, i) => (i, v) }
+    cents
+  }
+
+  /** Beyond-cap training (VERDICT r11 item 4): TWO-LEVEL SHARDED
+    * k-means — the path a ≥10⁸-vector deployment takes once the
+    * derived nlist passes [[MaxDerivedNlist]] and a single driver
+    * can't Lloyd the whole codebook.
+    *
+    *  1. SHARD: the (larger) training sample is hash-split into
+    *     `shards` disjoint id-bands; each shard trains k/`shards`
+    *     sub-centroids with the SAME deterministic core
+    *     ([[kmeansCosine]]) — but inside an executor task via
+    *     `mapGroups`, so codebook training parallelizes across the
+    *     cluster instead of serializing on the driver.
+    *  2. MERGE: the union of sub-codebooks (k × dim doubles — bytes,
+    *     not data) is collected and renumbered in (shard, local-id)
+    *     order — deterministic because each shard's input is sorted
+    *     by id and the core is a pure function.
+    *  3. REFINE: one (or a few) distributed Lloyd passes over the
+    *     FULL corpus ([[refineCentroids]] — one nlist-key shuffle per
+    *     iteration) heal shard-boundary artifacts: two shards that
+    *     each placed a centroid on the same true cluster get pulled
+    *     apart by the global assignment.
+    *
+    * Scale shape: per-shard sample and k are bounded (driver never
+    * holds more than the merged k × dim codebook), refinement cost is
+    * the same one-shuffle-per-iter as any full-corpus aggregation.
+    * Refined means reassociate doubles, so (like [[refineCentroids]])
+    * the result is deterministic per plan but not bit-pinnable across
+    * partitionings — callers that need bit-stable output at ≤cap
+    * scale keep [[trainCentroids]].
+    */
+  def trainCentroidsSharded(corpus: DataFrame, nlist: Int = 0,
+                            shards: Int = 16, sampleN: Int = 0,
+                            itersLocal: Int = 4, refineIters: Int = 1,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding")
+      : Array[(Int, Array[Double])] = {
+    require(shards >= 1, "shards must be >= 1")
+    val n = math.max(1L, corpus.count())
+    val kWant = if (nlist > 0) nlist
+      else math.max(16L, (n + TargetCellSize - 1) / TargetCellSize).toInt
+    // per-shard k, remainder spread over the first shards
+    val kBase = kWant / shards
+    val kRem = kWant % shards
+    // sample big enough for ≥32 points per centroid ACROSS shards;
+    // unlike the capped path this scales with kWant (the whole point
+    // is that no single JVM ever k-means the full sample)
+    val sN = if (sampleN > 0) sampleN else math.max(2000, 32 * kWant)
+    val num = math.min(1000000L, math.max(1L, sN * 1000000L / n))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sub = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < num)
+      .select(pmod(xxhash64(col(idCol)), lit(shards.toLong))
+        .cast("int").as("shard"), col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val pts = it.toArray.sortBy(_._2).map(_._3)
+        val kLocal = math.min(pts.length,
+          kBase + (if (shard < kRem) 1 else 0))
+        (shard, if (kLocal == 0) Array.empty[Array[Double]]
+                else kmeansCosine(pts, kLocal, itersLocal))
+      }
+      .collect()
+      .sortBy(_._1)
+    val seeds = sub.iterator.flatMap(_._2).zipWithIndex
+      .map { case (v, i) => (i, v) }.toArray
+    require(seeds.nonEmpty, "sharded training produced no centroids")
+    if (refineIters > 0) refineCentroids(corpus, seeds, refineIters,
+      vecCol)
+    else seeds
   }
 
   /** AUTO-TUNED nprobe (r9 verdict item 8): the recall@k → nprobe
@@ -744,11 +831,14 @@ object Similarity {
     */
   def buildIvfIndex(corpus: DataFrame, dir: String,
                     nlist: Int = 0, sampleN: Int = 0, iters: Int = 4,
-                    idCol: String = "vec_id", vecCol: String = "embedding")
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    centroids: Option[Array[(Int, Array[Double])]] = None)
       : Unit = {
     val spark = corpus.sparkSession
-    val cents = trainCentroids(corpus, nlist, sampleN, iters,
-      idCol, vecCol)
+    // precomputed centroids let the beyond-cap sharded trainer (or any
+    // external codebook) feed the same persisted-index protocol
+    val cents = centroids.getOrElse(
+      trainCentroids(corpus, nlist, sampleN, iters, idCol, vecCol))
     // crash-safe rebuild, same protocol as the CDC sink (shared
     // primitive: graft.sources.PointerFile): centroids and cells land
     // together in an immutable fresh version dir; a single atomic
@@ -769,7 +859,15 @@ object Similarity {
       .toDF("centroid_id", "centroid")
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
+    // cluster by cell before the hive write (r12): partitionBy alone
+    // writes up to (input tasks × nlist) files — ~25k at sf10, ~10⁵
+    // past the nlist cap — and every probe then opens nprobe × tasks
+    // files instead of nprobe. One small shuffle of (id, vec, cell)
+    // rows buys ≤1 file per cell dir: measured 2.7× on the probe path
+    // at n = 3·10⁵ (ShardScaleProbe smoke). Same discipline the
+    // compaction path has always used.
     assignCells(corpus, cents, idCol, vecCol, probes = 1, idCol, vecCol)
+      .repartition(col("centroid_id"))
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
     SegmentedIndex.commitBuild(spark, dir, version)
@@ -846,6 +944,7 @@ object Similarity {
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
     assignCells(incoming, cents, idCol, vecCol, probes = 1, idCol, vecCol)
+      .repartition(col("centroid_id")) // one file per cell dir (r12)
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
     // GC is manifest-aware (commitVersion pins every segment a KEPT
@@ -1171,6 +1270,7 @@ object Similarity {
         element_at(nearestCellStructs(col(vecCol), cents, 1), 1)
           .getField("centroid_id").as("centroid_id"),
         pqCodes(col(vecCol), books).as("codes"))
+      .repartition(col("centroid_id")) // one file per cell dir (r12)
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
     SegmentedIndex.commitBuild(spark, dir, version)
@@ -1224,6 +1324,7 @@ object Similarity {
         element_at(nearestCellStructs(col(vecCol), cents, 1), 1)
           .getField("centroid_id").as("centroid_id"),
         pqCodes(col(vecCol), books).as("codes"))
+      .repartition(col("centroid_id")) // one file per cell dir (r12)
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
     SegmentedIndex.commitAppend(spark, dir, version, parent,
@@ -1362,6 +1463,7 @@ object Similarity {
           .getField("centroid_id").as("centroid_id"),
         org.apache.spark.sql.graft.Native.quantizeI8(col(vecCol))
           .as("codes"))
+      .repartition(col("centroid_id")) // one file per cell dir (r12)
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
     SegmentedIndex.commitBuild(spark, dir, version)
@@ -1399,6 +1501,7 @@ object Similarity {
           .getField("centroid_id").as("centroid_id"),
         org.apache.spark.sql.graft.Native.quantizeI8(col(vecCol))
           .as("codes"))
+      .repartition(col("centroid_id")) // one file per cell dir (r12)
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
     SegmentedIndex.commitAppend(spark, dir, version, parent,

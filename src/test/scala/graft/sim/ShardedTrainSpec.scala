@@ -1,0 +1,82 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Beyond-cap two-level training ([[Similarity.trainCentroidsSharded]],
+  * VERDICT r11 item 4): per-hash-shard executor k-means → merge → one
+  * distributed Lloyd pass.
+  */
+class ShardedTrainSpec extends SparkSpec {
+
+  private def vecs = graft.ops.SimilarityQueries.doubleVecs(spark, sf)
+
+  test("sharded training is deterministic across invocations " +
+      "(merge path, refineIters = 0)") {
+    val a = Similarity.trainCentroidsSharded(vecs, nlist = 24,
+      shards = 4, refineIters = 0)
+    val b = Similarity.trainCentroidsSharded(vecs, nlist = 24,
+      shards = 4, refineIters = 0)
+    assert(a.length == b.length &&
+      a.zip(b).forall { case ((i1, v1), (i2, v2)) =>
+        i1 == i2 && java.util.Arrays.equals(v1, v2) })
+    // centroid ids are a dense renumbering
+    assert(a.map(_._1).toSeq == a.indices.toSeq)
+  }
+
+  test("sharded training respects the requested nlist and survives " +
+      "sparse shards") {
+    // 64 shards over a ~2000-row training band: some shards get few
+    // rows; kLocal clamps to shard size and the merge still yields a
+    // usable codebook
+    val cents = Similarity.trainCentroidsSharded(vecs, nlist = 64,
+      shards = 64, refineIters = 0)
+    assert(cents.length > 32 && cents.length <= 64,
+      s"got ${cents.length} centroids")
+  }
+
+  test("refined sharded codebook serves a correct probe through the " +
+      "persisted-index protocol (precomputed-centroids build path)") {
+    val cents = Similarity.trainCentroidsSharded(vecs, nlist = 32,
+      shards = 4, refineIters = 1)
+    val dir = "/tmp/graft_sharded_train_spec"
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    Similarity.buildIvfIndex(vecs, dir, centroids = Some(cents))
+    val stored = Similarity.readCentroids(spark, dir,
+      Similarity.indexVersion(spark, dir))
+    assert(stored.length == cents.length &&
+      stored.zip(cents).forall { case ((i1, v1), (i2, v2)) =>
+        i1 == i2 && java.util.Arrays.equals(v1, v2) })
+    // probed scores agree with brute force on shared candidates (the
+    // IVF correctness contract — scoring is exact within probed cells)
+    val queries = vecs.filter(col("vec_id") < 4)
+    val probed = Similarity.ivfProbeIndexed(dir, queries, 5, nprobe = 8)
+      .select("query_id", "cand_id", "cosine")
+    val brute = Similarity.bruteForceTopK(vecs, queries, 2000)
+      .select("query_id", "cand_id", "cosine")
+    assert(probed.except(brute).isEmpty,
+      "sharded-index probe disagrees with brute force on a candidate")
+  }
+
+  test("two-level structure: shard-local codebooks merge to the " +
+      "global k and the distributed refinement heals boundaries " +
+      "(mean best-cosine does not degrade)") {
+    def meanBestSim(cents: Array[(Int, Array[Double])]): Double = {
+      val best = cents.map { case (_, v) =>
+        Similarity.cosine(col("embedding"), typedlit(v.toSeq))
+      }.reduce((a, b) => greatest(a, b))
+      vecs.select(avg(best)).head().getDouble(0)
+    }
+    val merged = Similarity.trainCentroidsSharded(vecs, nlist = 32,
+      shards = 4, refineIters = 0)
+    val refined = Similarity.trainCentroidsSharded(vecs, nlist = 32,
+      shards = 4, refineIters = 2)
+    assert(refined.length == merged.length)
+    val (qm, qr) = (meanBestSim(merged), meanBestSim(refined))
+    assert(qr >= qm - 1e-9,
+      s"refinement degraded quantization: $qm -> $qr")
+  }
+}
