@@ -991,6 +991,41 @@ object Similarity {
     * identical to [[ivfTopK]] with the same trained centroids over the
     * union corpus.
     */
+  /** Pruned multi-segment cell read (r12): lists ONLY the probed cell
+    * dirs of each segment — `spark.read.parquet(root)` + an isin
+    * partition filter prunes the SCAN but still pays partition
+    * DISCOVERY ∝ nlist (it lists every cell dir before planning),
+    * which at a beyond-cap nlist dwarfs the probe itself (measured:
+    * a 3-of-4096-cell probe spent ~10 s listing at n = 2²⁰). Explicit
+    * probed paths + basePath make listing ∝ |probed ∩ nonempty| —
+    * the manifest-read discipline a production store uses. Segments
+    * stay separate reads (sibling hive trees refuse one multi-root
+    * read), unioned by name; a cell dir absent from a segment (no
+    * rows assigned there) is skipped via one exists() each.
+    */
+  private def readProbedCells(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, segs: Seq[String],
+                              probedCells: Array[Int]): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wanted = probedCells.toSeq.sorted // stable plan text
+    val perSeg = segs.flatMap { s =>
+      val base = s"$dir/$s/cells"
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+      val paths = wanted.map(c => s"$base/centroid_id=$c")
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      if (paths.isEmpty) None
+      else Some(spark.read.option("basePath", base).parquet(paths: _*))
+    }
+    if (perSeg.nonEmpty) perSeg.reduce(_ unionByName _)
+    else
+      // every probed cell is empty in every segment (tiny-corpus
+      // corner): fall back to one discovery read, filtered empty, so
+      // callers still get the right schema
+      segs.map(s => spark.read.parquet(s"$dir/$s/cells"))
+        .reduce(_ unionByName _)
+        .filter(lit(false))
+  }
+
   def ivfProbeIndexed(dir: String, queries: DataFrame, k: Int,
                       nprobe: Int = 0,
                       idCol: String = "vec_id",
@@ -1004,14 +1039,8 @@ object Similarity {
         .as("__c"))
       .select(col("__c.centroid_id")).distinct()
       .collect().map(_.getInt(0))
-    // one pruned scan PER SEGMENT, unioned: segment roots are sibling
-    // hive-partitioned trees, so each gets its own partition discovery
-    // (a single multi-root read refuses the layout) and the isin
-    // partition filter pushes into every branch of the union
-    val cells = indexSegments(spark, dir, ver)
-      .map(s => spark.read.parquet(s"$dir/$s/cells"))
-      .reduce(_ unionByName _)
-      .filter(col("centroid_id").isin(probedCells.map(Int.box): _*))
+    val cells = readProbedCells(spark, dir,
+        indexSegments(spark, dir, ver), probedCells)
       .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec2"),
         col("centroid_id"))
     rankProbed(cells, queries, k, cents, np, idCol, vecCol)
@@ -1354,12 +1383,8 @@ object Similarity {
         .as("__c"))
       .select(col("__c.centroid_id")).distinct()
       .collect().map(_.getInt(0))
-    // one pruned scan per manifest segment, unioned (cf.
-    // ivfProbeIndexed: sibling hive trees need their own discovery)
-    val cells = indexSegments(spark, dir, ver)
-      .map(s => spark.read.parquet(s"$dir/$s/cells"))
-      .reduce(_ unionByName _)
-      .filter(col("centroid_id").isin(probedCells.map(Int.box): _*))
+    val cells = readProbedCells(spark, dir,
+        indexSegments(spark, dir, ver), probedCells)
       .select(col("cand_id"), col("codes"), col("centroid_id"))
     val probed = broadcast(
       assignCells(queries, cents, "query_id", "q_vec", np,
@@ -1672,12 +1697,8 @@ object Similarity {
           col("q_norm")))
     val probedCells = probed.select("centroid_id").distinct()
       .collect().map(_.getInt(0))
-    // one pruned scan per manifest segment, unioned (cf.
-    // ivfPqProbeIndexed: sibling hive trees need their own discovery)
-    val cells = indexSegments(spark, dir, ver)
-      .map(s => spark.read.parquet(s"$dir/$s/cells"))
-      .reduce(_ unionByName _)
-      .filter(col("centroid_id").isin(probedCells.map(Int.box): _*))
+    val cells = readProbedCells(spark, dir,
+        indexSegments(spark, dir, ver), probedCells)
       .withColumn("c_norm",
         sqrt(Native.dotI8(col("codes"), col("codes")).cast("double")))
       .filter(col("c_norm") > 0)

@@ -49,6 +49,11 @@ object ShardScaleProbe {
     val vecs = spark.read.parquet(s"$dir/corpus")
 
     val probes = vecs.filter(col("vec_id") < 32)
+    // probe-COST measurement uses a 512-query batch: per-probe planning
+    // overhead is ∝ nlist (hive-partition discovery) and fixed per
+    // call, so a 32-query probe measures metadata, not scan; at 512
+    // queries the candidate scan dominates, which is what scales
+    val probesBig = vecs.filter(col("vec_id") < 512)
     val bruteTop = Similarity.bruteForceTopK(vecs, probes, 5)
       .select(col("query_id"), col("cand_id")).cache()
     val nBrute = bruteTop.count().toDouble
@@ -71,7 +76,7 @@ object ShardScaleProbe {
       Similarity.ivfProbeIndexed(s"$dir/capped", probes, 5, tunedCap))
     val rCap = recall(probeCapDf)
     val (_, probeCapSec) = timed(
-      Similarity.ivfProbeIndexed(s"$dir/capped", probes, 5, tunedCap)
+      Similarity.ivfProbeIndexed(s"$dir/capped", probesBig, 5, tunedCap)
         .write.format("noop").mode("overwrite").save())
 
     // ---- SHARDED: two-level training at the uncapped nlist --------
@@ -89,8 +94,8 @@ object ShardScaleProbe {
       Similarity.ivfProbeIndexed(s"$dir/sharded", probes, 5, tunedShard))
     val rShard = recall(probeShardDf)
     val (_, probeShardSec) = timed(
-      Similarity.ivfProbeIndexed(s"$dir/sharded", probes, 5, tunedShard)
-        .write.format("noop").mode("overwrite").save())
+      Similarity.ivfProbeIndexed(s"$dir/sharded", probesBig, 5,
+        tunedShard).write.format("noop").mode("overwrite").save())
 
     // probed-candidate mass per query: coverage × corpus — the
     // host-noise-free scan-cost proxy
