@@ -521,6 +521,12 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] zorder extras FAILED: ${e.getMessage}")
     }
+    // training-memo observability (r12): distinct artifacts trained
+    // this sitting vs lookups answered from cache — the record's own
+    // evidence of the build-once/probe-many effect across the family
+    val (memoSize, memoHits) = sim.Similarity.trainingMemoStats
+    extras("train_memo_artifacts") = memoSize.toDouble
+    extras("train_memo_hits") = memoHits.toDouble
     extras.toSeq
   }
 }
