@@ -44,14 +44,19 @@ object Similarity {
     */
   val TargetCellSize = 256
 
-  /** Hard ceiling on a derived nlist. The engine carries centroids as
-    * plan-bound objects (the native [[nearestCellStructs]] kernel —
-    * O(1) generated source and per-row cost nlist fused cosines, so
-    * codegen no longer bounds nlist) and trains driver-side on a
-    * bounded sample — right up to a few thousand cells (the ≤10⁶-
-    * vector scales this repo measures). Beyond the cap a deployment
-    * should shard training ([[refineCentroids]] is the distributed
-    * Lloyd); the cap makes that training boundary explicit.
+  /** Hard ceiling on a DERIVED nlist for the default driver-trained
+    * path. The engine carries centroids as plan-bound objects (the
+    * native [[nearestCellStructs]] kernel — O(1) generated source and
+    * per-row cost nlist fused cosines, so codegen no longer bounds
+    * nlist) and trains driver-side on a bounded sample — right up to
+    * a few thousand cells (the ≤10⁶-vector scales this repo
+    * measures). Beyond the cap, [[trainCentroidsSharded]] is the
+    * primary-capable path (r12): per-hash-shard executor k-means →
+    * merge → distributed Lloyd ([[refineCentroids]]); measured at
+    * n = 2²⁰ the uncapped 4096-cell index probes 142× fewer
+    * candidates at equal tuned recall (BASELINE.md round-12). The cap
+    * makes the driver-training boundary explicit, not a capability
+    * limit.
     */
   val MaxDerivedNlist = 1024
 
@@ -1277,10 +1282,14 @@ object Similarity {
                       m: Int = 0, ksub: Int = 64,
                       nlist: Int = 0, sampleN: Int = 0, iters: Int = 4,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): Unit = {
+                      vecCol: String = "embedding",
+                      centroids: Option[Array[(Int, Array[Double])]] =
+                        None): Unit = {
     val spark = corpus.sparkSession
-    val cents = trainCentroids(corpus, nlist, sampleN, iters,
-      idCol, vecCol)
+    // precomputed coarse centroids (e.g. the beyond-cap sharded
+    // trainer) compose with PQ exactly as with the raw index
+    val cents = centroids.getOrElse(
+      trainCentroids(corpus, nlist, sampleN, iters, idCol, vecCol))
     val books = trainPqBooks(corpus, m, ksub, iters, sampleN,
       idCol, vecCol)
     import graft.sources.SegmentedIndex
@@ -1472,10 +1481,12 @@ object Similarity {
   def buildIvfSq8Index(corpus: DataFrame, dir: String,
                        nlist: Int = 0, sampleN: Int = 0, iters: Int = 4,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit = {
+                       vecCol: String = "embedding",
+                       centroids: Option[Array[(Int, Array[Double])]] =
+                         None): Unit = {
     val spark = corpus.sparkSession
-    val cents = trainCentroids(corpus, nlist, sampleN, iters,
-      idCol, vecCol)
+    val cents = centroids.getOrElse(
+      trainCentroids(corpus, nlist, sampleN, iters, idCol, vecCol))
     import graft.sources.SegmentedIndex
     val version = SegmentedIndex.newVersionName()
     import spark.implicits._

@@ -61,6 +61,31 @@ class ShardedTrainSpec extends SparkSpec {
       "sharded-index probe disagrees with brute force on a candidate")
   }
 
+  test("sharded centroids compose with the PQ and SQ8 builders " +
+      "(precomputed-centroids path)") {
+    val cents = Similarity.trainCentroidsSharded(vecs, nlist = 16,
+      shards = 4, refineIters = 0)
+    val dir = "/tmp/graft_sharded_pq_spec"
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    Similarity.buildIvfPqIndex(vecs, s"$dir/pq", centroids = Some(cents))
+    Similarity.buildIvfSq8Index(vecs, s"$dir/sq8",
+      centroids = Some(cents))
+    val queries = vecs.filter(col("vec_id") < 4)
+    assert(Similarity.ivfPqProbeIndexed(s"$dir/pq", queries, 5)
+      .count() > 0)
+    assert(Similarity.ivfSq8ProbeIndexed(s"$dir/sq8", queries, 5)
+      .count() > 0)
+    // both indexes carry the sharded codebook verbatim
+    Seq("pq", "sq8").foreach { fam =>
+      val stored = Similarity.readCentroids(spark, s"$dir/$fam",
+        Similarity.indexVersion(spark, s"$dir/$fam"))
+      assert(stored.zip(cents).forall { case ((i1, v1), (i2, v2)) =>
+        i1 == i2 && java.util.Arrays.equals(v1, v2) })
+    }
+  }
+
   test("two-level structure: shard-local codebooks merge to the " +
       "global k and the distributed refinement heals boundaries " +
       "(mean best-cosine does not degrade)") {
