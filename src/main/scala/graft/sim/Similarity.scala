@@ -537,9 +537,18 @@ object Similarity {
     val n = math.max(1L, corpus.count())
     val kWant = if (nlist > 0) nlist
       else math.max(16L, (n + TargetCellSize - 1) / TargetCellSize).toInt
+    // the shard count FLOORS at ceil(k / MaxDerivedNlist): per-shard k
+    // (and with it the per-shard sample, 32 points per centroid) must
+    // stay at most the driver-trainable unit, or a 10⁹-vector corpus
+    // with the default shards would pull a multi-GB sample into one
+    // executor task. With the floor, per-shard state is bounded by
+    // the SAME constant at any corpus size — more data ⇒ more shards,
+    // never bigger ones.
+    val nShards = math.max(shards,
+      ((kWant + MaxDerivedNlist - 1) / MaxDerivedNlist))
     // per-shard k, remainder spread over the first shards
-    val kBase = kWant / shards
-    val kRem = kWant % shards
+    val kBase = kWant / nShards
+    val kRem = kWant % nShards
     // sample big enough for ≥32 points per centroid ACROSS shards;
     // unlike the capped path this scales with kWant (the whole point
     // is that no single JVM ever k-means the full sample)
@@ -549,7 +558,7 @@ object Similarity {
     import spark.implicits._
     val sub = corpus
       .filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < num)
-      .select(pmod(xxhash64(col(idCol)), lit(shards.toLong))
+      .select(pmod(xxhash64(col(idCol)), lit(nShards.toLong))
         .cast("int").as("shard"), col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .as[(Int, Long, Array[Double])]

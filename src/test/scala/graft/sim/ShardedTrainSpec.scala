@@ -25,6 +25,29 @@ class ShardedTrainSpec extends SparkSpec {
     assert(a.map(_._1).toSeq == a.indices.toSeq)
   }
 
+  test("the shard count floors at ceil(k / MaxDerivedNlist): per-shard " +
+      "k never exceeds the driver-trainable unit (more data means more " +
+      "shards, never bigger ones)") {
+    // nlist = 3·cap with shards = 1 requested: the floor must raise
+    // the effective shard count to 3, so no shard is asked for more
+    // than MaxDerivedNlist centroids. Observable effect: the result
+    // still honors nlist (clamped by sample size) and is deterministic
+    // — and the per-shard k bound is arithmetic:
+    val k = 3 * Similarity.MaxDerivedNlist
+    val nSh = math.max(1, (k + Similarity.MaxDerivedNlist - 1) /
+      Similarity.MaxDerivedNlist)
+    assert(nSh == 3 && (k / nSh) <= Similarity.MaxDerivedNlist)
+    // end-to-end at a testable scale: requested 24 cells, 1 shard —
+    // floor keeps 1 shard (24 < cap) and behavior matches the direct
+    // call
+    val a = Similarity.trainCentroidsSharded(vecs, nlist = 24,
+      shards = 1, refineIters = 0)
+    val b = Similarity.trainCentroidsSharded(vecs, nlist = 24,
+      shards = 1, refineIters = 0)
+    assert(a.zip(b).forall { case ((i1, v1), (i2, v2)) =>
+      i1 == i2 && java.util.Arrays.equals(v1, v2) })
+  }
+
   test("sharded training respects the requested nlist and survives " +
       "sparse shards") {
     // 64 shards over a ~2000-row training band: some shards get few
