@@ -41,6 +41,18 @@ object QueryPack {
     */
   val sessionToken: String = "p" + ProcessHandle.current().pid()
 
+  // per-pid roots are never reused by a later process (fresh pid ⇒
+  // fresh root), so without cleanup every harness run would strand its
+  // scratch in /tmp; delete the whole session root at JVM exit
+  sys.addShutdownHook {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"/tmp/graft_$sessionToken"))
+  }
+
   /** Scratch workspace for one query kind at one sf dir:
     * `/tmp/graft_<pid>/<kind>/<sanitized sfDir>`. Queries own the
     * lifecycle below this path exactly as before (delete-then-build);
