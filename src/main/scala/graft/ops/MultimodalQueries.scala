@@ -12,12 +12,16 @@ import graft.sources.Tables
   * baseline JPEG, the dominant web-corpus format), audio
   * (`mm_decode_wav`: RIFF/WAVE 16-bit PCM via javax.sound.sampled),
   * and video (`mm_decode_avi` / `mm_video_framesum`: MJPEG-in-AVI —
-  * a real RIFF demuxer + per-frame ImageIO JPEG decode). The
-  * remaining metadata/feature/embed steps are clearly-marked
-  * deterministic stubs ([[Multimodal.decodeStub]] — no ML runtimes in
-  * the container); the Spark plumbing (binary schema,
-  * partition-batched decode, frame-sampling explode) is real and
-  * oracle-verified throughout.
+  * a real RIFF demuxer + per-frame ImageIO JPEG decode). As of r12
+  * the feature/embed steps do REAL pixel math over the decoded
+  * rasters too ([[Multimodal.convFeatures]] /
+  * [[Multimodal.embedPooled]] — hand-rolled conv kernels and a
+  * pool→dense head with fixed integer weights, the
+  * [[graft.ml.LinearClassifier]] pattern; no ML runtime in the
+  * container, none needed). Only the toy metadata decode
+  * ([[Multimodal.decodeStub]], `mm_decode_meta`/`mm_frame_sample`/
+  * `mm_resize`) remains a deterministic payload-arithmetic fixture —
+  * kept as the schema/batching contract the real codecs plug into.
   */
 object MultimodalQueries extends QueryPack {
 
