@@ -134,7 +134,7 @@ object Bench {
     val results = firstPass.map { case r @ (name, warm, cold, ok) =>
       val medStall = warm > math.max(10 * med, 2.0)
       val refStall = reference.get(name).exists(refT =>
-        refT > 0.05 && warm > 0.3 && warm > 1.8 * refT)
+        refT > 0.05 && warm > 0.25 && warm > 1.8 * refT)
       if (!ok || !(medStall || refStall) || retries >= 25) r
       else {
         retries += 1
