@@ -131,6 +131,11 @@ object Bench {
     // genuinely-regressed binary retries once per query, not forever)
     // and recorded in extras as outlier_retries.
     var retries = 0
+    // both attempts of every retried query go into the full record
+    // (ADVICE r12: a bare count hid the best-of-attempts policy from
+    // cross-round comparisons)
+    val retriedDetail =
+      scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
     val results = firstPass.map { case r @ (name, warm, cold, ok) =>
       val medStall = warm > math.max(10 * med, 2.0)
       val refStall = reference.get(name).exists(refT =>
@@ -140,6 +145,7 @@ object Bench {
         retries += 1
         val retry = try runOnce(SparkEntry.queries(name))
                     catch { case _: Throwable => warm }
+        retriedDetail += ((name, warm, retry))
         System.err.println(
           f"[bench] $name outlier $warm%.2f s (${
             if (medStall) "10xmedian" else "vs-reference"}) -> retry ${
@@ -162,7 +168,7 @@ object Bench {
       "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile),
-      BenchRecord.full(results, extras, sfDir) + "\n")
+      BenchRecord.full(results, extras, sfDir, retriedDetail.toSeq) + "\n")
     catch { case _: Throwable => () }
     println(BenchRecord.compact(results, extras, sfDir, outFile))
     spark.stop()

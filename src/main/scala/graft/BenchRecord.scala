@@ -37,9 +37,17 @@ object BenchRecord {
         else (acc, len)
     }._1.reverse.mkString(",")
 
-  /** The durable everything-included line for BENCH_LOCAL.json. */
+  /** The durable everything-included line for BENCH_LOCAL.json.
+    *
+    * `retried` records BOTH attempts of every outlier-retried query
+    * (name → (first min-of-2, retry)) so a cross-round reader can see
+    * exactly where the best-of-attempts policy moved a number — ADVICE
+    * r12: a bare retry COUNT let the policy change masquerade as
+    * engine speedup.
+    */
   def full(results: Seq[Result], extras: Seq[(String, Double)],
-      sfDir: String): String = {
+      sfDir: String,
+      retried: Seq[(String, Double, Double)] = Nil): String = {
     val qs = results.map { case (k, v, _, _) => kv(k, v) }
       .mkString("{", ",", "}")
     val qsCold = results.map { case (k, _, c, _) => kv(k, c) }
@@ -47,8 +55,11 @@ object BenchRecord {
     val failed = results.collect { case (k, _, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val ex = extras.map { case (k, v) => kv(k, v) }.mkString("{", ",", "}")
+    val rt = retried.map { case (k, first, retry) =>
+      "\"" + k + "\":{" + kv("first", first) + "," + kv("retry", retry) + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    s"""{"queries_cold":$qsCold,"queries":$qs,"metric":"total","value":${r3(
+    s"""{"queries_cold":$qsCold,"queries":$qs,"retried":$rt,"metric":"total","value":${r3(
       total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"extras":$ex,"sf":"$sfDir"}"""
   }
 

@@ -154,16 +154,33 @@ object Multimodal {
     */
   def extractFeatures(docs: DataFrame, batchSize: Int = 64,
                       idCol: String = "doc_id",
-                      encoder: Long => Array[Byte] = encodePng)
+                      encoder: Long => Array[Byte] = encodePng,
+                      bytesCol: Option[String] = None)
       : Dataset[MediaFeatures] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { ids =>
-          ids.map(id => convFeatures(id, encoder(id)))
-        }
-      }
+    // `bytesCol` takes precedence over `encoder`: a caller holding a
+    // frame of ACTUAL stored media (the pre-r12 `asBinary` contract)
+    // feature-extracts those bytes; the fixture encoder serves only the
+    // id-keyed oracle path (ADVICE r12: without this override, stored
+    // bytes were silently ignored and replaced by fixture PNGs).
+    bytesCol match {
+      case Some(bc) =>
+        docs.select(col(idCol).cast("long"), col(bc))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.grouped(batchSize).flatMap { rows =>
+              rows.map { case (id, bytes) => convFeatures(id, bytes) }
+            }
+          }
+      case None =>
+        docs.select(col(idCol).cast("long")).as[Long]
+          .mapPartitions { it =>
+            it.grouped(batchSize).flatMap { ids =>
+              ids.map(id => convFeatures(id, encoder(id)))
+            }
+          }
+    }
   }
 
   /** Aspect-preserving resize plan: target box `maxSide`², never
@@ -492,17 +509,31 @@ object Multimodal {
     */
   def batchEmbed(docs: DataFrame, batchSize: Int = 64, dim: Int = 64,
                  idCol: String = "doc_id",
-                 encoder: Long => Array[Byte] = encodePng)
+                 encoder: Long => Array[Byte] = encodePng,
+                 bytesCol: Option[String] = None)
       : DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { ids =>
-          // batch boundary = one encoder invocation over the whole batch
-          ids.map(id => (id, embedPooled(id, encoder(id), dim)))
-        }
-      }
-      .toDF("doc_id", "embedding")
+    // same `bytesCol`-over-`encoder` precedence as [[extractFeatures]]
+    val embedded = bytesCol match {
+      case Some(bc) =>
+        docs.select(col(idCol).cast("long"), col(bc))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.grouped(batchSize).flatMap { rows =>
+              rows.map { case (id, bytes) =>
+                (id, embedPooled(id, bytes, dim)) }
+            }
+          }
+      case None =>
+        docs.select(col(idCol).cast("long")).as[Long]
+          .mapPartitions { it =>
+            it.grouped(batchSize).flatMap { ids =>
+              // batch boundary = one encoder invocation per batch
+              ids.map(id => (id, embedPooled(id, encoder(id), dim)))
+            }
+          }
+    }
+    embedded.toDF("doc_id", "embedding")
   }
 }

@@ -41,25 +41,50 @@ object QueryPack {
     */
   val sessionToken: String = "p" + ProcessHandle.current().pid()
 
+  /** Session scratch root. We CREATE it here, atomically, and refuse a
+    * pre-existing directory: under world-writable `/tmp` a predictable
+    * per-pid path could be planted by another local user (e.g. holding
+    * a symlink so our exit-time cleanup deletes their target — ADVICE
+    * r12). If `/tmp/graft_<pid>` already exists we fall back to an
+    * unpredictable `createTempDirectory` name; either way the root is
+    * provably ours (mode 700 via default temp-dir perms on the
+    * fallback, fresh `createDirectory` on the primary).
+    */
+  val sessionRoot: java.io.File = {
+    import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+    val primary = Paths.get(s"/tmp/graft_$sessionToken")
+    try { Files.createDirectory(primary).toFile }
+    catch {
+      case _: FileAlreadyExistsException =>
+        Files.createTempDirectory(Paths.get("/tmp"),
+          s"graft_${sessionToken}_").toFile
+    }
+  }
+
   // per-pid roots are never reused by a later process (fresh pid ⇒
   // fresh root), so without cleanup every harness run would strand its
-  // scratch in /tmp; delete the whole session root at JVM exit
+  // scratch in /tmp; delete the whole session root at JVM exit.
+  // Symlinks are deleted as links, never traversed (listFiles on a
+  // dir-symlink would otherwise recurse into — and delete — content
+  // OUTSIDE the session root).
   sys.addShutdownHook {
     def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(rm)
+      if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+      }
       f.delete(): Unit
     }
-    rm(new java.io.File(s"/tmp/graft_$sessionToken"))
+    rm(sessionRoot)
   }
 
   /** Scratch workspace for one query kind at one sf dir:
-    * `/tmp/graft_<pid>/<kind>/<sanitized sfDir>`. Queries own the
+    * `<sessionRoot>/<kind>/<sanitized sfDir>`. Queries own the
     * lifecycle below this path exactly as before (delete-then-build);
     * nothing under it is shared across processes.
     */
   def scratch(kind: String, sfDir: String): String =
-    s"/tmp/graft_$sessionToken/$kind/" +
+    s"${sessionRoot.getAbsolutePath}/$kind/" +
       sfDir.replaceAll("[^A-Za-z0-9]", "_")
 }
 

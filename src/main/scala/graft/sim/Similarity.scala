@@ -108,13 +108,14 @@ object Similarity {
   // artifacts once per query (~1000 s of the 1853 s sf10 bench); a
   // production store trains once and probes many. This JVM-local memo
   // gives the inventory the production shape without changing any
-  // result bit: key = canonicalized logical plan of the corpus (two
-  // independently-built reads of the same data canonicalize equal) +
-  // its current row count (cheap freshness probe for the one mutation
-  // pattern tests could use — overwrite-in-place — which the
-  // driver-generated parquet never does within a run) + every training
-  // parameter. Values are defensively deep-cloned on return so no
-  // caller can contaminate the cache.
+  // result bit: key = canonicalized logical plan of the corpus PLUS
+  // the relation's physical identity — file-scan root paths and a
+  // (path, length, mtime) digest of the listing, or the row data for
+  // in-memory relations (see [[planKey]]; the plan string alone has no
+  // data location, so same-schema different corpora would collide) —
+  // plus its current row count and every training parameter. Values
+  // are defensively deep-cloned on return so no caller can contaminate
+  // the cache.
   private val trainMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
@@ -134,18 +135,65 @@ object Similarity {
     * and CHM forbids re-entrant updates). A lost race recomputes the
     * same deterministic value — wasted work, never a wrong answer.
     */
+  /** Bound on distinct cached artifacts (ADVICE r12: the map never
+    * evicted). Crossing the cap clears the whole memo — deterministic,
+    * trivially correct (values are pure functions of their keys; a
+    * re-miss retrains the identical artifact), and far above any real
+    * inventory's distinct (corpus, params) count.
+    */
+  private val MemoCap = 256
+
   private def memoized[T <: AnyRef](key: String)(f: => T): T = {
     val hit = trainMemo.get(key)
     if (hit != null) { memoHits.incrementAndGet(); hit.asInstanceOf[T] }
     else {
       val v = f
+      if (trainMemo.size >= MemoCap) trainMemo.clear()
       val prev = trainMemo.putIfAbsent(key, v)
       (if (prev != null) prev else v).asInstanceOf[T]
     }
   }
 
-  private def planKey(corpus: DataFrame): String =
-    corpus.queryExecution.analyzed.canonicalized.toString
+  /** Cache key identifying a training corpus. The canonicalized plan
+    * alone is NOT sufficient identity: a `HadoopFsRelation`'s plan
+    * string prints only the format short name + output schema (no data
+    * location), so two different parquet corpora with the same schema
+    * would collide (ADVICE r12, high). We therefore fold in, per file
+    * relation in the plan: every root path, plus a digest of the file
+    * listing (path, length, modification time) — so a different
+    * directory, OR the same directory rewritten in place, keys
+    * differently. In-memory `LocalRelation`s digest their row data
+    * (driver-resident by construction, so cheap).
+    */
+  private def planKey(corpus: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val plan = corpus.queryExecution.analyzed
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(plan.canonicalized.toString.getBytes("UTF-8"))
+    val bb = java.nio.ByteBuffer.allocate(8)
+    def putLong(l: Long): Unit = { bb.putLong(0, l); md.update(bb.array()) }
+    plan.foreach {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.foreach(p =>
+              md.update(p.toString.getBytes("UTF-8")))
+            // one listing RPC equivalent, already cached by the
+            // FileIndex from planning — no extra filesystem round-trip
+            fs.location.listFiles(Nil, Nil).foreach(_.files.foreach { f =>
+              md.update(f.getPath.toString.getBytes("UTF-8"))
+              putLong(f.getLen); putLong(f.getModificationTime)
+            })
+          case other =>
+            md.update(other.toString.getBytes("UTF-8"))
+        }
+      case lc: LocalRelation =>
+        lc.data.foreach(r => md.update(r.toString.getBytes("UTF-8")))
+      case _ => ()
+    }
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
 
   /** Content digest of a centroid table (for memo keys where the
     * centroids arrive as a value, not derived from the keyed corpus).
@@ -338,13 +386,22 @@ object Similarity {
     // recall measured on them is out-of-sample (the r11 tuner bias was
     // exactly the in-sample fit: centroids place themselves to serve
     // the training rows, flattering a frontier measured on those same
-    // rows). Clamped when the bands can't both fit in [0, 10⁶) — at
-    // num = 10⁶ the "sample" is the whole corpus and the measurement
-    // is exact rather than biased, so the overlap is benign.
-    val lo = if (heldOut) math.min(num, 1000000L - num) else 0L
+    // rows). When the two equal-width bands can't both fit in [0, 10⁶)
+    // (sampling fraction > ½), the held-out band shrinks to the
+    // remainder [num, 10⁶) — DISJOINT from training, just narrower
+    // (ADVICE r12: the old clamp lo = min(num, 10⁶ − num) overlapped
+    // the training band by 2·num − 10⁶ rows, partially reinstating the
+    // in-sample bias). At num = 10⁶ the remainder is empty, so the
+    // "sample" is the whole corpus and the measurement is exact rather
+    // than biased — the one case where overlap is benign by
+    // construction.
+    val (lo, hi) =
+      if (!heldOut) (0L, num)
+      else if (num >= 1000000L) (0L, 1000000L)
+      else (num, math.min(2L * num, 1000000L))
     val band = pmod(xxhash64(col(idCol)), lit(1000000L))
     corpus
-      .filter(band >= lo && band < lo + num)
+      .filter(band >= lo && band < hi)
       .select(col(idCol), col(vecCol))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Any](1).map {
