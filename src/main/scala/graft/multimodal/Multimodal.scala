@@ -97,10 +97,29 @@ object Multimodal {
   final case class MediaFeatures(
       doc_id: Long, f0: Double, f1: Double, f2: Double, f3: Double)
 
+  /** Integer BT.601-style luma of a pixel, the one sample every
+    * feature kernel reads — `(77·R + 150·G + 29·B) >> 8` (weights sum
+    * to 256, so an image whose three bands are IDENTICAL lumas to
+    * exactly the band value: the r12 identical-band fixtures and
+    * their oracles are unchanged, while distinct-band content — the
+    * r13 RGB fixture family — makes a band-0-only reader
+    * hash-mismatch, VERDICT r12 item 6). Single-band (grayscale)
+    * rasters pass band 0 through. Exact integer math: luma ≤ 255, so
+    * every downstream exactness bound (conv sums < 2⁶³, pool
+    * numerators < 2²⁴) is the same as reading one band.
+    */
+  private[multimodal] def lumaAt(r: java.awt.image.Raster, nb: Int,
+                                 x: Int, y: Int): Long =
+    if (nb >= 3)
+      (77L * r.getSample(x, y, 0) + 150L * r.getSample(x, y, 1) +
+        29L * r.getSample(x, y, 2)) >> 8
+    else r.getSample(x, y, 0).toLong
+
   /** REAL feature extractor (r12 — the former id-arithmetic stub):
     * fixed-integer-kernel convolutions over the ACTUALLY DECODED
     * raster, the hand-rolled analog of a vision encoder's first conv
-    * layer. Over every interior pixel of band 0:
+    * layer. Over every interior pixel of the LUMA plane (see
+    * [[lumaAt]] — all bands consumed, r13):
     *   f0 = Σ |Sobel-x|   (horizontal edge energy)
     *   f1 = Σ |Sobel-y|   (vertical edge energy)
     *   f2 = Σ |4-neighbor Laplacian| (texture/high-frequency energy)
@@ -118,7 +137,8 @@ object Multimodal {
     val r = img.getRaster
     val w = img.getWidth
     val h = img.getHeight
-    def v(x: Int, y: Int): Long = r.getSample(x, y, 0).toLong
+    val nb = r.getNumBands
+    def v(x: Int, y: Int): Long = lumaAt(r, nb, x, y)
     var gx = 0L; var gy = 0L; var lap = 0L; var box = 0L
     var y = 1
     while (y <= h - 2) {
@@ -207,7 +227,7 @@ object Multimodal {
     * hand-rolled pool→dense head every tiny vision encoder ends in
     * (same fixed-weight pattern as [[graft.ml.LinearClassifier]]).
     *
-    *   p(c)  = Σ samples of band 0 in grid cell c (c = gx·8+gy,
+    *   p(c)  = Σ luma samples ([[lumaAt]], all bands) in cell c (c = gx·8+gy,
     *           gx = x·8/w, gy = y·8/h — every image pools to 64 cells)
     *   e(j)  = (Σ_c W(j,c)·p(c) + p(j mod 64)) / 1024,
     *           W(j,c) = ((31j + 17c + 7) mod 7) − 3  ∈ [−3, 3]
@@ -235,12 +255,15 @@ object Multimodal {
     val r = img.getRaster
     val w = img.getWidth
     val h = img.getHeight
+    val nb = r.getNumBands
     val p = new Array[Long](64)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        p((x * 8 / w) * 8 + (y * 8 / h)) += r.getSample(x, y, 0)
+        // luma pool (all bands consumed — see [[lumaAt]]); identical
+        // bands reduce to the band value, so r12 oracles are unchanged
+        p((x * 8 / w) * 8 + (y * 8 / h)) += lumaAt(r, nb, x, y)
         x += 1
       }
       y += 1
@@ -292,6 +315,42 @@ object Multimodal {
         val v = ((id + 3L * x + 7L * y) % 256L).toInt
         var b = 0
         while (b < 3) { r.setSample(x, y, b, v); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    writeImage(img, "png", None)
+  }
+
+  /** Deterministic real PNG with DISTINCT per-band content (r13,
+    * VERDICT r12 item 6): dims as [[encodePng]]; band b's sample at
+    * (x, y) is `(id + (3+b)·x + (7+2b)·y) % 256` — the three planes
+    * are ramps with DIFFERENT SLOPES (not merely phase shifts, which a
+    * derivative kernel cancels as a constant luma offset), so the luma
+    * gradient the feature kernels read ([[lumaAt]]) differs from every
+    * single band's gradient at essentially every pixel, and a
+    * band-0-only (or band-order-confused) implementation
+    * hash-mismatches its oracle. Band 0 keeps the classic
+    * `(id + 3x + 7y)` ramp, so "band-0-only" means exactly the r12
+    * behavior. PNG truecolor is lossless; a SQL oracle reproduces the
+    * luma by integer arithmetic.
+    */
+  def encodePngRgb(id: Long): Array[Byte] = {
+    val w = (id % 24 + 2).toInt
+    val h = (id % 18 + 2).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < 3) {
+          r.setSample(x, y, b,
+            ((id + (3L + b) * x + (7L + 2L * b) * y) % 256L).toInt)
+          b += 1
+        }
         x += 1
       }
       y += 1

@@ -410,6 +410,103 @@ object MultimodalQueries extends QueryPack {
         |  CAST(n63 AS DOUBLE) / 1024 AS e63,
         |  CAST(nsum AS DOUBLE) / 1024 AS comp_sum,
         |  64 AS dim
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
+    // MULTI-BAND conv features (r13, VERDICT r12 item 6): same kernels
+    // as mm_feature_extract but over the RGB fixture family, whose
+    // three bands are DISTINCT phase-shifted ramps — the kernels read
+    // the integer luma (77R+150G+29B)>>8 of every pixel, so a
+    // band-0-only (or band-order-confused) implementation
+    // hash-mismatches. The oracle re-derives the luma per neighbor
+    // with pure integer SQL (rendered by [[lumaSql]]).
+    Q("mm_feature_extract_rgb",
+      (s, d) => Multimodal
+        .extractFeatures(Tables.documents(s, d),
+          encoder = Multimodal.encodePngRgb)
+        .toDF()
+        .orderBy(col("doc_id")),
+      Some(s"""WITH d AS (
+        |  SELECT doc_id, doc_id % 24 + 2 AS w, doc_id % 18 + 2 AS h
+        |  FROM documents),
+        | g AS (
+        |  SELECT doc_id,
+        |    abs(${lumaSql(1, -1)} + 2*${lumaSql(1, 0)} + ${lumaSql(1, 1)}
+        |      - ${lumaSql(-1, -1)} - 2*${lumaSql(-1, 0)} - ${lumaSql(-1, 1)}) AS sx,
+        |    abs(${lumaSql(-1, 1)} + 2*${lumaSql(0, 1)} + ${lumaSql(1, 1)}
+        |      - ${lumaSql(-1, -1)} - 2*${lumaSql(0, -1)} - ${lumaSql(1, -1)}) AS sy,
+        |    abs(${lumaSql(1, 0)} + ${lumaSql(-1, 0)} + ${lumaSql(0, 1)}
+        |      + ${lumaSql(0, -1)} - 4*${lumaSql(0, 0)}) AS lp,
+        |    ${lumaSql(-1, -1)} + ${lumaSql(0, -1)} + ${lumaSql(1, -1)}
+        |      + ${lumaSql(-1, 0)} + ${lumaSql(0, 0)} + ${lumaSql(1, 0)}
+        |      + ${lumaSql(-1, 1)} + ${lumaSql(0, 1)} + ${lumaSql(1, 1)} AS bx
+        |  FROM d, generate_series(1, 23) x(x), generate_series(1, 17) y(y)
+        |  WHERE x.x <= w - 2 AND y.y <= h - 2),
+        | a AS (
+        |  SELECT doc_id, sum(sx) AS f0, sum(sy) AS f1,
+        |         sum(lp) AS f2, sum(bx) AS f3
+        |  FROM g GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(f0, 0) AS DOUBLE) AS f0,
+        |  CAST(coalesce(f1, 0) AS DOUBLE) AS f1,
+        |  CAST(coalesce(f2, 0) AS DOUBLE) AS f2,
+        |  CAST(coalesce(f3, 0) AS DOUBLE) AS f3
+        |FROM d LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // MULTI-BAND pooled embedding (r13): mm_batch_embed's pool→dense
+    // head over the RGB fixture — the pool accumulates the luma of
+    // every pixel, so all three decoded bands are load-bearing in the
+    // hash. Exactness bound unchanged (luma ≤ 255).
+    Q("mm_batch_embed_rgb",
+      (s, d) => {
+        val emb = Multimodal.batchEmbed(Tables.documents(s, d),
+          encoder = Multimodal.encodePngRgb)
+        emb.select(col("doc_id"),
+          element_at(col("embedding"), 1).cast("double").as("e0"),
+          element_at(col("embedding"), 18).cast("double").as("e17"),
+          element_at(col("embedding"), 64).cast("double").as("e63"),
+          expr("aggregate(transform(embedding, x -> cast(x as double))," +
+            " cast(0.0 as double), (a, v) -> a + v)").as("comp_sum"),
+          size(col("embedding")).as("dim"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+        |  SELECT doc_id, doc_id % 24 + 2 AS w, doc_id % 18 + 2 AS h
+        |  FROM documents),
+        | p AS (
+        |  SELECT doc_id, ((x.x * 8) // w) * 8 + ((y.y * 8) // h) AS cell,
+        |         sum(${lumaSql(0, 0)}) AS p
+        |  FROM d, generate_series(0, 24) x(x), generate_series(0, 18) y(y)
+        |  WHERE x.x < w AND y.y < h GROUP BY 1, 2),
+        | e AS (
+        |  SELECT doc_id,
+        |    sum((((31 * 0 + 17 * cell + 7) % 7) - 3) * p
+        |        + CASE WHEN cell = 0 THEN p ELSE 0 END) AS n0,
+        |    sum((((31 * 17 + 17 * cell + 7) % 7) - 3) * p
+        |        + CASE WHEN cell = 17 THEN p ELSE 0 END) AS n17,
+        |    sum((((31 * 63 + 17 * cell + 7) % 7) - 3) * p
+        |        + CASE WHEN cell = 63 THEN p ELSE 0 END) AS n63,
+        |    sum((((3 * cell) % 7) - 2) * p) AS nsum
+        |  FROM p GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(n0 AS DOUBLE) / 1024 AS e0,
+        |  CAST(n17 AS DOUBLE) / 1024 AS e17,
+        |  CAST(n63 AS DOUBLE) / 1024 AS e63,
+        |  CAST(nsum AS DOUBLE) / 1024 AS comp_sum,
+        |  64 AS dim
         |FROM e ORDER BY doc_id""".stripMargin))
   )
+
+  /** DuckDB integer luma of the RGB fixture's pixel at offset
+    * (dx, dy) from the series position (x.x, y.y) — the SQL mirror of
+    * [[Multimodal.lumaAt]] over [[Multimodal.encodePngRgb]]'s analytic
+    * bands: band b = (doc_id + (3+b)(x+dx) + (7+2b)(y+dy)) % 256,
+    * luma = (77·b0 + 150·b1 + 29·b2) // 256. All operands nonnegative,
+    * so DuckDB's floor-`//` equals the JVM's `>> 8`.
+    */
+  private def lumaSql(dx: Int, dy: Int): String = {
+    def band(b: Int): String =
+      s"((doc_id + ${3 + b}*(x.x + ($dx)) + ${7 + 2 * b}*(y.y + ($dy))) % 256)"
+    s"((77*${band(0)} + 150*${band(1)} + 29*${band(2)}) // 256)"
+  }
 }

@@ -975,6 +975,35 @@ object SimilarityQueries extends QueryPack {
       },
       None),
 
+    // BEYOND-CAP SHARDED TRAINING in the oracled inventory (r13,
+    // VERDICT r12 item 1): the centroids come from
+    // trainCentroidsSharded — per-hash-shard executor k-means over a
+    // distributed sample, merged driver-side, refineIters = 0 so the
+    // codebook is the BIT-DETERMINISTIC pre-refine merge (refined
+    // means are reduction-order-dependent and not oracle-pinnable
+    // across partitionings). nlist targets 128-vector cells
+    // (vs the default 256), which FORCES nlist past the 1024 driver
+    // cap at the sf10 replica (200k vectors → 1563 cells) — the scale
+    // regime the sharded path exists for — while staying a real
+    // (floored) geometry at sf0.01. The probe flows through the same
+    // persisted-index protocol and path-pruned multi-segment read as
+    // sim_ann_ivf_indexed, and the same centroid-pinned dynamic
+    // oracle replays it flat over the embeddings table.
+    Q("sim_ann_ivf_sharded",
+      (s, d) => {
+        val vecs = doubleVecs(s, d)
+        val n = math.max(1L, vecs.count())
+        val nlist = math.max(16L, (n + 127) / 128).toInt
+        val cents = Similarity.trainCentroidsSharded(vecs, nlist,
+          refineIters = 0)
+        val dir = QueryPack.scratch("ivf_sharded", d)
+        Similarity.buildIvfIndex(vecs, dir, centroids = Some(cents))
+        DynamicOracle.put("sim_ann_ivf_sharded", ivfOracleWith(cents))
+        Similarity.ivfProbeIndexed(dir, vecs.filter(col("vec_id") < 8), 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // INCREMENTAL ingest for the persisted IVF index — the vector
     // mirror of dedup_cross_corpus's standing-index probe: build on
     // the base 2/3 of the corpus (training sees only that slice),

@@ -281,6 +281,54 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("RGB fixture: bands are distinct, the kernels consume ALL of " +
+      "them via exact integer luma, and a band-0-only reader diverges") {
+    val id = 41L
+    val w = (id % 24 + 2).toInt; val h = (id % 18 + 2).toInt
+    // decode and check the three bands really are phase-shifted ramps
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodePngRgb(id)))
+    val r = img.getRaster
+    for (y <- 0 until h; x <- 0 until w; b <- 0 until 3)
+      assert(r.getSample(x, y, b) ==
+        ((id + (3L + b) * x + (7L + 2L * b) * y) % 256L).toInt,
+        s"band $b at ($x,$y)")
+    // analytic luma parity: conv sums recomputed from the fixture
+    // formula through the SAME luma the SQL oracle renders
+    def luma(x: Int, y: Int): Long = {
+      def band(b: Long) = (id + (3L + b) * x + (7L + 2L * b) * y) % 256L
+      (77L * band(0) + 150L * band(1) + 29L * band(2)) >> 8
+    }
+    var gx = 0L
+    for (y <- 1 to h - 2; x <- 1 to w - 2)
+      gx += math.abs(
+        (luma(x + 1, y - 1) + 2 * luma(x + 1, y) + luma(x + 1, y + 1))
+          - (luma(x - 1, y - 1) + 2 * luma(x - 1, y) + luma(x - 1, y + 1)))
+    val f = Multimodal.convFeatures(id, Multimodal.encodePngRgb(id))
+    assert(f.f0 === gx.toDouble)
+    // a band-0-only implementation computes a DIFFERENT f0 here (this
+    // is the hash-divergence the r13 oracles pin at the inventory
+    // level)
+    def v0(x: Int, y: Int): Long = (id + 3L * x + 7L * y) % 256L
+    var gx0 = 0L
+    for (y <- 1 to h - 2; x <- 1 to w - 2)
+      gx0 += math.abs(
+        (v0(x + 1, y - 1) + 2 * v0(x + 1, y) + v0(x + 1, y + 1))
+          - (v0(x - 1, y - 1) + 2 * v0(x - 1, y) + v0(x - 1, y + 1)))
+    assert(gx != gx0,
+      "fixture failed to discriminate band-0-only from luma")
+    // identical-band fixture lumas to the band value exactly, so the
+    // r12 oracles are untouched by the luma change (77+150+29 = 256)
+    val same = Multimodal.convFeatures(id, Multimodal.encodePng(id))
+    def v(x: Int, y: Int): Long = v0(x, y)
+    var gxSame = 0L
+    for (y <- 1 to h - 2; x <- 1 to w - 2)
+      gxSame += math.abs(
+        (v(x + 1, y - 1) + 2 * v(x + 1, y) + v(x + 1, y + 1))
+          - (v(x - 1, y - 1) + 2 * v(x - 1, y) + v(x - 1, y + 1)))
+    assert(same.f0 === gxSame.toDouble)
+  }
+
   test("batchEmbed: partition/batch-invariant and feeds the ANN stack") {
     val a = Multimodal.batchEmbed(media, batchSize = 64)
     val b = Multimodal.batchEmbed(media.repartition(5), batchSize = 3)

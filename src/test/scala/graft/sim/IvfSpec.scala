@@ -158,6 +158,53 @@ class IvfSpec extends SparkSpec {
     Similarity.clearTrainingMemo()
   }
 
+  test("disk mirror: an artifact trained in one session is reused " +
+      "across a simulated JVM restart bit-identically, and a corrupt " +
+      "file degrades to a retrain, never an error") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_train_cache_spec").toFile
+    val saved = Similarity.trainingArtifactDir
+    try {
+      Similarity.setTrainingArtifactDir(Some(dir.getAbsolutePath))
+      Similarity.clearTrainingMemo()
+      val a = Similarity.trainCentroids(vecs, 8, 500, 2)
+      val (h0, w0) = Similarity.trainingDiskStats
+      assert(h0 == 0 && w0 == 1,
+        s"expected one disk write on first train, hits=$h0 writes=$w0")
+      // a fresh JVM has an empty memory memo but finds the mirror —
+      // this is the driver's Verify-then-Bench process pair
+      Similarity.dropMemoryMemo()
+      val b = Similarity.trainCentroids(
+        SimilarityQueries.doubleVecs(spark, sf), 8, 500, 2)
+      val (h1, w1) = Similarity.trainingDiskStats
+      assert(h1 == 1 && w1 == 1,
+        s"expected disk hit + no retrain write, hits=$h1 writes=$w1")
+      assert(a.length == b.length &&
+        a.zip(b).forall { case ((i1, v1), (i2, v2)) =>
+          i1 == i2 && java.util.Arrays.equals(v1, v2) },
+        "disk-mirrored artifact not bit-identical to the trained one")
+      // torn/corrupt artifact ⇒ miss ⇒ retrain ⇒ rewrite
+      val bins = dir.listFiles().filter(_.getName.endsWith(".bin"))
+      assert(bins.length == 1)
+      java.nio.file.Files.write(bins.head.toPath,
+        Array[Byte](1, 2, 3)): Unit
+      Similarity.dropMemoryMemo()
+      val c = Similarity.trainCentroids(vecs, 8, 500, 2)
+      val (h2, w2) = Similarity.trainingDiskStats
+      assert(h2 == 1 && w2 == 2,
+        s"corrupt file must retrain+rewrite, hits=$h2 writes=$w2")
+      assert(a.zip(c).forall { case ((i1, v1), (i2, v2)) =>
+        i1 == i2 && java.util.Arrays.equals(v1, v2) })
+      Similarity.clearTrainingMemo() // wipes the temp mirror
+      assert(dir.listFiles().forall(!_.getName.endsWith(".bin")))
+    } finally {
+      Similarity.setTrainingArtifactDir(saved)
+      Similarity.dropMemoryMemo()
+      dir.listFiles().foreach(_.delete())
+      dir.delete(): Unit
+    }
+  }
+
   test("deriveNlist holds cell population constant, floored and capped") {
     assert(Similarity.deriveNlist(500L) == 16)        // small-corpus floor
     assert(Similarity.deriveNlist(4096L) == 16)       // 4096/256 exactly

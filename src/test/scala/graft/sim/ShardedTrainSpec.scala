@@ -109,6 +109,55 @@ class ShardedTrainSpec extends SparkSpec {
     }
   }
 
+  test("beyond-cap persisted index: a sharded codebook with nlist > " +
+      "MaxDerivedNlist lands ONE file per cell and a probe's scan " +
+      "touches ONLY probed cell dirs (the sim_ann_ivf_sharded layout " +
+      "contract the oracle can't see)") {
+    // synthetic 40k-vector corpus: big enough that nlist = 1200 cells
+    // is a real geometry (33 vectors/cell), far past the driver cap
+    // hash-scattered components: 40k DISTINCT directions in 8-d (a
+    // modular ramp would collapse to its period and leave most cells
+    // empty), deterministic across runs (Murmur3)
+    val big = spark.range(0, 40000).selectExpr("id AS vec_id",
+      "transform(sequence(0, 7), j -> " +
+        "cast(hash(id, j) % 1000 AS double)) AS embedding")
+    val cents = Similarity.trainCentroidsSharded(big, nlist = 1200,
+      refineIters = 0)
+    assert(cents.length > Similarity.MaxDerivedNlist,
+      s"codebook not beyond-cap: ${cents.length}")
+    val root = "/tmp/graft_sharded_cap_spec"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    Similarity.buildIvfIndex(big, root, centroids = Some(cents))
+    // one data file per occupied hive cell dir (the clustered write:
+    // probe cost per cell is one file open, not one per input task)
+    val cellDirs = new java.io.File(root).listFiles()
+      .filter(_.isDirectory)
+      .flatMap(v => Option(new java.io.File(v, "cells").listFiles())
+        .getOrElse(Array.empty))
+      .filter(d => d.isDirectory && d.getName.startsWith("centroid_id="))
+    assert(cellDirs.length > Similarity.MaxDerivedNlist,
+      s"expected beyond-cap cell dir count, got ${cellDirs.length}")
+    cellDirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${d.getName} holds $n files")
+    }
+    // the probe's scan reads ONLY probed cell dirs: ≤ queries × nprobe
+    // of the 1200 (path-pruned explicit-paths read, not a full
+    // partition discovery)
+    val probed = Similarity.ivfProbeIndexed(root,
+      big.filter(org.apache.spark.sql.functions.col("vec_id") < 4),
+      5, nprobe = 5)
+    val probedCellDirs = probed.inputFiles
+      .filter(_.contains("/cells/centroid_id="))
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    assert(probedCellDirs.nonEmpty && probedCellDirs.length <= 20,
+      s"probe touched ${probedCellDirs.length} cell dirs (cap 4×5)")
+    assert(probed.count() > 0)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true): Unit
+  }
+
   test("two-level structure: shard-local codebooks merge to the " +
       "global k and the distributed refinement heals boundaries " +
       "(mean best-cosine does not degrade)") {
