@@ -71,6 +71,7 @@ CLASSES = {
         "sim_ann_ivf_pq", "sim_ann_ivf_pq_append",
         "sim_ann_ivf_pq_refined", "sim_ann_ivf_sq8",
         "sim_ann_ivf_sq8_append", "sim_ann_ivf_trained",
+        "sim_ann_ivf_sharded",
         "sim_ann_lsh", "sim_cosine_topk", "sim_hybrid_search",
         "sim_index_describe",
         "sim_knn_join_cell", "sim_quantized_topk",
@@ -82,7 +83,9 @@ CLASSES = {
         "mm_decode_meta",
         "mm_decode_real", "mm_decode_wav", "mm_video_framesum",
         "mm_dedup_binary",
-        "mm_feature_extract", "mm_frame_sample", "mm_resize", "text_bm25",
+        "mm_feature_extract", "mm_feature_extract_rgb",
+        "mm_batch_embed_rgb",
+        "mm_frame_sample", "mm_resize", "text_bm25",
         "text_entropy", "text_fingerprint", "text_histogram",
         "text_langid", "text_normalize", "text_quality",
         "text_redact_pii", "text_repetition", "text_tokens",
@@ -226,15 +229,30 @@ CLASSES = {
 #      text_bigram_lm — lag-window bigrams + corpus-LM join back;
 #      text_cooccur_pmi — eligible-vocab-gated doc_id self-join.
 #      Clean warm at sf0.1 (proxy-1.0 sitting): 0.89 / 1.11 / 1.12 s.)
+# Round-13 RATCHET (VERDICT r12 item 7): the additive amendments above
+# had drifted the TOTAL floor to 280.0 while the r12 driver record
+# measured 185.8 (0.66x) — a 1.5x regression would have passed the
+# gate. Floors reset to 1.25x the r12 committed driver record per
+# class (BENCH_r12, the graded sitting — its host proxy was typical;
+# the 1.25x headroom is the documented host-variance allowance), plus
+# the historical 1.4x formula for the r13-new members:
+#   similarity/ANN     39.25*1.25 + 1.4*0.89      -> 50.3
+#     (sim_ann_ivf_sharded — beyond-cap sharded codebook + persisted
+#      build + pruned probe, clean warm 0.887 s min-of-2 at sf0.1)
+#   text/multimodal    18.40*1.25 + 1.4*(0.91+0.96) -> 25.6
+#     (mm_feature_extract_rgb 0.905 s, mm_batch_embed_rgb 0.957 s —
+#      multi-band luma kernels over the RGB fixture family)
+# A uniform +30% on an r12-shaped record now breaches EVERY class
+# (1.30 > 1.25); the old floors would have absorbed it silently.
 BUDGETS = {
-    "scan/agg/window": 33.2,
-    "joins/sets": 16.0,
-    "cdc materialize/timeline": 22.0,
-    "streaming/state-store": 39.8,
-    "dedup family": 74.2,
-    "similarity/ANN": 54.8,
-    "text/multimodal per-row": 23.6,
-    "pipeline composites": 16.4,
+    "scan/agg/window": 31.5,
+    "joins/sets": 15.5,
+    "cdc materialize/timeline": 15.6,
+    "streaming/state-store": 25.7,
+    "dedup family": 58.2,
+    "similarity/ANN": 50.3,
+    "text/multimodal per-row": 25.6,
+    "pipeline composites": 13.7,
 }
 
 
