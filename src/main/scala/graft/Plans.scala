@@ -78,6 +78,12 @@ object Plans {
     // no postings scan; IVF: count over the hive partition column
     // alone — ReadSchema carries no vector/code columns)
     "dedup_index_describe", "sim_index_describe",
+    // round 13: beyond-cap sharded codebook through the persisted
+    // pruned probe (plan to check: the cells scan lists ONLY probed
+    // centroid_id dirs — explicit paths, not partition discovery),
+    // and the multi-band luma feature path (plan: one mapPartitions
+    // seam, no exchange, doc_id-pruned scan)
+    "sim_ann_ivf_sharded", "mm_feature_extract_rgb",
     // round 8: index-accelerated phrase search — the plan to check is
     // the pushed IN filter on the shingle hashes (scan ∝ needle
     // posting mass, not index) and the broadcast semi-join verify
