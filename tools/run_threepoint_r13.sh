@@ -34,7 +34,7 @@ bench() { # $1 sfdir $2 ref $3 out
   # shellcheck disable=SC2086
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_BENCH_REF="$2" \
   SPARK_GRAFT_BENCH_OUT="$3" \
-    java -Xmx28g $ADDOPENS -Dspark.ui.enabled=false \
+    java -Xmx48g $ADDOPENS -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC \
     -cp "$CLASSES:/opt/spark/jars/*" graft.Bench
   echo "=== bench $1 rc=$? ==="
@@ -60,7 +60,7 @@ if [ ! -f localdata/verify_sf01_r13/oracle_sql.json ]; then
   echo "=== 4/5 verify + oracle sf0.1 (frozen) ==="
   rm -rf localdata/verify_sf01_r13
   # shellcheck disable=SC2086
-  java -Xmx24g $ADDOPENS -Dspark.ui.enabled=false \
+  java -Xmx40g $ADDOPENS -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC \
     -cp "$CLASSES:/opt/spark/jars/*" \
     graft.Verify /root/testdata/sf0.1 localdata/verify_sf01_r13 2>&1 \
@@ -79,7 +79,7 @@ if [ ! -f "$OUT/oracle_sql.json" ]; then
   echo "=== 5/5 verify sf10 (frozen) ==="
   rm -rf "$OUT"
   # shellcheck disable=SC2086
-  java -Xmx24g $ADDOPENS -Dspark.ui.enabled=false \
+  java -Xmx40g $ADDOPENS -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC \
     -cp "$CLASSES:/opt/spark/jars/*" \
     graft.Verify /root/repo/localdata/sf10 "$OUT" 2>&1 \
