@@ -63,6 +63,28 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(node.get("n_queries").asInt() === 138)
   }
 
+  test("full record: the retried map carries BOTH attempts per query " +
+      "(r13 — a bare count let the best-of-attempts policy read as " +
+      "engine speedup) and defaults to empty") {
+    val withRetries = BenchRecord.full(results, extras, sf,
+      Seq(("q_a", 4.5, 3.2), ("q_b", 0.61, 0.73)))
+    val node = mapper.readTree(withRetries)
+    val rt = node.get("retried")
+    assert(rt.size() === 2)
+    assert(rt.get("q_a").get("first").asDouble() === 4.5)
+    assert(rt.get("q_a").get("retry").asDouble() === 3.2)
+    assert(rt.get("q_b").get("retry").asDouble() === 0.73)
+    // pre-retry sitting is reconstructible: committed value for q_a is
+    // min(first, retry); substituting `first` back recovers the
+    // single-shot number
+    assert(math.min(rt.get("q_a").get("first").asDouble(),
+      rt.get("q_a").get("retry").asDouble()) === 3.2)
+    // no-retry records keep the field (empty object), so readers can
+    // rely on its presence
+    val none = mapper.readTree(BenchRecord.full(results, extras, sf))
+    assert(none.get("retried") != null && none.get("retried").size() === 0)
+  }
+
   test("round-wrapper shape: the full record nests under 'parsed' intact") {
     // the driver wraps the stdout record as {"n":…,"rc":…,"parsed":{…}}
     // in BENCH_rNN.json; compare_bench.py unwraps exactly this shape —

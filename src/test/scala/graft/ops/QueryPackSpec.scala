@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The session scratch root's security contract (ADVICE r12 low #5):
+  * the root is CREATED by this process (never adopted from a
+  * pre-existing /tmp entry another local user could have planted),
+  * and exit-time cleanup never traverses directory symlinks. The
+  * shutdown hook itself can't run inside a test, but its two inputs
+  * can be pinned: the root's provenance and the symlink-detection
+  * primitive the hook's rm() branches on.
+  */
+class QueryPackSpec extends AnyFunSuite {
+
+  test("sessionRoot exists, is a real directory this process created " +
+      "(pid-token or unpredictable fallback), and is not a symlink") {
+    val root = QueryPack.sessionRoot
+    assert(root.isDirectory)
+    assert(root.isAbsolute)
+    assert(!java.nio.file.Files.isSymbolicLink(root.toPath))
+    val name = root.getName
+    // primary: graft_p<pid>; fallback: graft_p<pid>_<random> — both
+    // carry this process's pid token, so a foreign dir can never be
+    // adopted silently
+    assert(name.startsWith(s"graft_${QueryPack.sessionToken}"),
+      s"unexpected session root name: $name")
+  }
+
+  test("scratch paths nest under the session root with the sf dir " +
+      "sanitized to one path segment") {
+    val p = QueryPack.scratch("ivf_index", "/root/testdata/sf0.01")
+    assert(p.startsWith(QueryPack.sessionRoot.getAbsolutePath + "/"))
+    val rel = p.stripPrefix(QueryPack.sessionRoot.getAbsolutePath + "/")
+    assert(rel === "ivf_index/_root_testdata_sf0_01")
+    // two kinds at one sf dir never collide; one kind at two sf dirs
+    // never collides
+    assert(QueryPack.scratch("other", "/root/testdata/sf0.01") !== p)
+    assert(QueryPack.scratch("ivf_index", "/root/testdata/sf0.1") !== p)
+  }
+
+  test("the cleanup's symlink guard: isSymbolicLink detects a planted " +
+      "directory symlink, and deleting the link as a LINK leaves the " +
+      "target intact (the traversal the old listFiles recursion had)") {
+    val victim = java.nio.file.Files.createTempDirectory("graft_victim")
+    val inside = victim.resolve("precious.txt")
+    java.nio.file.Files.writeString(inside, "survives")
+    val planted = java.nio.file.Files.createTempDirectory("graft_plant")
+      .resolve("link")
+    java.nio.file.Files.createSymbolicLink(planted, victim)
+    // the hook's branch: a symlink is never listFiles()-traversed —
+    // delete the link itself only
+    assert(java.nio.file.Files.isSymbolicLink(planted))
+    assert(planted.toFile.delete())
+    assert(java.nio.file.Files.exists(inside),
+      "deleting the symlink must not touch the target's contents")
+    java.nio.file.Files.delete(inside)
+    java.nio.file.Files.delete(victim)
+    java.nio.file.Files.delete(planted.getParent): Unit
+  }
+}
