@@ -140,8 +140,16 @@ object Similarity {
     sys.env.get("SPARK_GRAFT_TRAIN_CACHE") match {
       case Some("") => None
       case Some(d)  => Some(d)
-      case None     => Some(new java.io.File(
-        "localdata/train_cache").getAbsolutePath)
+      case None     =>
+        // default ONLY when the process already sits in a workspace
+        // that has a `localdata/` dir (this repo's run layout): a
+        // library consumer at an arbitrary cwd must not get a
+        // default-on disk write under whatever their cwd happens to
+        // be — they opt in via the env var or the setter.
+        val d = new java.io.File("localdata")
+        if (d.isDirectory)
+          Some(new java.io.File(d, "train_cache").getAbsolutePath)
+        else None
     }
 
   def setTrainingArtifactDir(dir: Option[String]): Unit =
