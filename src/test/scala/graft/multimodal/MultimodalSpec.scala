@@ -329,6 +329,37 @@ class MultimodalSpec extends SparkSpec {
     assert(same.f0 === gxSame.toDouble)
   }
 
+  test("bytesCol override: extractFeatures/batchEmbed consume the " +
+      "frame's ACTUAL stored bytes when told to (ADVICE r12 — the " +
+      "encoder path must not silently replace caller media)") {
+    val ids = Seq(5L, 41L, 100L)
+    // a caller's frame of real stored media: RGB payloads under ids
+    // whose default-encoder fixtures would be the IDENTICAL-band PNGs
+    val frame = spark.createDataFrame(
+      ids.map(id => (id, Multimodal.encodePngRgb(id))))
+      .toDF("doc_id", "bytes")
+    val viaBytes = Multimodal
+      .extractFeatures(frame, bytesCol = Some("bytes"))
+      .collect().map(f => f.doc_id -> f).toMap
+    ids.foreach { id =>
+      val expected = Multimodal.convFeatures(id, Multimodal.encodePngRgb(id))
+      assert(viaBytes(id) === expected,
+        s"bytesCol path did not decode the stored payload for $id")
+      // and it is NOT what the default encoder would have produced
+      val fixture = Multimodal.convFeatures(id, Multimodal.encodePng(id))
+      assert(viaBytes(id).f0 !== fixture.f0,
+        s"stored bytes were silently replaced by the fixture for $id")
+    }
+    // same contract on the embed path
+    val emb = Multimodal.batchEmbed(frame, bytesCol = Some("bytes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    ids.foreach { id =>
+      val expected =
+        Multimodal.embedPooled(id, Multimodal.encodePngRgb(id), 64).toSeq
+      assert(emb(id) === expected)
+    }
+  }
+
   test("batchEmbed: partition/batch-invariant and feeds the ANN stack") {
     val a = Multimodal.batchEmbed(media, batchSize = 64)
     val b = Multimodal.batchEmbed(media.repartition(5), batchSize = 3)

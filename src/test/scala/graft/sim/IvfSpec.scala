@@ -158,6 +158,45 @@ class IvfSpec extends SparkSpec {
     Similarity.clearTrainingMemo()
   }
 
+  test("memo identity: two SAME-SHAPE corpora (equal schema, equal " +
+      "row count, different values, different paths) never share an " +
+      "artifact — the ADVICE r12 collision scenario") {
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_memoid_a").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_memoid_b").toString
+    // equal cardinality and schema; different content
+    spark.range(0, 400).selectExpr("id AS vec_id",
+      "transform(sequence(0, 7), j -> cast(hash(id, j) % 100 AS double))" +
+        " AS embedding")
+      .write.mode("overwrite").parquet(dirA)
+    spark.range(0, 400).selectExpr("id AS vec_id",
+      "transform(sequence(0, 7), j -> cast(hash(id + 7, j) % 100 AS " +
+        "double)) AS embedding")
+      .write.mode("overwrite").parquet(dirB)
+    Similarity.clearTrainingMemo()
+    val a = Similarity.trainCentroids(spark.read.parquet(dirA), 8, 300, 2)
+    val b = Similarity.trainCentroids(spark.read.parquet(dirB), 8, 300, 2)
+    // two distinct artifacts cached — the plan string alone would have
+    // collided (HadoopFsRelation prints no data location); the key's
+    // root-path + file-listing digest keeps them apart
+    assert(Similarity.trainingMemoStats._1 == 2,
+      s"same-shape corpora collided: ${Similarity.trainingMemoStats}")
+    assert(!a.zip(b).forall { case ((_, v1), (_, v2)) =>
+      java.util.Arrays.equals(v1, v2) },
+      "distinct corpora trained identical centroids — collision")
+    // and a rewritten-in-place corpus (same path, same count, new
+    // content ⇒ new file listing) keys differently too
+    spark.range(0, 400).selectExpr("id AS vec_id",
+      "transform(sequence(0, 7), j -> cast(hash(id + 13, j) % 100 AS " +
+        "double)) AS embedding")
+      .write.mode("overwrite").parquet(dirA)
+    Similarity.trainCentroids(spark.read.parquet(dirA), 8, 300, 2): Unit
+    assert(Similarity.trainingMemoStats._1 == 3,
+      "in-place rewrite reused the stale artifact")
+    Similarity.clearTrainingMemo()
+  }
+
   test("disk mirror: an artifact trained in one session is reused " +
       "across a simulated JVM restart bit-identically, and a corrupt " +
       "file degrades to a retrain, never an error") {
