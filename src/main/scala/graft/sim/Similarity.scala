@@ -301,6 +301,14 @@ object Similarity {
         }
       case lc: LocalRelation =>
         lc.data.foreach(r => md.update(r.toString.getBytes("UTF-8")))
+      case dsv2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        // v2 file tables are off by default for parquet, but one
+        // useV1SourceList config flip away: a table's name() carries
+        // its path list, closing the same same-schema collision for
+        // the v2 route (no listing digest here — a v2 rewrite-in-place
+        // at an unchanged path falls back to the row-count freshness
+        // probe in the caller's key).
+        md.update(dsv2.table.name().getBytes("UTF-8"))
       case _ => ()
     }
     java.util.Base64.getEncoder.encodeToString(md.digest())
