@@ -10,6 +10,11 @@ import graft.{SparkEntry, SparkSpec}
   */
 class QueryInventorySpec extends SparkSpec {
 
+  test("inventory size is pinned — a silent drop or unplanned add " +
+      "fails loudly (update BOTH this pin and SURVEY §2.B on change)") {
+    assert(SparkEntry.queries.size === 173)
+  }
+
   test("every declared query runs and yields rows at sf0.001") {
     val empties = Seq("join_left_anti") // may legitimately be empty per SF
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -25,6 +30,7 @@ class QueryInventorySpec extends SparkSpec {
     // the trained/indexed IVF pair renders its oracle AT RUN TIME
     // (centroid literals) — run them so the registration is visible
     Seq("sim_ann_ivf_trained", "sim_ann_ivf_indexed", "sim_knn_join_cell",
+        "sim_ann_ivf_sharded",
         "sim_ann_ivf_append", "sim_ann_ivf_compact",
         "sim_stream_ivf_ingest", "sim_stream_ivf_maintain",
         "sim_index_describe",
