@@ -90,6 +90,8 @@ object SpillProbe {
       val outcome =
         try {
           SparkEntry.queries(name)(spark, sfDir)
+            // coalesce(1): same result-dump shape as Verify — only the
+            // final result stage collapses, probe measures the query
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           "ok"

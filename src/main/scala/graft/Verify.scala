@@ -41,6 +41,9 @@ object Verify {
     }).filter(q => !skip(q._1))
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { case (name, fn) =>
+      // coalesce(1): one file per result for the oracle compare; only
+      // the result frame's final stage collapses (repartition(1) would
+      // shuffle away the sorted order row-returning queries assert)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -190,7 +190,12 @@ object Multimodal {
           .as[(Long, Array[Byte])]
           .mapPartitions { it =>
             it.grouped(batchSize).flatMap { rows =>
-              rows.map { case (id, bytes) => convFeatures(id, bytes) }
+              rows.map { case (id, bytes) =>
+                // nullable binary is normal for stored media; fail
+                // with the offending id, not an ImageIO NPE (ADVICE)
+                require(bytes != null, s"null media payload: doc_id=$id")
+                convFeatures(id, bytes)
+              }
             }
           }
       case None =>
@@ -581,6 +586,8 @@ object Multimodal {
           .mapPartitions { it =>
             it.grouped(batchSize).flatMap { rows =>
               rows.map { case (id, bytes) =>
+                // same null-payload fail-fast as extractFeatures
+                require(bytes != null, s"null media payload: doc_id=$id")
                 (id, embedPooled(id, bytes, dim)) }
             }
           }

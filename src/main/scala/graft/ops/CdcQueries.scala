@@ -590,20 +590,24 @@ object CdcQueries extends QueryPack {
               "schema_json"))
         // slices written IN TIME ORDER, one file each — each is (at
         // least) its own micro-batch, so the gate sees the schema
-        // change live, between triggers
+        // change live, between triggers. repartition(1), NOT
+        // coalesce(1): the shuffle boundary keeps the envelope build +
+        // Avro encode of each slice data-parallel; only the final
+        // write of already-encoded bytes is the (required) single task
+        // producing the one trigger file per writer-schema version
         wire(feed.filter(col("ts_us") < cutoffUs)
             .withColumn("before", narrow("before", v1.fieldNames.toSeq))
             .withColumn("after", narrow("after", v1.fieldNames.toSeq)),
-          v1, 1).coalesce(1).write.mode("append").parquet(s"$base/in")
+          v1, 1).repartition(1).write.mode("append").parquet(s"$base/in")
         wire(feed.filter(col("ts_us") >= cutoffUs &&
               col("ts_us") < cutoff2Us)
             .withColumn("before", narrow("before", v2.fieldNames.toSeq))
             .withColumn("after", narrow("after", v2.fieldNames.toSeq)),
-          v2, 2).coalesce(1).write.mode("append").parquet(s"$base/in")
+          v2, 2).repartition(1).write.mode("append").parquet(s"$base/in")
         wire(feed.filter(col("ts_us") >= cutoff2Us)
             .withColumn("before", narrow("before", v3.fieldNames.toSeq))
             .withColumn("after", narrow("after", v3.fieldNames.toSeq)),
-          v3, 3).coalesce(1).write.mode("append").parquet(s"$base/in")
+          v3, 3).repartition(1).write.mode("append").parquet(s"$base/in")
         // the poison batch: late events re-encoded under v4, shifted a
         // month AHEAD with fresh event ids — they out-order every live
         // row, so a gate leak cannot hash-hide
@@ -618,7 +622,7 @@ object CdcQueries extends QueryPack {
             .withColumn("after", v4Img("after"))
             .withColumn("ts_us", col("ts_us") + 2592000000000L)
             .withColumn("event_id", col("event_id") + 10000000L),
-          v4, 4).coalesce(1).write.mode("append").parquet(s"$base/in")
+          v4, 4).repartition(1).write.mode("append").parquet(s"$base/in")
 
         val wireSchema = StructType(Seq(
           StructField("key", StringType),

@@ -47,13 +47,19 @@ object QueryPack {
     * a symlink so our exit-time cleanup deletes their target — ADVICE
     * r12). If `/tmp/graft_<pid>` already exists we fall back to an
     * unpredictable `createTempDirectory` name; either way the root is
-    * provably ours (mode 700 via default temp-dir perms on the
-    * fallback, fresh `createDirectory` on the primary).
+    * provably ours AND mode 700 (explicit rwx------ on the primary,
+    * default temp-dir perms on the fallback).
     */
   val sessionRoot: java.io.File = {
     import java.nio.file.{Files, Paths, FileAlreadyExistsException}
     val primary = Paths.get(s"/tmp/graft_$sessionToken")
-    try { Files.createDirectory(primary).toFile }
+    // explicit rwx------ (ADVICE r13): createDirectory under the
+    // default umask is typically 755, which would leak index/scratch
+    // contents to other local users on a shared host — the fallback's
+    // createTempDirectory is 700, the primary must match it
+    val own = java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+      java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+    try { Files.createDirectory(primary, own).toFile }
     catch {
       case _: FileAlreadyExistsException =>
         Files.createTempDirectory(Paths.get("/tmp"),

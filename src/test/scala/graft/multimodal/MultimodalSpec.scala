@@ -360,6 +360,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bytesCol null guard (ADVICE r13): a null payload fails fast " +
+      "naming the doc_id, not as an ImageIO NPE deep in an executor") {
+    val frame = spark.createDataFrame(Seq(
+        (5L, Option(Multimodal.encodePngRgb(5L))),
+        (41L, Option.empty[Array[Byte]])))
+      .toDF("doc_id", "bytes")
+    Seq(
+      () => Multimodal.extractFeatures(frame, bytesCol = Some("bytes"))
+        .collect(),
+      () => Multimodal.batchEmbed(frame, bytesCol = Some("bytes"))
+        .collect()
+    ).foreach { run =>
+      val e = intercept[Exception] { run(): Unit }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("null media payload: doc_id=41")),
+        s"expected the doc_id-naming guard, got: ${messages(e)}")
+    }
+  }
+
   test("batchEmbed: partition/batch-invariant and feeds the ANN stack") {
     val a = Multimodal.batchEmbed(media, batchSize = 64)
     val b = Multimodal.batchEmbed(media.repartition(5), batchSize = 3)

@@ -24,6 +24,12 @@ class QueryPackSpec extends AnyFunSuite {
     // adopted silently
     assert(name.startsWith(s"graft_${QueryPack.sessionToken}"),
       s"unexpected session root name: $name")
+    // mode 700 on BOTH creation routes (ADVICE r13: the primary used
+    // to inherit the umask, typically 755 — index/scratch contents
+    // must not be readable by other local users on a shared host)
+    val perms = java.nio.file.Files.getPosixFilePermissions(root.toPath)
+    assert(java.nio.file.attribute.PosixFilePermissions.toString(perms)
+      === "rwx------", s"session root not owner-only: $perms")
   }
 
   test("scratch paths nest under the session root with the sf dir " +
