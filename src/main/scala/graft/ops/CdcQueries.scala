@@ -633,7 +633,19 @@ object CdcQueries extends QueryPack {
           StructField("schema_version", IntegerType),
           StructField("schema_json", StringType)))
         val s2 = s.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        // stream parallelism ∝ wire volume (VERDICT r13 item 1: with
+        // the encode parallelized, the residual was the streaming leg
+        // itself at a FIXED 8 partitions — ~1.3M state rows per task
+        // at sf10). One getContentSummary over the just-written slices
+        // prices a ~64 MB/partition target, clamped to [8, 32]: sf0.01
+        // keeps the checkpoint-sync-friendly 8, sf10 gets full-width
+        // state shuffles. Result-invariant — state semantics don't
+        // depend on partition count, and each run starts a fresh
+        // checkpoint.
+        val inBytes = fs.getContentSummary(new Path(s"$base/in")).getLength
+        val parts = math.max(8, math.min(32,
+          (inBytes / (64L << 20)).toInt + 1))
+        s2.conf.set("spark.sql.shuffle.partitions", parts)
         // maxFilesPerTrigger=1: one slice per micro-batch, forcing the
         // registry gate to run MID-STREAM on each writer change; the
         // large watermark delay makes the replay order-insensitive
@@ -643,7 +655,7 @@ object CdcQueries extends QueryPack {
         val registry = new SchemaRegistry()
         CdcPipeline.startEvolvingAvro(src, s"$base/state", s"$base/cp",
           registry, subject, s"$base/dead",
-          CdcPipeline.Config(numBuckets = 8,
+          CdcPipeline.Config(numBuckets = parts,
             watermarkDelay = "90 days")).awaitTermination()
         // the truth table, asserted on the LIVE outcome: three
         // registered versions (v4 refused), quarantine non-empty

@@ -231,7 +231,96 @@ class SqlEntrySpec extends SparkSpec {
         |  FROM sc)
         |SELECT query_id, rank, cand_id, round(cos, 4) AS cosine
         |FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin)
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // ---- r14 (VERDICT r13 item 6): the corpus-statistics pack and
+    // the countmin sketch, keeping SQL-text parity with the r11c–r13
+    // additions wherever the query is SQL-expressible ----
+
+    // TF-IDF: same two corpus passes; the corpus size N arrives via a
+    // single-row cross join instead of the API form's driver count()
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, explode(split(text, ' ')) AS tok
+        |  FROM documents),
+        | tf AS (
+        |  SELECT doc_id, tok, count(1) AS tf
+        |  FROM toks GROUP BY doc_id, tok),
+        | df AS (SELECT tok, count(1) AS df FROM tf GROUP BY tok),
+        | n AS (SELECT count(1) AS n FROM documents),
+        | sc AS (
+        |  SELECT /*+ BROADCAST(df) */ doc_id, tok,
+        |    round(CAST(tf AS DOUBLE) *
+        |          ln((n + 1.0D) / (CAST(df AS DOUBLE) + 1.0D)), 6)
+        |      AS tfidf_r
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+        | r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf_r DESC, tok) AS rk
+        |  FROM sc)
+        |SELECT doc_id, tok, tfidf_r, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    // bigram-LM surprisal: lag window + add-½ smoothing from SQL text;
+    // vocabulary size via cross join (API form: driver countDistinct)
+    "text_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, pos, tok FROM documents
+        |  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok),
+        | bi AS (
+        |  SELECT doc_id, prev, tok FROM (
+        |    SELECT doc_id, tok, lag(tok, 1) OVER (
+        |      PARTITION BY doc_id ORDER BY pos) AS prev
+        |    FROM toks)
+        |  WHERE prev IS NOT NULL),
+        | v AS (SELECT count(DISTINCT tok) AS vn FROM toks),
+        | bc AS (
+        |  SELECT prev, tok, count(1) AS cnt_uv
+        |  FROM bi GROUP BY prev, tok),
+        | cc AS (SELECT prev, sum(cnt_uv) AS cnt_u FROM bc GROUP BY prev),
+        | model AS (
+        |  SELECT prev, tok,
+        |    CAST(round(-ln(CAST(cnt_uv * 2 + 1 AS DOUBLE) /
+        |                   CAST(cnt_u * 2 + vn AS DOUBLE)), 6)
+        |         AS DECIMAL(18,6)) AS surprisal
+        |  FROM bc JOIN cc USING (prev) CROSS JOIN v)
+        |SELECT doc_id,
+        |  CAST(sum(surprisal) AS DOUBLE) / count(1)
+        |    AS mean_bigram_surprisal,
+        |  count(1) AS n_bigrams
+        |FROM bi JOIN model USING (prev, tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // count-min from SQL text: graft_countmin resolves from the
+    // registry as an aggregate; the probe re-derives each row's cell
+    // with the same (a·x + b) mod p mod w arithmetic the kernel uses
+    "agg_countmin" ->
+      """WITH sk AS (
+        |  SELECT graft_countmin(user_id, 4, 256) AS counters
+        |  FROM events),
+        | top AS (
+        |  SELECT user_id, count(1) AS exact_cnt FROM events
+        |  GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT 20),
+        | p AS (
+        |  SELECT * FROM VALUES (0, 131071L, 12345L), (1, 524287L, 67890L),
+        |    (2, 8191L, 424242L), (3, 6700417L, 987654L) AS p(i, a, b))
+        |SELECT user_id, exact_cnt,
+        |  min(element_at(counters, CAST(i * 256 +
+        |    ((user_id % 2147483647) * a + b) % 2147483647 % 256 + 1
+        |    AS INT))) AS est_cnt
+        |FROM top CROSS JOIN sk CROSS JOIN p
+        |GROUP BY user_id, exact_cnt
+        |ORDER BY exact_cnt DESC, user_id""".stripMargin,
+
+    // deterministic A-ExpJ weighted sample: pure built-ins, the SQL a
+    // mixture-builder would actually type
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars AS weight,
+        |  round(-ln((((doc_id % 1000003L) * 2654435761L) % 1000003L
+        |             + 1L) / 1000004.0D)
+        |        / CAST(n_chars AS DOUBLE), 9) AS draw
+        |FROM documents WHERE n_chars >= 1
+        |ORDER BY draw, doc_id LIMIT 100""".stripMargin)
 
   matrix.foreach { case (name, sqlText) =>
     test(s"SQL-entry matrix: $name ≡ its DataFrame form, exactly") {
