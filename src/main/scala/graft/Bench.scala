@@ -25,7 +25,11 @@ object Bench {
     // min(run1, run2); keep the cold number in "queries_cold".
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
-      spark.catalog.clearCache()
+      // full query-boundary hygiene, not just the SQL cache: retained
+      // localCheckpoint blocks from prior queries otherwise accumulate
+      // across the 173-query JVM (r13: sf10 OOM at 28 GiB mid-bench
+      // while the blamed query passes solo at 28 GiB)
+      graft.ops.QueryPack.releaseRetainedBlocks(spark)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

@@ -41,6 +41,10 @@ object Verify {
     }).filter(q => !skip(q._1))
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { case (name, fn) =>
+      // same query-boundary block hygiene as Bench.runOnce: retained
+      // localCheckpoint blocks otherwise accumulate across the
+      // inventory (the r13 sf10 sitting needed a 40g Verify heap)
+      graft.ops.QueryPack.releaseRetainedBlocks(spark)
       // coalesce(1): one file per result for the oracle compare; only
       // the result frame's final stage collapses (repartition(1) would
       // shuffle away the sorted order row-returning queries assert)

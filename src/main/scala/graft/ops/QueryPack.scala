@@ -92,6 +92,27 @@ object QueryPack {
   def scratch(kind: String, sfDir: String): String =
     s"${sessionRoot.getAbsolutePath}/$kind/" +
       sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Query-boundary block hygiene (VERDICT r13 item 3). Queries
+    * materialize intermediates via `localCheckpoint` (lineage
+    * truncation — see Dedup.dupClusters's scaladoc); a checkpoint
+    * referenced by the RETURNED plan cannot be unpersisted inside its
+    * query, and `spark.catalog.clearCache()` only drops the SQL cache
+    * manager's entries, never RDD-level persists. In a long-lived
+    * session running the whole inventory those blocks accumulate
+    * until the ContextCleaner's weak-ref GC happens to run — the r13
+    * sf10 bench OOMed at 28 GiB on exactly that accumulation (the
+    * blamed query, dedup_clusters, runs green SOLO at 28 GiB).
+    * Call BETWEEN queries, once the previous result is fully
+    * consumed: drops every retained RDD block and SQL cache entry.
+    * Blocking=false — release is async, the next query never waits.
+    */
+  def releaseRetainedBlocks(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+  }
 }
 
 /** Oracles whose SQL embeds DATA-DERIVED LITERALS (e.g. the trained IVF

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * can be pinned: the root's provenance and the symlink-detection
   * primitive the hook's rm() branches on.
   */
-class QueryPackSpec extends AnyFunSuite {
+class QueryPackSpec extends graft.SparkSpec {
 
   test("sessionRoot exists, is a real directory this process created " +
       "(pid-token or unpredictable fallback), and is not a symlink") {
@@ -62,5 +62,24 @@ class QueryPackSpec extends AnyFunSuite {
     java.nio.file.Files.delete(inside)
     java.nio.file.Files.delete(victim)
     java.nio.file.Files.delete(planted.getParent): Unit
+  }
+
+  test("releaseRetainedBlocks drops RDD-level persists the SQL cache " +
+      "clear can't see (VERDICT r13 item 3: retained localCheckpoint " +
+      "blocks accumulated across the 173-query bench JVM to an OOM)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val cp = Seq(1, 2, 3).toDF("x").localCheckpoint()
+    assert(cp.count() == 3)
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "localCheckpoint did not register a persistent RDD")
+    // the SQL-cache clear alone must NOT release it — that gap is the
+    // bug this function exists to close
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    QueryPack.releaseRetainedBlocks(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"retained RDDs survived release: ${
+        spark.sparkContext.getPersistentRDDs.keys}")
   }
 }
