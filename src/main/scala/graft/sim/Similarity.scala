@@ -1162,7 +1162,7 @@ object Similarity {
     // at n = 3·10⁵ (ShardScaleProbe smoke). Same discipline the
     // compaction path has always used.
     assignCells(corpus, cents, idCol, vecCol, probes = 1, idCol, vecCol)
-      .repartition(col("centroid_id"))
+      .transform(clusterByCell)
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
     SegmentedIndex.commitBuild(spark, dir, version)
@@ -1215,6 +1215,20 @@ object Similarity {
     * standard IVF trade (drifted data degrades recall, not
     * correctness); retraining is a [[buildIvfIndex]] rebuild.
     */
+  /** Cluster rows by cell for a one-file-per-cell hive write WITHOUT
+    * losing writer parallelism: `repartition(col)` with no explicit
+    * count is AQE-coalescible, and a SMALL delta then collapses to
+    * ONE task serially creating ~nlist cell dirs (AppendProbe r14:
+    * a 2k-row append cost 8 s vs 2.4 s for a 20k-row one at
+    * nlist=781 — the cost was the single writer, not the append).
+    * An explicit count is user-specified and AQE leaves it alone;
+    * each cell still hashes wholly to one partition, so the
+    * one-file-per-cell layout contract is unchanged.
+    */
+  private def clusterByCell(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      col("centroid_id"))
+
   def appendIvfIndex(dir: String, incoming: DataFrame,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
@@ -1241,7 +1255,7 @@ object Similarity {
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
     assignCells(incoming, cents, idCol, vecCol, probes = 1, idCol, vecCol)
-      .repartition(col("centroid_id")) // one file per cell dir (r12)
+      .transform(clusterByCell) // one file per cell dir (r12)
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
     // GC is manifest-aware (commitVersion pins every segment a KEPT
@@ -1613,7 +1627,7 @@ object Similarity {
         element_at(nearestCellStructs(col(vecCol), cents, 1), 1)
           .getField("centroid_id").as("centroid_id"),
         pqCodes(col(vecCol), books).as("codes"))
-      .repartition(col("centroid_id")) // one file per cell dir (r12)
+      .transform(clusterByCell) // one file per cell dir (r12)
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
     SegmentedIndex.commitBuild(spark, dir, version)
@@ -1670,7 +1684,7 @@ object Similarity {
         element_at(nearestCellStructs(col(vecCol), cents, 1), 1)
           .getField("centroid_id").as("centroid_id"),
         pqCodes(col(vecCol), books).as("codes"))
-      .repartition(col("centroid_id")) // one file per cell dir (r12)
+      .transform(clusterByCell) // one file per cell dir (r12)
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
     SegmentedIndex.commitAppend(spark, dir, version, parent,
@@ -1809,7 +1823,7 @@ object Similarity {
           .getField("centroid_id").as("centroid_id"),
         org.apache.spark.sql.graft.Native.quantizeI8(col(vecCol))
           .as("codes"))
-      .repartition(col("centroid_id")) // one file per cell dir (r12)
+      .transform(clusterByCell) // one file per cell dir (r12)
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
     SegmentedIndex.commitBuild(spark, dir, version)
@@ -1849,7 +1863,7 @@ object Similarity {
           .getField("centroid_id").as("centroid_id"),
         org.apache.spark.sql.graft.Native.quantizeI8(col(vecCol))
           .as("codes"))
-      .repartition(col("centroid_id")) // one file per cell dir (r12)
+      .transform(clusterByCell) // one file per cell dir (r12)
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
     SegmentedIndex.commitAppend(spark, dir, version, parent,
@@ -1956,7 +1970,7 @@ object Similarity {
     // it moves codes (PQ/SQ8) or vectors, never recomputes them
     segs.map(v => spark.read.parquet(s"$dir/$v/cells"))
       .reduce(_ unionAll _)
-      .repartition(col("centroid_id"))
+      .transform(clusterByCell)
       .write.mode("errorifexists").partitionBy("centroid_id")
       .parquet(s"$dir/$version/cells")
     SegmentedIndex.commitCompact(spark, dir, version, parent,

@@ -161,8 +161,36 @@ object PointerFile {
           finally in.close()
         }
       }.toSet
-      dirs.filter(p => p.getName < cutoff && !pinned(p.getName))
-        .foreach(fs.delete(_, true))
+      val doomed = dirs.filter(p => p.getName < cutoff && !pinned(p.getName))
+      // The KEEP decision (list + manifest pinning) runs synchronously
+      // under this commit's view; only the physical deletes are
+      // deferred to the vacuum thread (r14: a superseded version is
+      // nlist cell dirs — at sf10 the serial delete put ~6 s of pure
+      // litter removal INSIDE append wall-clock, the classic vacuum-
+      // off-the-commit-path separation). Safe by construction: doomed
+      // versions are older than the keep window (no reader resolves
+      // them through _CURRENT) and unpinned; a racing commit that
+      // lists a half-deleted dir sees no marker → never counts it
+      // committed, and a double delete is a no-op.
+      if (doomed.nonEmpty) gcExec.execute(() =>
+        doomed.foreach(p =>
+          try fs.delete(p, true)
+          catch { case _: Throwable => () }))
     }
   }
+
+  // single-threaded daemon vacuum: deletes are ordered per submission,
+  // JVM exit never blocks on litter
+  private val gcExec = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-version-gc")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Barrier for specs and operational tooling: returns once every
+    * vacuum delete scheduled BEFORE this call has finished.
+    */
+  def awaitGc(): Unit =
+    gcExec.submit(new Runnable { def run(): Unit = () }).get(): Unit
 }

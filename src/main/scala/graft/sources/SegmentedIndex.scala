@@ -237,4 +237,10 @@ object SegmentedIndex {
       append(batch, Some(s"$streamId#$batchId"))
     }
   }
+
+  /** Barrier over the shared async version-vacuum (see
+    * [[PointerFile.awaitGc]]) — specs and maintenance tooling use it
+    * before asserting on post-GC directory state.
+    */
+  def awaitGc(): Unit = PointerFile.awaitGc()
 }

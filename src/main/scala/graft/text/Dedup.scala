@@ -663,12 +663,21 @@ object Dedup {
           .groupBy("shingle").agg(sum(col("df")).as("df"))
         val overCap = dfreq.filter(col("df") > maxPostings)
           .select("shingle")
-        val under = dfreq.filter(col("df") <= maxPostings)
-          .select("shingle")
-        val p = segPostings.map(_.join(under, Seq("shingle")))
-        val i = in0.join(overCap, Seq("shingle"), "left_anti")
+        // drop over-cap postings via LEFT ANTI against the over-cap
+        // set — NOT a positive join with the under-cap vocab: overCap
+        // is boilerplate-sized (broadcastable at any corpus), while
+        // the under-cap vocab grows with the corpus past the broadcast
+        // threshold, at which point the positive join SHUFFLES the
+        // whole postings table and destroys its bucketed co-location
+        // (measured at sf30: 7.3 s capped vs 1.8 s uncapped on the
+        // fixed shard; anti-join restores ~uncapped cost). Equivalent
+        // filter: every postings shingle is in dfreq, so
+        // "not over-cap" ≡ "under-cap".
+        val p = segPostings.map(
+          _.join(broadcast(overCap), Seq("shingle"), "left_anti"))
+        val i = in0.join(broadcast(overCap), Seq("shingle"), "left_anti")
         val drops = segPostings.reduce(_ unionAll _)
-          .join(overCap, Seq("shingle"))
+          .join(broadcast(overCap), Seq("shingle"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_drop"))
         val adj = exSizes.join(drops, Seq("doc_id"), "left")
           .select(col("doc_id"),

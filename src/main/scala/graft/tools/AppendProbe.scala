@@ -3,20 +3,23 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables
-import graft.text.Dedup
-
-/** Phase-level timing for the standing shingle index lifecycle — the
-  * instrument behind the round-8 append-overhead reduction pass
-  * (VERDICT r7 item 4): build / append / probe wall time, separately,
-  * twice (cold + warm), so a whole-query number's noise can't hide
-  * which phase a change actually moved.
+/** IVF append-cost attribution probe (r14): ScaleProbe's FIXED-delta
+  * append row grew with the corpus (1.6 / 8.0 / 9.9 s at sf1/sf10/
+  * sf30) while the 10×-bigger ∝-delta append stayed ~2.6 s — the
+  * opposite of "cost ∝ delta". The two appends differ in TWO ways at
+  * once (delta size AND position in the segment chain), so this probe
+  * unconfounds them: the same two deltas are appended to two fresh
+  * copies of the same built index in BOTH orders. If cost follows the
+  * ORDER (second append slow regardless of which delta it is), the
+  * growth is chain-position overhead (manifest/tag/listing ∝
+  * segments); if it follows the DELTA, it's genuine append work.
   *
-  *   runMain graft.tools.AppendProbe [sfDir]
+  * Usage: runMain graft.tools.AppendProbe <sfDir> [label]
   */
 object AppendProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir = args.headOption.getOrElse("localdata/sf10")
+    val label = args.lift(1).getOrElse(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,54 +27,41 @@ object AppendProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    // per-job wall attribution: [job] lines print duration at job end
-    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          jobStart.put(j.jobId, j.time)
-        override def onJobEnd(
-            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val d = j.time - jobStart.getOrDefault(j.jobId, j.time)
-          if (d > 30) println(f"[job] ${j.jobId}%4d ${d / 1e3}%6.2f s")
-        }
-      })
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[phase] $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-      r
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sim.Similarity
+
+    val vecs = graft.ops.SimilarityQueries.doubleVecs(spark, sfDir)
+    val big = vecs.filter(col("vec_id") % 10 === 0)
+    val fixed = vecs.filter(col("vec_id") % 10 === 1 &&
+      col("vec_id") < 20000)
+    def t(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body
+      (System.nanoTime() - t0) / 1e9
     }
-    val existing = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val incoming = existing.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-    (1 to 2).foreach { round =>
-      println(s"--- round $round")
-      spark.catalog.clearCache()
-      val dir = s"/tmp/graft_append_probe/r$round"
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
-      t("build(2/3)") {
-        Dedup.buildShingleIndex(
-          existing.filter(col("doc_id") % 3 =!= 0), dir)
-      }
-      t("append(1/3)") {
-        Dedup.appendShingleIndex(dir,
-          existing.filter(col("doc_id") % 3 === 0))
-      }
-      t("probe") {
-        val pr = Dedup.probeShingleIndex(dir, incoming, k = 3,
-          threshold = 0.8)
-        pr.write.mode("overwrite").format("noop").save()
-        if (round == 2 && args.length > 1)
-          println(pr.queryExecution.executedPlan.toString
-            .split("== Initial Plan ==")(0))
-      }
-    }
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fresh(d: String): Unit =
+      fs.delete(new org.apache.hadoop.fs.Path(d), true): Unit
+
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val dA = s"/tmp/graft_appendprobe_a_${label.hashCode.abs}"
+    val dB = s"/tmp/graft_appendprobe_b_${label.hashCode.abs}"
+    fresh(dA); fresh(dB)
+    out("build_a_sec") = t(Similarity.buildIvfIndex(vecs, dA))
+    out("build_b_sec") = t(Similarity.buildIvfIndex(vecs, dB))
+    // order A: fixed first (2-segment chain), big second (3-segment)
+    out("a_fixed_pos1_sec") = t(Similarity.appendIvfIndex(dA, fixed))
+    out("a_big_pos2_sec") = t(Similarity.appendIvfIndex(dA, big))
+    // order B: big first, fixed second — ScaleProbe's order
+    out("b_big_pos1_sec") = t(Similarity.appendIvfIndex(dB, big))
+    out("b_fixed_pos2_sec") = t(Similarity.appendIvfIndex(dB, fixed))
+    fresh(dA); fresh(dB)
+
+    val fields = out.map { case (k, v) =>
+      "\"" + k + "\":" + BigDecimal(v)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString(",")
+    println(s"""{"probe":"append","label":"$label","sf":"$sfDir",$fields}""")
     spark.stop()
   }
 }

@@ -53,8 +53,11 @@ class IvfIndexSpec extends SparkSpec {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fsys.exists(p)) fsys.delete(p, true)
-    def versions(): Set[String] = fsys.listStatus(p)
-      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    def versions(): Set[String] = {
+      graft.sources.PointerFile.awaitGc() // async vacuum since r14
+      fsys.listStatus(p)
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+    }
     Similarity.buildIvfIndex(vecs, dir, nlist = 8)
     val v1 = Similarity.indexVersion(spark, dir)
     Similarity.buildIvfIndex(vecs, dir, nlist = 8)
@@ -114,8 +117,11 @@ class IvfIndexSpec extends SparkSpec {
     val p = new org.apache.hadoop.fs.Path(appendDir)
     val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fsys.exists(p)) fsys.delete(p, true)
-    def versions(): Set[String] = fsys.listStatus(p)
-      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    def versions(): Set[String] = {
+      graft.sources.PointerFile.awaitGc() // async vacuum since r14
+      fsys.listStatus(p)
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+    }
     val base = vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0)
     val delta = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
     Similarity.buildIvfIndex(base, appendDir, nlist = 8)
@@ -369,6 +375,7 @@ class IvfIndexSpec extends SparkSpec {
     // not a KEPT version
     Similarity.buildIvfIndex(vecs, appendDir, nlist = 8)
     Similarity.buildIvfIndex(vecs, appendDir, nlist = 8)
+    graft.sources.PointerFile.awaitGc() // async vacuum since r14
     val left = fsys.listStatus(p).filter(_.isDirectory)
       .map(_.getPath.getName).toSet
     assert(!left.contains(dead), s"crash litter survived GC: $left")

@@ -32,9 +32,11 @@ class CompactionSpec extends SparkSpec {
     SegmentedIndex.segments(spark, dir,
       SegmentedIndex.currentVersion(spark, dir)).size
 
-  private def nVersions(dir: String): Int =
+  private def nVersions(dir: String): Int = {
+    SegmentedIndex.awaitGc() // async vacuum since r14
     fsOf(dir).listStatus(new Path(dir))
       .count(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
+  }
 
   private def dataFiles(path: String): Seq[String] = {
     val fs = fsOf(path)

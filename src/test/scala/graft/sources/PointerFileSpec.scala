@@ -22,10 +22,12 @@ class PointerFileSpec extends SparkSpec {
     fs.create(new Path(base, s"$name/data/part-0"), true).close()
   }
 
-  private def dirs(base: Path): Set[String] =
+  private def dirs(base: Path): Set[String] = {
+    PointerFile.awaitGc() // deletes are vacuumed async since r14
     fsFor(base).listStatus(base)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
       .map(_.getPath.getName).toSet
+  }
 
   test("commitVersion keeps the 2 newest committed versions and " +
        "drops older committed ones") {

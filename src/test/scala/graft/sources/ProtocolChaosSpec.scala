@@ -173,6 +173,7 @@ class ProtocolChaosSpec extends SparkSpec {
       f.append2()
       f.compact()
       val fs = fsOf(f.dir)
+      graft.sources.PointerFile.awaitGc() // async vacuum since r14
       assert(!fs.exists(new Path(s"${f.dir}/$litter")),
         s"${f.name}: killed-writer litter survived GC")
       chain(f.dir).foreach(s => assert(
