@@ -68,17 +68,22 @@ class QueryPackSpec extends graft.SparkSpec {
       "clear can't see (VERDICT r13 item 3: retained localCheckpoint " +
       "blocks accumulated across the 173-query bench JVM to an OOM)") {
     import spark.implicits._
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // suites share one SparkSession and run concurrently, so global
+    // counts race with other suites' persist/unpersist traffic —
+    // track the ids THIS test's checkpoint added, not the census
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val cp = Seq(1, 2, 3).toDF("x").localCheckpoint()
     assert(cp.count() == 3)
-    assert(spark.sparkContext.getPersistentRDDs.size > before,
+    def added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty,
       "localCheckpoint did not register a persistent RDD")
     // the SQL-cache clear alone must NOT release it — that gap is the
     // bug this function exists to close
     spark.catalog.clearCache()
-    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    assert(added.nonEmpty)
+    val held = added
     QueryPack.releaseRetainedBlocks(spark)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert((spark.sparkContext.getPersistentRDDs.keySet & held).isEmpty,
       s"retained RDDs survived release: ${
         spark.sparkContext.getPersistentRDDs.keys}")
   }

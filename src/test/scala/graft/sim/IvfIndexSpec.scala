@@ -191,8 +191,9 @@ class IvfIndexSpec extends SparkSpec {
       .find(_.name == "sim_stream_ivf_ingest").get
       .fn(spark, sf)
     assert(out.count() > 0)
-    val dir = "/tmp/graft_ivf_stream/" +
-      sf.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+    // per-pid scratch root (QueryPack.scratch), not the stale pre-r12
+    // fixed /tmp path
+    val dir = graft.ops.QueryPack.scratch("ivf_stream", sf) + "/index"
     val ver = Similarity.indexVersion(spark, dir)
     val segs = Similarity.indexSegments(spark, dir, ver)
     assert(segs.size >= 3,

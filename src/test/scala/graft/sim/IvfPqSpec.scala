@@ -174,8 +174,9 @@ class IvfPqSpec extends SparkSpec {
        "to the flat-append index") {
     SimilarityQueries.queries
       .find(_.name == "sim_stream_pq_ingest").get.fn(spark, sf).count()
-    val sdir = "/tmp/graft_pq_stream/" +
-      sf.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+    // per-pid scratch root (QueryPack.scratch), not the stale pre-r12
+    // fixed /tmp path
+    val sdir = graft.ops.QueryPack.scratch("pq_stream", sf) + "/index"
     val ver = Similarity.indexVersion(spark, sdir)
     val segs = Similarity.indexSegments(spark, sdir, ver)
     assert(segs.size >= 3,

@@ -126,8 +126,10 @@ class IvfSq8Spec extends SparkSpec {
     import graft.ops.SimilarityQueries
     SimilarityQueries.queries
       .find(_.name == "sim_stream_sq8_ingest").get.fn(spark, sf).count()
-    val dir = "/tmp/graft_sq8_stream/" +
-      sf.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+    // the query scopes its scratch under the per-pid session root
+    // (QueryPack.scratch) — the old fixed /tmp/graft_sq8_stream path
+    // only resolved on hosts with stale pre-r12 litter
+    val dir = graft.ops.QueryPack.scratch("sq8_stream", sf) + "/index"
     val ver = Similarity.indexVersion(spark, dir)
     val segs = Similarity.indexSegments(spark, dir, ver)
     assert(segs.size >= 3,

@@ -75,6 +75,7 @@ class SegmentedIndexSpec extends SparkSpec {
     SegmentedIndex.commitBuild(spark, root, v4)
     writeData(v5)
     SegmentedIndex.commitAppend(spark, root, v5, v4, Seq(v4), None)
+    SegmentedIndex.awaitGc() // async vacuum since r14
     assert(exists(v4) && exists(v5))
     assert(!exists(v1) && !exists(v2) && !exists(v3),
       "unreferenced old chain should be collected once no kept " +

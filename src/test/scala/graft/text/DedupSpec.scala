@@ -141,6 +141,7 @@ class DedupSpec extends SparkSpec {
     val v2 = versions
     assert(v2.size === 2 && v2.contains(v1.head))
     Dedup.buildShingleIndex(existing, dir)
+    graft.sources.SegmentedIndex.awaitGc() // async vacuum since r14
     val v3 = versions
     assert(v3.size === 2 && !v3.contains(v1.head))
     // probe still answers identically from the newest version
@@ -260,8 +261,10 @@ class DedupSpec extends SparkSpec {
       recomputed.except(probed.select("a_id", "b_id", "n_common",
         "jaccard")).isEmpty,
       "streamed-ingest probe diverged from the flat recompute")
-    val idxDir = "/tmp/graft_shingle_stream/" +
-      sf.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+    // per-pid scratch root (QueryPack.scratch), not the stale pre-r12
+    // fixed /tmp path
+    val idxDir =
+      graft.ops.QueryPack.scratch("shingle_stream", sf) + "/index"
     val fs = new org.apache.hadoop.fs.Path(idxDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = graft.sources.PointerFile.read(fs,
