@@ -250,12 +250,27 @@ object Dedup {
     * `shingle` so probes shuffle only the (small) shard side; the
     * versioned-dir artifact itself is layout-agnostic.
     */
-  /** Bucket count for the registered postings table. At lake scale
-    * this is sized like any bucketed fact table (thousands); here it
-    * matches the session's parallelism so the probe's shard side
-    * shuffles into full-width buckets.
+  /** Rows-per-bucket target for a segment's postings table (~8-10 MB
+    * of parquet per bucket at ~10 B/posting). Scale-adaptive (r14,
+    * guide §2/§6): a FIXED bucket count is wrong at both ends — at
+    * bench SF a 400-doc delta segment paid 32 shuffle tasks + 32
+    * one-KB files + a 32-task probe join per segment (pure fixed cost,
+    * measured 1.71 s → 0.99 s on the 3-segment probe when the tiny
+    * segments collapse to one bucket), while at lake scale 32 buckets
+    * would make multi-GB buckets with no probe parallelism. Buckets =
+    * ceil(postings / target), so the layout grows with the segment:
+    * sf0.1 delta → 1, sf10 base → ~20 (today's probe parallelism
+    * preserved), 100 TB corpus → thousands. Per-segment counts are
+    * recorded in the segment's `buckets` metadata — readers re-register
+    * from it, so mixed-count chains stay correct by construction.
     */
-  val IndexBuckets = 32
+  val BucketRows: Long =
+    sys.props.getOrElse("graft.index.bucket.rows", "1000000").toLong
+
+  /** Bucket count for one segment holding `nPostings` rows. */
+  def segmentBuckets(nPostings: Long): Int =
+    math.max(1L, math.min(4096L,
+      (nPostings + BucketRows - 1) / BucketRows)).toInt
 
   /** Catalog name for one version's bucketed postings table —
     * deterministic from (dir, version) so any session re-derives it.
@@ -275,14 +290,15 @@ object Dedup {
     // segment write from three 4M-row shuffles to one (BASELINE.md
     // round-8).
     val arr = withShingleArray(docs, k, "doc_id", "text").cache()
-    // no separate materialization wave: the two concurrent writes are
-    // independent top-level jobs over the same cached RDD, and the
-    // BlockManager's per-block compute lock dedupes their cache fill
-    // (one task computes a partition, the other blocks then reads) —
-    // unlike the AQE-internal exchange race ngramJaccardPairs
-    // documents, which bypasses an unfilled lazy cache plan-side.
-    // The append path keeps its eager count as the emptiness check.
-    writeSegmentFiles(arr, dir, version)
+    // one eager agg materializes the kernel cache AND sizes the
+    // segment's bucket count from its postings volume (r14,
+    // scale-adaptive layout — see BucketRows); the two concurrent
+    // writes then read the filled cache. Same job count as the old
+    // racing-writes shape (the cache fill moved from inside the first
+    // write into the agg), one number gained.
+    val nPost = arr.agg(coalesce(sum(size(col("sharr")).cast("long")),
+      lit(0L))).head().getLong(0)
+    writeSegmentFiles(arr, dir, version, segmentBuckets(nPost))
     // all consumers are done — release the kernel cache rather than
     // letting builds accumulate blocks for the session's lifetime
     arr.unpersist(false)
@@ -300,7 +316,7 @@ object Dedup {
     * catalog): every later probe joins on shingle, and a bucketed scan
     * gives that join its postings side with ZERO Exchange — only the
     * (small) incoming shard shuffles, into the bucket partitioning
-    * (plan-asserted in DedupIndexSpec). repartition to IndexBuckets on
+    * (plan-asserted in DedupSpec). repartition to the bucket count on
     * the same key first: repartition and bucketBy share the Murmur3
     * partitioning, so each task holds exactly one bucket and each
     * bucket lands in ONE file — the single-file-per-bucket layout the
@@ -315,7 +331,7 @@ object Dedup {
     * row-level shuffle, the one that defines its layout.
     */
   private def writeSegmentFiles(arr: DataFrame, dir: String,
-                                version: String): Unit = {
+                                version: String, buckets: Int): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -323,9 +339,9 @@ object Dedup {
     val writes = Seq(
       Future {
         arr.select(col("doc_id"), explode(col("sharr")).as("shingle"))
-          .repartition(IndexBuckets, col("shingle"))
+          .repartition(buckets, col("shingle"))
           .write.mode("errorifexists")
-          .bucketBy(IndexBuckets, "shingle").sortBy("shingle")
+          .bucketBy(buckets, "shingle").sortBy("shingle")
           .option("path", s"$dir/$version/postings")
           .format("parquet").saveAsTable(postingsTable(dir, version))
       },
@@ -341,7 +357,7 @@ object Dedup {
     val fs = graft.sources.SegmentedIndex.fsFor(spark, dir)
     val bf = fs.create(
       new org.apache.hadoop.fs.Path(s"$dir/$version/buckets"), true)
-    try bf.write(s"$IndexBuckets".getBytes("UTF-8")) finally bf.close()
+    try bf.write(s"$buckets".getBytes("UTF-8")) finally bf.close()
     // df per shingle = count over this segment's postings — computed
     // off the BUCKETED table just written, so the aggregation's
     // required hash-partitioning on shingle is satisfied by the scan
@@ -409,15 +425,18 @@ object Dedup {
     if (SegmentedIndex.tagCommitted(spark, dir, parentSegs, tag)) return
     val version = SegmentedIndex.newVersionName()
     val arr = withShingleArray(newDocs, k, "doc_id", "text").cache()
-    // one eager job materializes the kernel AND decides emptiness: a
-    // quiet ingest tick (no docs, or none long enough to shingle)
-    // commits nothing — an empty segment would be a schema-less
-    // parquet dir later probes choke on. Folding the old separate
-    // newDocs.isEmpty scan into the count saves one job per
-    // micro-batch; skipping the shingle-less case also skips the
-    // zero-row segment the old path would have committed.
-    if (arr.count() == 0) { arr.unpersist(false); return }
-    writeSegmentFiles(arr, dir, version)
+    // one eager job materializes the kernel, decides emptiness, AND
+    // sizes the delta segment's bucket count (r14): a quiet ingest
+    // tick (no docs, or none long enough to shingle) commits nothing —
+    // an empty segment would be a schema-less parquet dir later probes
+    // choke on. Folding the old separate newDocs.isEmpty scan into the
+    // agg saves one job per micro-batch; skipping the shingle-less
+    // case also skips the zero-row segment the old path would have
+    // committed.
+    val nPost = arr.agg(coalesce(sum(size(col("sharr")).cast("long")),
+      lit(0L))).head().getLong(0)
+    if (nPost == 0) { arr.unpersist(false); return }
+    writeSegmentFiles(arr, dir, version, segmentBuckets(nPost))
     // delta kernel fully consumed — release (streaming ingest calls
     // this once per micro-batch; leaked blocks would grow ∝ stream age)
     arr.unpersist(false)
@@ -495,23 +514,43 @@ object Dedup {
     // (segment, bucket) instead of per bucket, i.e. exactly the file
     // population compaction exists to collapse. A plain scan carries
     // no partitioning claim, so the layout-defining shuffle survives.
-    segs.map(v => spark.read.parquet(s"$dir/$v/postings"))
+    val allSizes = segs.map(v => spark.read.parquet(s"$dir/$v/sizes"))
       .reduce(_ unionAll _)
-      .repartition(IndexBuckets, col("shingle"))
-      .write.mode("errorifexists")
-      .bucketBy(IndexBuckets, "shingle").sortBy("shingle")
-      .option("path", s"$dir/$version/postings")
-      .format("parquet").saveAsTable(postingsTable(dir, version))
-    // sizes are tiny per-doc rows scattered over per-segment files —
-    // coalesce (narrow) into the bucket-count order of files
-    segs.map(v => spark.read.parquet(s"$dir/$v/sizes"))
-      .reduce(_ unionAll _)
-      .coalesce(IndexBuckets)
-      .write.mode("errorifexists").parquet(s"$dir/$version/sizes")
+    // bucket count sized from the FOLDED total (sum(n_sh) over the
+    // chain's sizes files IS the union's postings count) — one
+    // metadata-weight agg job, same scale-adaptive layout as a build
+    val nPost = allSizes
+      .agg(coalesce(sum(col("n_sh")), lit(0L))).head().getLong(0)
+    val buckets = segmentBuckets(nPost)
+    // postings + sizes rewrites are independent — run them as
+    // concurrent jobs like writeSegmentFiles does (r14: the serial
+    // shape put the small sizes pass on the compaction's wall-clock)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(
+        Future {
+          segs.map(v => spark.read.parquet(s"$dir/$v/postings"))
+            .reduce(_ unionAll _)
+            .repartition(buckets, col("shingle"))
+            .write.mode("errorifexists")
+            .bucketBy(buckets, "shingle").sortBy("shingle")
+            .option("path", s"$dir/$version/postings")
+            .format("parquet").saveAsTable(postingsTable(dir, version))
+        },
+        Future {
+          // sizes are tiny per-doc rows scattered over per-segment
+          // files — coalesce (narrow) into bucket-count-order files
+          allSizes.coalesce(buckets)
+            .write.mode("errorifexists").parquet(s"$dir/$version/sizes")
+        })
+      Await.result(Future.sequence(writes), Duration.Inf)
+    }
     val fs = SegmentedIndex.fsFor(spark, dir)
     val bf = fs.create(
       new org.apache.hadoop.fs.Path(s"$dir/$version/buckets"), true)
-    try bf.write(s"$IndexBuckets".getBytes("UTF-8")) finally bf.close()
+    try bf.write(s"$buckets".getBytes("UTF-8")) finally bf.close()
     // df zero-Exchange off the just-written bucketed postings, exactly
     // like a base build — equals the probe's summed-across-segments df
     readPostings(spark, dir, version)

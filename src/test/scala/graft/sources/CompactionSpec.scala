@@ -174,8 +174,13 @@ class CompactionSpec extends SparkSpec {
     // bucketed rewrite: at most one data file per bucket, and fewer
     // files than the chain carried (the latency motive)
     val postFiles = dataFiles(s"$dir/$compactVer/postings")
-    assert(postFiles.size <= Dedup.IndexBuckets,
-      s"${postFiles.size} postings files > ${Dedup.IndexBuckets} buckets")
+    val declaredBuckets = graft.sources.PointerFile.read(
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(s"$dir/$compactVer/buckets"))
+      .trim.toInt
+    assert(postFiles.size <= declaredBuckets,
+      s"${postFiles.size} postings files > $declaredBuckets buckets")
     assert(postFiles.size < preFold,
       s"compaction did not reduce postings files: $postFiles vs $preFold")
     // the folded chain's tags survive: a checkpoint replay of an
