@@ -466,10 +466,20 @@ object CdcPipeline {
       if (statePaths.nonEmpty) {
         // state's bucket is recomputed from the key (deterministic) —
         // files never store it; I/O scoping is pure path selection.
-        // mergeSchema: pointed-at bucket dirs can span batches written
-        // under DIFFERENT schemas after a drift — read the union.
-        val state = spark.read.option("mergeSchema", "true")
-          .parquet(statePaths.toSeq: _*)
+        // Pointed-at bucket dirs can span batches written under
+        // DIFFERENT schemas after a drift; the running union schema is
+        // persisted in meta/schema at every commit (r14), so the read
+        // is explicit-schema — files missing a drifted column null it,
+        // exactly the footer-merge union, WITHOUT the per-commit
+        // distributed footer-inference job mergeSchema ran (at lake
+        // scale that job re-reads every live state footer per commit —
+        // a metadata storm the commit log exists to avoid, guide §6).
+        // Pre-r14 stores (no meta/schema yet) fall back to one last
+        // footer merge; this commit then persists the union.
+        val state = (readMetaSchema(fs, statePath) match {
+          case Some(sch) => spark.read.schema(sch)
+          case None => spark.read.option("mergeSchema", "true")
+        }).parquet(statePaths.toSeq: _*)
           .withColumn("__bucket", bucketOf(cfg))
         // allowMissingColumns = SCHEMA DRIFT TOLERANCE: a batch that
         // ADDS a column keeps it (state rows read null until touched,
@@ -533,6 +543,23 @@ object CdcPipeline {
           s"${touched.mkString(",")} — the input to mergeBatch must be " +
           "replayable (offset-pinned source or checkpointed DataFrame); " +
           "state is untouched, the orphan batch dir will be GC'd")
+    }
+    // persist the running union schema BEFORE any pointer moves: a
+    // crash in between leaves meta a (harmless) superset — the next
+    // read nulls the extra columns, the same allowMissingColumns
+    // semantics the merge itself applies. Skipped when unchanged (the
+    // no-drift steady state), so it costs one pointer write per DRIFT,
+    // not per commit.
+    timed("meta_schema") {
+      // nullable-normalized: file sources read everything nullable, so
+      // equality against the stored schema is stable and the read-side
+      // schema never asserts a non-null a drifted file can't honor
+      val outSchema = org.apache.spark.sql.types.StructType(
+        merged.schema.filterNot(_.name == "__bucket")
+          .map(_.copy(nullable = true)))
+      if (!readMetaSchema(fs, statePath).contains(outSchema))
+        graft.sources.PointerFile.write(fs,
+          new Path(s"$statePath/meta/schema"), outSchema.json)
     }
     timed("ptr_flips")(
       touched.foreach(b => writePointer(fs, statePath, b, outDir)))
@@ -626,6 +653,24 @@ object CdcPipeline {
     * what make [[stateAsOf]] possible and what GC retention is defined
     * over — the same two jobs a lake table format's commit log does.
     */
+  /** The store's persisted running-union schema (`meta/schema`,
+    * StructType JSON), maintained by every merge commit since r14 —
+    * the explicit read schema that replaces per-commit footer-merge
+    * inference. Absent on pre-r14 stores (readers fall back to one
+    * mergeSchema pass, and the next commit persists the union).
+    */
+  private def readMetaSchema(fs: org.apache.hadoop.fs.FileSystem,
+                             statePath: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val p = new Path(s"$statePath/meta/schema")
+    if (!fs.exists(p)) None
+    else org.apache.spark.sql.types.DataType
+      .fromJson(graft.sources.PointerFile.read(fs, p)) match {
+      case st: org.apache.spark.sql.types.StructType => Some(st)
+      case _ => None
+    }
+  }
+
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             statePath: String, batchId: Long,
                             ptrs: Map[Int, String]): Unit = {
