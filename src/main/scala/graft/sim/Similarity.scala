@@ -1229,6 +1229,34 @@ object Similarity {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism,
       col("centroid_id"))
 
+  /** Copy the parent version's FROZEN trained-state files (centroids;
+    * codebooks when the family has them — everything but cells and
+    * protocol files) into a fresh version dir at the filesystem level.
+    * Appends used to RE-WRITE identical centroid/codebook parquet
+    * tables through a Spark job per table per micro-batch — pure fixed
+    * cost for bytes the parent already holds (r14; compactIvfIndex has
+    * always carried trained state forward this way, appends now share
+    * the routine).
+    */
+  private def copyTrainedState(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, parent: String,
+                               version: String): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val fs = graft.sources.SegmentedIndex.fsFor(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val protocol = Set("cells", "segments",
+      graft.sources.SegmentedIndex.AppendTag,
+      graft.sources.SegmentedIndex.MultiTags,
+      graft.sources.PointerFile.CommittedMarker)
+    fs.listStatus(new Path(s"$dir/$parent"))
+      .filter(st => !protocol(st.getPath.getName))
+      .foreach { st =>
+        require(FileUtil.copy(fs, st.getPath, fs,
+          new Path(s"$dir/$version/${st.getPath.getName}"),
+          false, conf), s"copy of ${st.getPath} failed")
+      }
+  }
+
   def appendIvfIndex(dir: String, incoming: DataFrame,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
@@ -1247,13 +1275,7 @@ object Similarity {
     if (incoming.isEmpty) return
     val cents = readCentroids(spark, dir, parent)
     val version = SegmentedIndex.newVersionName()
-    import spark.implicits._
-    cents.toSeq.map { case (i, v) => (i, v.toSeq) }
-      .toDF("centroid_id", "centroid")
-      // coalesce(1): driver-local centroid table (≤ nlist rows) — the
-      // collapsed upstream is a localSeqToDF, nothing to parallelize
-      .coalesce(1)
-      .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
+    copyTrainedState(spark, dir, parent, version)
     assignCells(incoming, cents, idCol, vecCol, probes = 1, idCol, vecCol)
       .transform(clusterByCell) // one file per cell dir (r12)
       .write.mode("errorifexists").partitionBy("centroid_id")
@@ -1667,19 +1689,7 @@ object Similarity {
     val cents = readCentroids(spark, dir, parent)
     val books = readCodebooks(spark, dir, parent)
     val version = SegmentedIndex.newVersionName()
-    import spark.implicits._
-    cents.toSeq.map { case (i, v) => (i, v.toSeq) }
-      .toDF("centroid_id", "centroid")
-      // coalesce(1): driver-local centroid table (≤ nlist rows) — the
-      // collapsed upstream is a localSeqToDF, nothing to parallelize
-      .coalesce(1)
-      .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
-    books.zipWithIndex.flatMap { case (book, j) =>
-      book.zipWithIndex.map { case (cw, code) => (j, code, cw.toSeq) }
-    }.toSeq.toDF("j", "code", "codeword")
-      // coalesce(1): driver-local codebook table (m·ksub rows)
-      .coalesce(1)
-      .write.mode("errorifexists").parquet(s"$dir/$version/codebooks")
+    copyTrainedState(spark, dir, parent, version)
     incoming.select(col(idCol).as("cand_id"),
         element_at(nearestCellStructs(col(vecCol), cents, 1), 1)
           .getField("centroid_id").as("centroid_id"),
@@ -1851,13 +1861,7 @@ object Similarity {
     if (incoming.isEmpty) return
     val cents = readCentroids(spark, dir, parent)
     val version = SegmentedIndex.newVersionName()
-    import spark.implicits._
-    cents.toSeq.map { case (i, v) => (i, v.toSeq) }
-      .toDF("centroid_id", "centroid")
-      // coalesce(1): driver-local centroid table (≤ nlist rows) — the
-      // collapsed upstream is a localSeqToDF, nothing to parallelize
-      .coalesce(1)
-      .write.mode("errorifexists").parquet(s"$dir/$version/centroids")
+    copyTrainedState(spark, dir, parent, version)
     incoming.select(col(idCol).as("cand_id"),
         element_at(nearestCellStructs(col(vecCol), cents, 1), 1)
           .getField("centroid_id").as("centroid_id"),
@@ -1950,21 +1954,12 @@ object Similarity {
     if (segs.size <= 1) return
     val version = SegmentedIndex.newVersionName()
     val fs = SegmentedIndex.fsFor(spark, dir)
-    val conf = spark.sparkContext.hadoopConfiguration
     // trained state (centroids; codebooks when the family has them) is
     // frozen across appends — every segment holds an identical copy,
     // so the parent's files ARE the compacted version's. Copying
     // whatever non-cell payload the version carries keeps this one
     // routine correct for raw, PQ, and SQ8 alike.
-    val protocol = Set("cells", "segments", SegmentedIndex.AppendTag,
-      SegmentedIndex.MultiTags, graft.sources.PointerFile.CommittedMarker)
-    fs.listStatus(new Path(s"$dir/$parent"))
-      .filter(st => !protocol(st.getPath.getName))
-      .foreach { st =>
-        require(FileUtil.copy(fs, st.getPath, fs,
-          new Path(s"$dir/$version/${st.getPath.getName}"),
-          false, conf), s"copy of ${st.getPath} failed")
-      }
+    copyTrainedState(spark, dir, parent, version)
     // cells: exact union across segments, re-clustered so each hive
     // cell dir compacts to one file — the one shuffle this pays, and
     // it moves codes (PQ/SQ8) or vectors, never recomputes them
