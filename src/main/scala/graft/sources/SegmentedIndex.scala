@@ -177,15 +177,29 @@ object SegmentedIndex {
     * the atomic pointer flip + keep-window GC.
     */
   private def fenceAndFlip(fs: FileSystem, dir: String, version: String,
-                           parent: String, keep: Int): Unit = {
-    val cur = PointerFile.read(fs, new Path(dir, CurrentPointer))
-    require(cur == parent,
-      s"concurrent writer detected on $dir: _CURRENT moved " +
-        s"$parent -> $cur while this commit was prepared; the " +
-        "segmented-index protocol is single-writer — serialize " +
-        "writers and retry against the new current version")
-    PointerFile.commitVersion(fs, new Path(dir), version, keep)
-  }
+                           parent: String, keep: Int): Unit =
+    // the fence is only loud-or-clean if no other writer flips INSIDE
+    // the read→flip window: un-serialized, two same-JVM writers can
+    // both read `parent`, both pass the require, and the second flip
+    // silently drops the first writer's segment from the chain — the
+    // exact silent loss ProtocolChaosSpec's two-stream race hunts
+    // (caught there in r14 once the append path's timing shifted).
+    // One JVM-wide monitor per index dir closes the window completely
+    // in-process (streaming sinks and tests are same-JVM writers);
+    // cross-process writers keep the documented detection-only
+    // semantics — serialize those externally.
+    flipLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+      val cur = PointerFile.read(fs, new Path(dir, CurrentPointer))
+      require(cur == parent,
+        s"concurrent writer detected on $dir: _CURRENT moved " +
+          s"$parent -> $cur while this commit was prepared; the " +
+          "segmented-index protocol is single-writer — serialize " +
+          "writers and retry against the new current version")
+      PointerFile.commitVersion(fs, new Path(dir), version, keep)
+    }
+
+  private val flipLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Post-append MAINTENANCE hook: when the committed chain holds more
     * than `maxSegments` segments, fold it with the caller's compaction
