@@ -28,8 +28,16 @@ object Bench {
       // full query-boundary hygiene, not just the SQL cache: retained
       // localCheckpoint blocks from prior queries otherwise accumulate
       // across the 173-query JVM (r13: sf10 OOM at 28 GiB mid-bench
-      // while the blamed query passes solo at 28 GiB)
-      graft.ops.QueryPack.releaseRetainedBlocks(spark)
+      // while the blamed query passes solo at 28 GiB).
+      // BLOCKING (r15, VERDICT r14 item 1): the r14 async release put
+      // the previous query's block removal INSIDE the next query's
+      // timed region — 25 outlier retries at local[32], a 1.5×
+      // regression on an untouched operator, clean at 8 cores. All
+      // boundary work now completes before t0.
+      graft.ops.QueryPack.releaseRetainedBlocks(spark, blocking = true)
+      // settle the async version-vacuum too: a prior query's deferred
+      // litter deletes must not share the disk with the timed region
+      graft.sources.PointerFile.awaitGc()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -60,11 +68,12 @@ object Bench {
       if (acc == Long.MinValue) println(acc) // defeat dead-code elim
       (System.nanoTime() - ts0) / 1e9
     }
-    val parallelProxy = {
+    def measureParallelProxy(): Double = {
       val tp0 = System.nanoTime()
       spark.range(8000000000L).selectExpr("sum(id % 7)").collect()
       (System.nanoTime() - tp0) / 1e9
     }
+    val parallelProxy = measureParallelProxy()
     // Per-query reference for the outlier retry (VERDICT r11 item 3):
     // the committed BENCH_LOCAL.json of the last clean sitting at the
     // SAME sf. The 10×-sitting-median rule below catches catastrophic
@@ -127,6 +136,11 @@ object Bench {
       val ok = firstPass.filter(_._4).map(_._2).sorted
       if (ok.isEmpty) 0.0 else ok(ok.size / 2)
     }
+    // Sitting-quality telemetry (VERDICT r14 item 8): the proxy
+    // re-measured after the first pass — a contended sitting shows up
+    // IN the record as mid/close proxies drifting above the opening
+    // one, instead of needing forensic cross-referencing.
+    val midProxy = measureParallelProxy()
     // Two retry triggers, both min-of-attempts (a retry can only
     // lower a number): the sitting-median rule for catastrophic
     // stalls, and the per-reference rule — warm > 1.8× the committed
@@ -159,13 +173,17 @@ object Bench {
     }
     // proxies + retry count ride in EVERY record (subset runs too —
     // a subset re-measurement is useless without normalization)
+    val tailExtras =
+      if (sys.env.contains("SPARK_GRAFT_NO_EXTRAS") || only.isDefined)
+        Seq.empty[(String, Double)]
+      else benchExtras(spark, sfDir, skip)
+    val closeProxy = measureParallelProxy()
     val extras = Seq(
       "host_serial_proxy_sec" -> serialProxy,
       "host_parallel_proxy_sec" -> parallelProxy,
-      "outlier_retries" -> retries.toDouble) ++ (
-      if (sys.env.contains("SPARK_GRAFT_NO_EXTRAS") || only.isDefined)
-        Seq.empty[(String, Double)]
-      else benchExtras(spark, sfDir, skip))
+      "host_parallel_proxy_mid_sec" -> midProxy,
+      "host_parallel_proxy_close_sec" -> closeProxy,
+      "outlier_retries" -> retries.toDouble) ++ tailExtras
     // FULL record (both per-query maps + extras) goes to the committed
     // BENCH_LOCAL.json — the durable artifact the judge reads.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

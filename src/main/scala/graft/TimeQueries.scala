@@ -22,7 +22,11 @@ object TimeQueries {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       def once(): Double = {
-        spark.catalog.clearCache()
+        // same pre-t0 hygiene as Bench.runOnce (blocking release +
+        // vacuum barrier): subset numbers must be comparable to the
+        // full sitting's
+        graft.ops.QueryPack.releaseRetainedBlocks(spark, blocking = true)
+        graft.sources.PointerFile.awaitGc()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()

@@ -105,12 +105,20 @@ object QueryPack {
     * blamed query, dedup_clusters, runs green SOLO at 28 GiB).
     * Call BETWEEN queries, once the previous result is fully
     * consumed: drops every retained RDD block and SQL cache entry.
-    * Blocking=false — release is async, the next query never waits.
+    *
+    * `blocking`: a TIMED caller (Bench) must pass true — with async
+    * release the BlockManager removes the previous query's blocks
+    * while the next query's timer is already running, contending with
+    * its task threads (VERDICT r14: 25 outlier retries and a 1.5×
+    * regression on an untouched operator at local[32]; clean at 8
+    * cores). Untimed callers (Verify, specs) keep the async default —
+    * they only need the blocks gone eventually.
     */
   def releaseRetainedBlocks(
-      spark: org.apache.spark.sql.SparkSession): Unit = {
+      spark: org.apache.spark.sql.SparkSession,
+      blocking: Boolean = false): Unit = {
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = blocking))
     spark.catalog.clearCache()
   }
 }
