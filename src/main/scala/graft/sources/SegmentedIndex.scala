@@ -188,7 +188,15 @@ object SegmentedIndex {
     // in-process (streaming sinks and tests are same-JVM writers);
     // cross-process writers keep the documented detection-only
     // semantics — serialize those externally.
-    flipLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+    // lock key is the FS-qualified normalized dir (ADVICE r14): raw
+    // strings would let equivalent spellings of one dir (trailing
+    // slash, scheme-qualified vs bare) take different monitors and
+    // race past each other. One entry per index dir per JVM — bounded
+    // by the number of standing indexes a process touches, the same
+    // order as the catalog entries those indexes already hold.
+    flipLocks.computeIfAbsent(
+      fs.makeQualified(new Path(dir)).toUri.normalize().toString,
+      _ => new Object).synchronized {
       val cur = PointerFile.read(fs, new Path(dir, CurrentPointer))
       require(cur == parent,
         s"concurrent writer detected on $dir: _CURRENT moved " +

@@ -462,6 +462,27 @@ object CdcPipeline {
     val ptrs = readPointers(fs, statePath)
     val statePaths = touched.flatMap(b =>
       ptrs.get(b).map(v => bucketPath(statePath, v, b)))
+    // the store's persisted union schema, read ONCE per commit (it
+    // also feeds the grow-only persist below — r14 re-read it there,
+    // one extra FS round trip per commit)
+    val metaSchema = readMetaSchema(fs, statePath)
+    // Pre-r14 migration fallback (ADVICE r14): no meta/schema yet —
+    // run the one-time footer merge over ALL pointed bucket dirs, not
+    // just the touched ones: a drifted column living only in untouched
+    // buckets would otherwise be missing from the union this commit
+    // persists, and later merges of those buckets under the too-narrow
+    // explicit schema would silently null-and-drop it. One distributed
+    // footer pass, paid exactly once per store lifetime (the persist
+    // below upgrades the store).
+    val inferredSchema: Option[StructType] =
+      if (metaSchema.nonEmpty || ptrs.isEmpty) None
+      else {
+        val allPaths = ptrs.toSeq.sortBy(_._1).map { case (b, v) =>
+          bucketPath(statePath, v, b)
+        }
+        Some(spark.read.option("mergeSchema", "true")
+          .parquet(allPaths: _*).schema)
+      }
     val merged: DataFrame =
       if (statePaths.nonEmpty) {
         // state's bucket is recomputed from the key (deterministic) —
@@ -474,9 +495,9 @@ object CdcPipeline {
         // distributed footer-inference job mergeSchema ran (at lake
         // scale that job re-reads every live state footer per commit —
         // a metadata storm the commit log exists to avoid, guide §6).
-        // Pre-r14 stores (no meta/schema yet) fall back to one last
-        // footer merge; this commit then persists the union.
-        val state = (readMetaSchema(fs, statePath) match {
+        // Pre-r14 stores (no meta/schema yet) use the store-wide
+        // inferred union above; this commit then persists it.
+        val state = (metaSchema.orElse(inferredSchema) match {
           case Some(sch) => spark.read.schema(sch)
           case None => spark.read.option("mergeSchema", "true")
         }).parquet(statePaths.toSeq: _*)
@@ -557,9 +578,30 @@ object CdcPipeline {
       val outSchema = org.apache.spark.sql.types.StructType(
         merged.schema.filterNot(_.name == "__bucket")
           .map(_.copy(nullable = true)))
-      if (!readMetaSchema(fs, statePath).contains(outSchema))
+      // GROW-ONLY (ADVICE r14): when every touched bucket is fresh,
+      // merged = latest and outSchema is the batch-only schema — a
+      // batch missing a drifted column that lives on unwritten buckets
+      // must not SHRINK the stored union (later explicit-schema reads
+      // of those buckets would silently null-and-lose the column).
+      // Union with the stored schema by name, keeping the stored
+      // fields' types; write only when the union gains fields.
+      val stored = metaSchema.orElse(inferredSchema.map(s =>
+        org.apache.spark.sql.types.StructType(
+          s.map(_.copy(nullable = true)))))
+      val grown = stored match {
+        case Some(old) =>
+          val have = old.fieldNames.toSet
+          org.apache.spark.sql.types.StructType(
+            old.fields ++ outSchema.fields.filterNot(f => have(f.name)))
+        case None => outSchema
+      }
+      // write when the union gained fields — or when no meta/schema
+      // file exists yet (fresh store, or the one-time migration: the
+      // inferred fallback must PERSIST or every commit re-pays the
+      // store-wide footer pass)
+      if (metaSchema.isEmpty || !stored.contains(grown))
         graft.sources.PointerFile.write(fs,
-          new Path(s"$statePath/meta/schema"), outSchema.json)
+          new Path(s"$statePath/meta/schema"), grown.json)
     }
     timed("ptr_flips")(
       touched.foreach(b => writePointer(fs, statePath, b, outDir)))

@@ -221,6 +221,65 @@ class CdcPipelineSpec extends SparkSpec {
     }
   }
 
+  test("meta/schema is grow-only: a fresh-buckets-only batch missing a " +
+       "drifted column cannot shrink the stored union") {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val base = Files.createTempDirectory("cdcgrow").toString
+    val state = s"$base/state"
+    val cfg = CdcPipeline.Config(numBuckets = 8)
+    def metaSchema: StructType = DataType.fromJson(Files.readString(
+      java.nio.file.Paths.get(s"$state/meta/schema")))
+      .asInstanceOf[StructType]
+    def bucketsOf(df: DataFrame): Set[Int] = df
+      .select(pmod(xxhash64(col("key")), lit(8)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // batch 1 carries the drifted column into SOME buckets
+    val b1 = feed.filter(col("ts_us") < cutoffUs).drop("ts")
+      .withColumn("source_region", lit("eu-central"))
+    CdcPipeline.mergeBatch(b1, state, cfg, batchId = 0)
+    assert(metaSchema.fieldNames.contains("source_region"))
+    val used = bucketsOf(b1)
+    // batch 2: synthetic keys chosen to hash ONLY into untouched
+    // buckets, WITHOUT the drifted column — merged = latest (no state
+    // read), so the persisted union must still carry source_region
+    val fresh = feed.drop("ts").limit(50)
+      .withColumn("key", concat(lit("growk-"),
+        monotonically_increasing_id().cast("string")))
+      .filter(!pmod(xxhash64(col("key")), lit(8)).cast("int")
+        .isin(used.toSeq: _*))
+    assert(fresh.count() > 0, "fixture needs at least one fresh-bucket key")
+    assert((bucketsOf(fresh) intersect used).isEmpty)
+    CdcPipeline.mergeBatch(fresh, state, cfg, batchId = 1)
+    assert(metaSchema.fieldNames.contains("source_region"),
+      "fresh-buckets batch shrank the stored union schema")
+    // the drifted values on the old buckets survive a later merge
+    val s2 = CdcPipeline.currentState(spark, state).get
+    assert(s2.filter(col("source_region") === "eu-central").count() > 0)
+  }
+
+  test("pre-r14 store (no meta/schema): the migration fallback unions " +
+       "over ALL pointed buckets, not just the touched ones") {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val base = Files.createTempDirectory("cdcfall").toString
+    val state = s"$base/state"
+    val cfg = CdcPipeline.Config(numBuckets = 8)
+    // drifted column lands in some buckets, then simulate a pre-r14
+    // store by deleting the persisted union
+    val b1 = feed.filter(col("ts_us") < cutoffUs).drop("ts")
+      .withColumn("source_region", lit("eu-central"))
+    CdcPipeline.mergeBatch(b1, state, cfg, batchId = 0)
+    Files.delete(java.nio.file.Paths.get(s"$state/meta/schema"))
+    // next batch touches a SUBSET of buckets and lacks the column; the
+    // fallback inference must still find it in the untouched buckets
+    val oneKey = feed.drop("ts").limit(1)
+    CdcPipeline.mergeBatch(oneKey, state, cfg, batchId = 1)
+    val persisted = DataType.fromJson(Files.readString(
+      java.nio.file.Paths.get(s"$state/meta/schema")))
+      .asInstanceOf[StructType]
+    assert(persisted.fieldNames.contains("source_region"),
+      "fallback union missed a drifted column in untouched buckets")
+  }
+
   test("replaying an older batch after a newer one is a no-op") {
     val base = Files.createTempDirectory("cdcooo").toString
     val state = s"$base/state"
