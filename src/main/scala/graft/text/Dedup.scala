@@ -347,9 +347,16 @@ object Dedup {
       },
       Future {
         // sharr is the per-doc DISTINCT shingle set, so size(sharr)
-        // IS the exploded per-doc count — same n_sh, no shuffle
+        // IS the exploded per-doc count — same n_sh, no shuffle.
+        // coalesce (narrow, like compaction's sizes rewrite) into
+        // bucket-count-order files: uncoalesced, the write inherited
+        // the kernel's partitioning and a 400-doc delta segment paid
+        // 32 tasks + 32 one-KB files per append (guide §6 small
+        // files), which every describe/probe/compact reader then
+        // re-paid as per-file open cost
         arr.select(col("doc_id"),
             size(col("sharr")).cast("long").as("n_sh"))
+          .coalesce(buckets)
           .write.mode("errorifexists").parquet(s"$dir/$version/sizes")
       })
     Await.result(Future.sequence(writes), Duration.Inf)
@@ -926,18 +933,27 @@ object Dedup {
     // plan. (On a real cluster `spark.checkpoint` to reliable storage
     // every N iterations is the durable variant; the loop structure is
     // identical.)
+    //
+    // One ACTION per iteration, not two (r15, guide §5 driver/job fixed
+    // cost): the checkpoints are LAZY — the convergence-sum action that
+    // every iteration needs anyway is what materializes the iteration's
+    // label blocks, instead of an eager-checkpoint job followed by a
+    // separate sum job over the same blocks. The query is fixed-overhead
+    // bound (~16 MB of shuffle across ~28 scheduled jobs at sf0.1), so
+    // halving the per-iteration action count attacks the real cost; the
+    // lineage-truncation and fault-recovery story above is unchanged.
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // labels only ever DECREASE, so Σ lbl is strictly monotone until the
     // fixpoint — one cheap sum per iteration detects convergence, no
-    // old-vs-new comparison join. The sum scans the blocks the eager
-    // checkpoint just materialized.
+    // old-vs-new comparison join. The sum is ALSO the materializing
+    // action for the lazy checkpoint above.
     var prevSum = Option.empty[String]
     var iter = 0
     var converged = false
@@ -948,7 +964,7 @@ object Dedup {
         .select(col("src").as("id"), col("lbl"))
         .union(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // exact decimal sum — a long sum could overflow-alias with 64-bit
       // ids at lake scale
       val s = next.agg(sum(col("lbl").cast("decimal(38,0)")))
