@@ -10,6 +10,16 @@ object Bench {
       // same instant contract as Verify: NTZ-encoded events read as UTC
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // JVM-native chmod for local-FS writes (r15, guide §5 driver/
+      // fixed cost): without hadoop native libs, RawLocalFileSystem
+      // FORKS a chmod process per created file — ~10-15 ms on every
+      // parquet part/checksum/_SUCCESS of every tiny segment write,
+      // overhead a real HDFS/S3 deployment (or a native-lib host)
+      // never pays. NioLocalFileSystem does the identical permission
+      // set through java.nio. Results are unaffected (same files,
+      // same permissions).
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.NioLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: session/codegen/scheduler/datasource spin-up is not

@@ -29,6 +29,8 @@ object CdcMergeBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.NioLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup (codegen/scheduler spin-up, cf. Bench)

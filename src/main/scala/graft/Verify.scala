@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // JVM-native chmod for local-FS writes (see NioLocalFileSystem:
+      // without hadoop native libs every created file forks a chmod
+      // process); same FS behavior as Bench so both surfaces measure
+      // the same engine
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.NioLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

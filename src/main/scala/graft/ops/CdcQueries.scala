@@ -532,8 +532,7 @@ object CdcQueries extends QueryPack {
         // shape for one micro-batch of this size (the session default
         // 32 exists for the data-heavy batch queries); sql_entry_topk
         // precedent: per-query child-session config, parent untouched
-        val s2 = s.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val s2 = QueryPack.streamSession(s, 8, s"$base/cp")
         val src = CdcPipeline.fileSource(s2, s"$base/in", feed.schema)
         CdcPipeline.start(src, s"$base/state", s"$base/cp")
           .awaitTermination()
@@ -632,7 +631,6 @@ object CdcQueries extends QueryPack {
           StructField("ts", TimestampType),
           StructField("schema_version", IntegerType),
           StructField("schema_json", StringType)))
-        val s2 = s.newSession()
         // stream parallelism ∝ wire volume (VERDICT r13 item 1: with
         // the encode parallelized, the residual was the streaming leg
         // itself at a FIXED 8 partitions — ~1.3M state rows per task
@@ -645,7 +643,7 @@ object CdcQueries extends QueryPack {
         val inBytes = fs.getContentSummary(new Path(s"$base/in")).getLength
         val parts = math.max(8, math.min(32,
           (inBytes / (64L << 20)).toInt + 1))
-        s2.conf.set("spark.sql.shuffle.partitions", parts)
+        val s2 = QueryPack.streamSession(s, parts, s"$base/cp")
         // maxFilesPerTrigger=1: one slice per micro-batch, forcing the
         // registry gate to run MID-STREAM on each writer change; the
         // large watermark delay makes the replay order-insensitive
@@ -712,8 +710,7 @@ object CdcQueries extends QueryPack {
         val dim = Tables.customer(s, d)
           .select(col("c_custkey").cast("string").as("key"),
             col("c_mktsegment").as("segment"))
-        val s2 = s.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val s2 = QueryPack.streamSession(s, 8, s"$base/cp")
         val src = s2.readStream.schema(feed.schema)
           .parquet(s"$base/in")
         val dim2 = s2.read.parquet(
@@ -781,8 +778,7 @@ object CdcQueries extends QueryPack {
               (col("value").cast("decimal(18,2)") * 100).cast("long")))
           .withColumn("ts", timestamp_micros(col("ts_us")))
         mixed.coalesce(4).write.mode("overwrite").parquet(s"$base/in")
-        val s2 = s.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val s2 = QueryPack.streamSession(s, 8, s"$base/cp")
         val src = CdcPipeline.fileSource(s2, s"$base/in", mixed.schema)
         val common = Seq("key", "event_id", "ts_us", "op")
         CdcPipeline.startMultiTable(src, s"$base/st", s"$base/cp",

@@ -121,6 +121,37 @@ object QueryPack {
       .foreach(_.unpersist(blocking = blocking))
     spark.catalog.clearCache()
   }
+
+  /** Child session for one streaming query: the per-query shuffle
+    * width (state shuffles sized to the micro-batch, not the parent's
+    * data-heavy default), plus a checkpoint file manager matched to
+    * the checkpoint's filesystem.
+    *
+    * The manager choice is the r15 trigger-floor fix: Spark's default
+    * FileContext-based manager routes every checkpoint rename through
+    * `AbstractFileSystem.renameInternal`, whose link-status checks on
+    * the LOCAL filesystem FORK a `readlink` process per rename (plus a
+    * `chmod` fork per created file) — thread-sampled at ~40 ms per
+    * walCommit/latestOffset/commitOffsets against 0.04-0.4 ms of real
+    * write+rename I/O, i.e. ~120 ms of pure fork overhead per trigger
+    * that an HDFS/S3 deployment never pays. For `file:` checkpoints
+    * the FileSystem-based manager keeps the identical temp-file-plus-
+    * atomic-rename commit protocol (`File.renameTo` is POSIX-atomic)
+    * without the FileContext fork path; any other scheme keeps Spark's
+    * default choice, where FileContext's rename guarantees matter.
+    */
+  def streamSession(parent: SparkSession, shufflePartitions: Int,
+                    checkpointDir: String): SparkSession = {
+    val s2 = parent.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+    val scheme = new org.apache.hadoop.fs.Path(checkpointDir)
+      .getFileSystem(parent.sparkContext.hadoopConfiguration).getScheme
+    if (scheme == "file")
+      s2.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
+    s2
+  }
 }
 
 /** Oracles whose SQL embeds DATA-DERIVED LITERALS (e.g. the trained IVF

@@ -1086,8 +1086,7 @@ object SimilarityQueries extends QueryPack {
         // unmaintained chain would reach 5 segments, the threshold
         // forces ≥2 folds mid-stream
         delta.repartition(4).write.mode("overwrite").parquet(s"$root/in")
-        val s2 = s.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val s2 = QueryPack.streamSession(s, 8, s"$root/cp")
         val q = s2.readStream.schema(delta.schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
           .writeStream
@@ -1396,8 +1395,7 @@ object SimilarityQueries extends QueryPack {
         // (repartition, not coalesce: the delta may arrive as a single
         // partition at small SF and coalesce can only shrink)
         delta.repartition(4).write.mode("overwrite").parquet(s"$root/in")
-        val s2 = s.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val s2 = QueryPack.streamSession(s, 8, s"$root/cp")
         val q = s2.readStream.schema(delta.schema)
           .option("maxFilesPerTrigger", 2).parquet(s"$root/in")
           .writeStream
@@ -1591,8 +1589,7 @@ object SimilarityQueries extends QueryPack {
           vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), dir)
         val delta = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
         delta.repartition(4).write.mode("overwrite").parquet(s"$root/in")
-        val s2 = s.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val s2 = QueryPack.streamSession(s, 8, s"$root/cp")
         val q = s2.readStream.schema(delta.schema)
           .option("maxFilesPerTrigger", 2).parquet(s"$root/in")
           .writeStream
@@ -1631,8 +1628,7 @@ object SimilarityQueries extends QueryPack {
           vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0), dir)
         val delta = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
         delta.repartition(4).write.mode("overwrite").parquet(s"$root/in")
-        val s2 = s.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val s2 = QueryPack.streamSession(s, 8, s"$root/cp")
         val q = s2.readStream.schema(delta.schema)
           .option("maxFilesPerTrigger", 2).parquet(s"$root/in")
           .writeStream

@@ -836,8 +836,7 @@ object TextQueries extends QueryPack {
         // micro-batch run (cf. sim_stream_ivf_ingest)
         delta.repartition(4).write.mode("overwrite")
           .parquet(s"$root/in")
-        val s2 = s.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val s2 = QueryPack.streamSession(s, 8, s"$root/cp")
         val q = s2.readStream.schema(delta.schema)
           .option("maxFilesPerTrigger", 2).parquet(s"$root/in")
           .writeStream
@@ -917,8 +916,7 @@ object TextQueries extends QueryPack {
         // forces ≥2 folds mid-stream
         delta.repartition(4).write.mode("overwrite")
           .parquet(s"$root/in")
-        val s2 = s.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", 8)
+        val s2 = QueryPack.streamSession(s, 8, s"$root/cp")
         val q = s2.readStream.schema(delta.schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
           .writeStream

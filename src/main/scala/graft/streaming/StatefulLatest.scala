@@ -70,13 +70,35 @@ object StatefulLatest {
     import spark.implicits._
     val schema = implicitly[org.apache.spark.sql.Encoder[Change]].schema
     val src = spark.readStream.schema(schema).parquet(inDir).as[Change]
-    val q = latestStream(src).writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // memory-sink temp view is session-scoped, so this stream must run
+    // in the CALLER's session (a QueryPack.streamSession child would
+    // strand the view) — apply the same local-checkpoint file-manager
+    // choice (see streamSession's scaladoc: the FileContext default
+    // forks readlink/chmod processes per checkpoint op on local FS)
+    // scoped to this one query, then restore.
+    val key = "spark.sql.streaming.checkpointFileManagerClass"
+    val prev = spark.conf.getOption(key)
+    val isLocal = new org.apache.hadoop.fs.Path(checkpoint)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getScheme == "file"
+    if (isLocal)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
+    try {
+      val q = latestStream(src).writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      if (isLocal) prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 }

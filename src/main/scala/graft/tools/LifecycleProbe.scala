@@ -29,6 +29,8 @@ object LifecycleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.NioLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -89,8 +91,7 @@ object LifecycleProbe {
     timed("stream_noop_4x1")(dir =>
       delta.repartition(4).write.mode("overwrite")
         .parquet(s"$dir/in"))(dir => {
-      val s2 = spark.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", 8)
+      val s2 = graft.ops.QueryPack.streamSession(spark, 8, s"$dir/cp")
       val q = s2.readStream.schema(delta.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
         .writeStream.option("checkpointLocation", s"$dir/cp")
@@ -108,11 +109,16 @@ object LifecycleProbe {
       fs.delete(new Path(dir), true)
       Dedup.buildShingleIndex(existing, dir)
       val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+      val sites = new java.util.concurrent.ConcurrentHashMap[Int, String]()
       val listener = new org.apache.spark.scheduler.SparkListener {
         val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
         override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           starts.put(j.jobId, j.time)
+          sites.put(j.jobId,
+            j.stageInfos.map(_.name.takeWhile(_ != '\n'))
+              .mkString(" | ").take(120)): Unit
+        }
         override def onJobEnd(
             j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val s = Option(starts.get(j.jobId)).getOrElse(j.time)
@@ -132,7 +138,8 @@ object LifecycleProbe {
       var cursor = t0
       rows.foreach { case (id, (s, e)) =>
         println(f"[append-jobs]   gap ${(s - cursor) / 1e3}%5.2f s | " +
-          f"job $id%3d ${(e - s) / 1e3}%5.2f s")
+          f"job $id%3d ${(e - s) / 1e3}%5.2f s  " +
+          Option(sites.get(id)).getOrElse("?"))
         cursor = math.max(cursor, e)
       }
       println(f"[append-jobs]   tail gap ${(t1 - cursor) / 1e3}%5.2f s")

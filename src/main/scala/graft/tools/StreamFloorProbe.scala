@@ -17,12 +17,20 @@ object StreamFloorProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B knob: PROBE_RAW_FS swaps in the checksum-free raw local FS
+    // (measured: no effect — the floor was fork overhead, not CRC);
+    // default is the engine's fork-free NioLocalFileSystem, matching
+    // Bench/Verify
+    builder.config("spark.hadoop.fs.file.impl",
+      if (sys.env.contains("PROBE_RAW_FS"))
+        "org.apache.hadoop.fs.RawLocalFileSystem"
+      else "graft.sources.NioLocalFileSystem")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
@@ -39,6 +47,17 @@ object StreamFloorProbe {
     (1 to 2).foreach { pass =>
       val s2 = spark.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", 8)
+      // A/B knob: the FileSystem-based checkpoint manager avoids the
+      // FileContext rename path, whose link-status checks FORK a
+      // readlink process per rename on the local FS (plus a chmod fork
+      // per created file) — ~40 ms/op of walCommit/commitOffsets floor
+      // that HDFS/S3 deployments never pay
+      if (sys.env.contains("PROBE_FS_CKPT")) {
+        s2.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+          "org.apache.spark.sql.execution.streaming.checkpointing." +
+            "FileSystemBasedCheckpointFileManager")
+        ()
+      }
       val t0 = System.nanoTime()
       val q = s2.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$root/in")

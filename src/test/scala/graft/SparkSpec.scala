@@ -17,6 +17,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same local-FS impl as Bench/Verify (NioLocalFileSystem's
+      // fork-free chmod) so suites exercise the FS the engine runs on
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.NioLocalFileSystem")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
