@@ -109,8 +109,16 @@ object Bench {
       if (!sameSf || refProxy.isEmpty) Map.empty[String, Double]
       else {
         // normalize the record to THIS host: times scale with the
-        // parallel proxy (the inventory is parallel work)
-        val scale = parallelProxy / refProxy.get
+        // parallel proxy (the inventory is parallel work). Clamped
+        // from below (r15): proxy ratio tracks data-parallel
+        // throughput, but the small queries are scheduler/driver
+        // fixed cost that does NOT shrink when the current host is
+        // much faster than the reference's moment — an unclamped
+        // scale of 0.46 (r14's reference was recorded at proxy 2.378)
+        // predicted sub-floor times for every tiny query, fired the
+        // 1.8× rule 25 times, and exhausted the retry budget before
+        // any genuinely stalled query could use it.
+        val scale = math.max(parallelProxy / refProxy.get, 0.8)
         (j \ "queries") match {
           case JObject(fields) => fields.flatMap { case (k, v) =>
             num(v).map(k -> _ * scale) }.toMap
