@@ -36,16 +36,33 @@ object Materialize {
     * Order is (ts, tiebreak...) descending; the tiebreak column makes the
     * result total-ordered (the reference gets this for free from
     * single-task per-partition order, `bin/mskc-connector.sh:378`).
+    *
+    * Shape (r15, guide §2.3 "aggregate before you shuffle"): a `max_by`
+    * aggregation, not a window + row_number. The window form shuffled
+    * EVERY change row on the key; the aggregate's PARTIAL pass keeps
+    * one candidate row per key per map partition, so the exchange
+    * carries ~|keys| rows instead of |changes| — the lever that
+    * matters at replay depth (a CDC log is many events per key by
+    * definition). Physical shape: partial/final SortAggregate (the
+    * struct buffer is not hash-aggregable), i.e. the plan trades the
+    * window's reduce-side whole-partition sort for a map-side sort
+    * plus the shuffle reduction; measured neutral at sf0.1's shallow
+    * replay depth, wins with depth. Equivalence: the ordering key is
+    * struct(orderCols), lexicographic max ≡ (desc, desc, ...)
+    * row_number()=1 under the total-order contract above; struct() is
+    * non-null even when its fields are null, so no row is skipped and
+    * null order values rank lowest — exactly desc NULLS LAST
+    * (MaterializeSpec pins the equivalence, null edges included).
     */
   def latest(changes: DataFrame,
              keyCols: Seq[String],
              orderCols: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(orderCols.map(_.desc): _*)
+    val cols = changes.columns.toSeq
     changes
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*), struct(orderCols: _*))
+        .as("__latest"))
+      .select(cols.map(c => col("__latest").getField(c).as(c)): _*)
   }
 
   /** A2 — drop keys whose latest event is a delete. Must run AFTER A1. */

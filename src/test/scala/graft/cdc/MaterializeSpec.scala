@@ -61,4 +61,29 @@ class MaterializeSpec extends SparkSpec {
   test("entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("latest (max_by aggregate) is row-identical to the window " +
+       "row_number form, null order values ranking lowest") {
+    import org.apache.spark.sql.expressions.Window
+    // a key with a NULL ts beside a non-null one, and a key whose every
+    // ts is null (tiebreak decides) — the edges where desc NULLS LAST
+    // and struct-ordering must agree
+    val edge = spark.createDataFrame(Seq(
+      ("a", Option(10L), 1L, "old"), ("a", Option(20L), 2L, "new"),
+      ("b", Option.empty[Long], 3L, "nullts"), ("b", Option(5L), 4L, "real"),
+      ("c", Option.empty[Long], 5L, "n1"), ("c", Option.empty[Long], 6L, "n2")
+    )).toDF("key", "ts_us", "event_id", "value")
+    val inputs = Seq(feed.select("key", "ts_us", "event_id", "value"), edge)
+    inputs.foreach { df =>
+      val viaAgg = Materialize.latest(df, Seq("key"),
+        Seq(col("ts_us"), col("event_id")))
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val viaWindow = df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      assert(viaAgg.columns.toSeq === df.columns.toSeq)
+      assert(viaAgg.except(viaWindow).count() === 0)
+      assert(viaWindow.except(viaAgg).count() === 0)
+    }
+  }
 }
